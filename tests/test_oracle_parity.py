@@ -1,0 +1,92 @@
+"""Mirror of the driver's correctness gate: run every registered query on
+Spark AND its DuckDB oracle on the same parquet tables, compare row count,
+column names, and order-insensitive values.
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from topk_spark.io.sources import TABLES
+from topk_spark.workload import load_all
+
+REGISTRY = load_all()
+ORACLED = [name for name, q in REGISTRY.items() if q.oracle is not None]
+ROWS_ONLY = [name for name, q in REGISTRY.items() if q.oracle is None]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return f"{val:.10g}"
+    return str(val)
+
+
+def _row_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_normalize(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(spark, sf_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    cur = con.execute(q.oracle)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    srs = _row_set(spark_cols, spark_rows)
+    drs = _row_set(duck_cols, duck_rows)
+    mismatch = [i for i, (a, b) in enumerate(zip(srs, drs)) if a != b][:5]
+    assert srs == drs, (
+        f"{name}: value mismatch at sorted rows {mismatch}; "
+        f"spark={[srs[i] for i in mismatch]} duck={[drs[i] for i in mismatch]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    rows = sdf.collect()
+    assert len(rows) >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    assert set(oracles) <= set(qs)

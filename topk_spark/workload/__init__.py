@@ -1,0 +1,51 @@
+"""Workload registry: every implemented operator from SURVEY.md §2 exposed as
+a named query (spark, sf_dir) -> DataFrame, paired (where SQL-expressible)
+with an equivalent DuckDB oracle SQL string over the driver's testdata views.
+
+The registry is what __spark_entry__.py re-exports to the driver harness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # DuckDB SQL; None → driver runs rows-only check
+    headline: bool = False  # included in bench.py
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    def deco(fn):
+        assert name not in REGISTRY, f"duplicate query name {name}"
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, headline=headline, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import all workload modules (side-effect: registration) and return the
+    registry."""
+    from topk_spark.workload import (  # noqa: F401
+        events_queries,
+        tpch_queries,
+        text_queries,
+        similarity_queries,
+    )
+
+    return REGISTRY

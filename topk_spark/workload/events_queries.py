@@ -1,0 +1,574 @@
+"""Reference-parity operators over the `events` stream table.
+
+Per FIXTURES.md §4 the driver's `events` table is the stand-in for the
+reference's order stream: `user_id`→customer, `event_type`→menu-item analog,
+`value`→price (dollars), `props.k` (JSON)→quantity. Money is converted to
+integer cents exactly as the reference mandates (README.md:15 "integer cents,
+never floating point") via an exact decimal(18,2) cast, so every revenue
+aggregate is 64-bit integer math — deterministic at any parallelism.
+
+Each query cites the SURVEY.md §2 operator IDs it covers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.ops.dedup import dedup_first_seen
+from topk_spark.ops.rollup import merge_rollup, windowed_rollup
+from topk_spark.ops.sketches import distinct_by_group, exact_distinct, hll_estimate, hll_sketch
+from topk_spark.ops.timeparts import floor_to_window_ms, hour_of_day, iso_dayofweek
+from topk_spark.ops.topk import global_topk, rank_topk, topn
+from topk_spark.workload import register
+
+# ---------------------------------------------------------------------------
+# The "order stream" projection (P1 JSON parse + S8 ingest transform + P5
+# widen-first revenue arithmetic), shared by all queries below.
+# ---------------------------------------------------------------------------
+
+def order_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → typed order stream: quantity from props JSON (P1), price in
+    exact integer cents (S8), revenue = widened quantity×price (P5)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("quantity"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("price_cents"),
+    ).withColumn(
+        "revenue_cents",
+        (F.col("quantity").cast("long") * F.col("price_cents")).cast("long"),
+    )
+
+
+# Same projection as a DuckDB CTE, spliced into every oracle.
+_ES = """
+es AS (
+  SELECT event_id, ts, user_id, event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS quantity,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+         CAST(CAST(json_extract(props, '$.k') AS INT) AS BIGINT)
+           * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: "Top 10 by revenue, last 24h, over raw events"
+# (pinot/README.md:5 sample; A4 + F1/P9 + K4/K6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_revenue_raw_24h",
+    headline=True,
+    tags=("A4", "K4", "K6", "P9"),
+    oracle=f"""
+WITH {_ES},
+mx AS (SELECT max(ts) AS mts FROM es),
+f AS (SELECT es.* FROM es, mx WHERE es.ts >= mx.mts - INTERVAL 24 HOUR),
+g AS (
+  SELECT event_type, user_id,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+         CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+         count(*) AS order_count
+  FROM f GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, revenue_cents, total_quantity, order_count,
+       CAST(row_number() OVER
+            (ORDER BY revenue_cents DESC, event_type ASC, user_id ASC) AS INT) AS rank
+FROM g
+ORDER BY rank
+LIMIT 10
+""",
+)
+def topk_revenue_raw_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time top-10 by revenue over the raw table, last 24h relative to
+    the stream head (A4; relative predicate P9 — anchored at max(ts) because
+    testdata is fixed in time). TakeOrderedAndProject gives the distributed
+    bounded heap (K6)."""
+    es = order_stream(spark, sf_dir)
+    mx = es.agg(F.max("ts").alias("mts"))
+    f = es.crossJoin(F.broadcast(mx)).filter(
+        F.col("ts") >= F.col("mts") - F.expr("INTERVAL 24 HOURS")
+    )
+    g = f.groupBy("event_type", "user_id").agg(
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        F.sum("quantity").cast("long").alias("total_quantity"),
+        F.count("*").alias("order_count"),
+    )
+    order = [F.desc("revenue_cents"), F.asc("event_type"), F.asc("user_id")]
+    return global_topk(g, order, 10, sentinel_col=None).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# 1-minute rollup (A1+A2 core pipeline aggregate; P7 window alignment,
+# P8 time derivations, A6 exact distinct)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_1m",
+    headline=True,
+    tags=("A1", "A2", "A6", "P7", "P8", "G2", "T3"),
+    oracle=f"""
+WITH {_ES}
+SELECT event_type,
+       CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS window_start,
+       CAST(epoch_ms(date_trunc('minute', ts)) + 60000 AS BIGINT) AS window_end,
+       CAST(hour(date_trunc('minute', ts)) AS INT) AS hour_of_day,
+       CAST(isodow(date_trunc('minute', ts)) AS INT) AS day_of_week,
+       CAST(SUM(quantity) AS BIGINT) AS sum_quantity,
+       CAST(SUM(revenue_cents) AS BIGINT) AS sum_revenue_cents,
+       count(*) AS order_count,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_customers
+FROM es
+GROUP BY event_type, date_trunc('minute', ts)
+""",
+)
+def rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute tumbling rollup per item analog — the RollupEvent grain
+    (TopKStreamingJob.kt:59-72): sums, count, exact distinct customers,
+    hour/ISO-dow derivations from the window start."""
+    es = order_stream(spark, sf_dir)
+    return windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.sum("quantity").cast("long").alias("sum_quantity"),
+            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
+            F.count("*").alias("order_count"),
+            exact_distinct("user_id").alias("unique_customers"),
+        ],
+        "1 minute",
+    )
+
+
+@register(
+    "merge_rollup_1h",
+    tags=("A9", "A5"),
+    oracle=f"""
+WITH {_ES},
+r1m AS (
+  SELECT event_type,
+         CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS window_start,
+         CAST(SUM(quantity) AS BIGINT) AS sum_quantity,
+         CAST(SUM(revenue_cents) AS BIGINT) AS sum_revenue_cents,
+         count(*) AS order_count
+  FROM es GROUP BY event_type, date_trunc('minute', ts)
+)
+SELECT CAST(window_start - window_start % 3600000 AS BIGINT) AS window_start,
+       CAST(window_start - window_start % 3600000 + 3600000 AS BIGINT) AS window_end,
+       event_type,
+       CAST(SUM(sum_quantity) AS BIGINT) AS sum_quantity,
+       CAST(SUM(sum_revenue_cents) AS BIGINT) AS sum_revenue_cents,
+       CAST(SUM(order_count) AS BIGINT) AS order_count
+FROM r1m
+GROUP BY 1, 2, event_type
+""",
+)
+def merge_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-rollup compaction (A9, Pinot MergeRollupTask analog): 1-minute
+    rollups re-bucketed into 1-hour windows by summing sums — the middle tier
+    of the pre-aggregation ladder (SURVEY §4.2)."""
+    es = order_stream(spark, sf_dir)
+    r1m = windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.sum("quantity").cast("long").alias("sum_quantity"),
+            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
+            F.count("*").alias("order_count"),
+        ],
+        "1 minute",
+    ).drop("hour_of_day", "day_of_week", "window_end")
+    return merge_rollup(
+        r1m,
+        ["event_type"],
+        ["sum_quantity", "sum_revenue_cents", "order_count"],
+        target_window_ms=3_600_000,
+    )
+
+
+@register(
+    "reagg_rollup_total",
+    tags=("A5",),
+    oracle=f"""
+WITH {_ES},
+r1m AS (
+  SELECT event_type,
+         CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS window_start,
+         CAST(SUM(quantity) AS BIGINT) AS sum_quantity,
+         CAST(SUM(revenue_cents) AS BIGINT) AS sum_revenue_cents,
+         count(*) AS order_count
+  FROM es GROUP BY event_type, date_trunc('minute', ts)
+)
+SELECT event_type,
+       CAST(SUM(sum_quantity) AS BIGINT) AS sum_quantity,
+       CAST(SUM(sum_revenue_cents) AS BIGINT) AS sum_revenue_cents,
+       CAST(SUM(order_count) AS BIGINT) AS order_count
+FROM r1m GROUP BY event_type
+""",
+)
+def reagg_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time re-aggregation over the rollup tier (A5 — the
+    "Top 10 (Rollup)" sample pattern, pinot/README.md:5): sums of sums are
+    exactly re-aggregable, so serving queries never touch raw events."""
+    from topk_spark.ops.rollup import reaggregate
+
+    es = order_stream(spark, sf_dir)
+    r1m = windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.sum("quantity").cast("long").alias("sum_quantity"),
+            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
+            F.count("*").alias("order_count"),
+        ],
+        "1 minute",
+    )
+    return reaggregate(
+        r1m, ["event_type"], ["sum_quantity", "sum_revenue_cents"], "order_count"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K family (K1-K5) and grouping (G3/G4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_per_key",
+    headline=True,
+    tags=("K1", "K2", "G3"),
+    oracle=f"""
+WITH {_ES},
+g AS (
+  SELECT event_type, user_id,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+         count(*) AS order_count
+  FROM es GROUP BY event_type, user_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER
+         (PARTITION BY event_type
+          ORDER BY revenue_cents DESC, user_id ASC) AS INT) AS rank
+  FROM g
+)
+SELECT event_type, user_id, revenue_cents, order_count, rank
+FROM r WHERE rank <= 5
+""",
+)
+def topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ranked top-k (K1/K2 — the reference's per-restaurant top-k,
+    KafkaConsumerTopKJob.kt:243-272): rank users 1..5 within each event_type
+    by revenue, deterministic tiebreak on user_id."""
+    es = order_stream(spark, sf_dir)
+    g = es.groupBy("event_type", "user_id").agg(
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        F.count("*").alias("order_count"),
+    )
+    return rank_topk(
+        g, ["event_type"], [F.desc("revenue_cents"), F.asc("user_id")], 5
+    ).select("event_type", "user_id", "revenue_cents", "order_count", "rank")
+
+
+@register(
+    "topk_global",
+    tags=("K3", "G4"),
+    oracle=f"""
+WITH {_ES},
+g AS (
+  SELECT user_id,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+         count(*) AS order_count
+  FROM es GROUP BY user_id
+)
+SELECT 'ALL' AS restaurant_id, user_id, revenue_cents, order_count,
+       CAST(row_number() OVER (ORDER BY revenue_cents DESC, user_id ASC) AS INT) AS rank
+FROM g
+ORDER BY rank
+LIMIT 10
+""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with the 'ALL' sentinel (K3,
+    KafkaConsumerTopKJob.kt:274-291). Limit-then-rank avoids the single-key
+    hotspot of the reference's `keyBy {{ "global" }}` (G4)."""
+    es = order_stream(spark, sf_dir)
+    g = es.groupBy("user_id").agg(
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        F.count("*").alias("order_count"),
+    )
+    out = global_topk(g, [F.desc("revenue_cents"), F.asc("user_id")], 10)
+    return out.select(
+        "restaurant_id", "user_id", "revenue_cents", "order_count", "rank"
+    ).orderBy("rank")
+
+
+@register(
+    "latest_window_ranked",
+    tags=("K5", "K4"),
+    oracle=f"""
+WITH {_ES},
+r1h AS (
+  SELECT event_type,
+         CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         CAST(epoch_ms(date_trunc('hour', ts)) + 3600000 AS BIGINT) AS window_end,
+         count(*) AS order_count,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+  FROM es GROUP BY event_type, date_trunc('hour', ts)
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER
+         (PARTITION BY window_start
+          ORDER BY order_count DESC, event_type ASC) AS INT) AS rank
+  FROM r1h
+)
+SELECT event_type, window_start, window_end, order_count, revenue_cents, rank
+FROM rk WHERE rank <= 3
+ORDER BY window_end DESC, rank ASC, event_type ASC
+LIMIT 12
+""",
+)
+def latest_window_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-window ranked read (K5, QueryService.kt:59-60): rank items
+    within each 1h window, then the serving sort
+    `ORDER BY window_end DESC, rank ASC LIMIT k` — mixed-direction sort+limit.
+    """
+    es = order_stream(spark, sf_dir)
+    r1h = windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.count("*").alias("order_count"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        ],
+        "1 hour",
+    ).drop("hour_of_day", "day_of_week")
+    ranked = rank_topk(
+        r1h, ["window_start"], [F.desc("order_count"), F.asc("event_type")], 3
+    )
+    return topn(
+        ranked.select(
+            "event_type", "window_start", "window_end", "order_count",
+            "revenue_cents", "rank",
+        ),
+        [F.desc("window_end"), F.asc("rank"), F.asc("event_type")],
+        12,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / scalar derivations (F1-F4, P7-P9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_eq_project",
+    tags=("F1", "P3"),
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def filter_eq_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter + projection (F1/P3, QueryService.kt:55) — pushed down
+    to the parquet scan (PushedFilters + 3-column ReadSchema)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "time_range_contained",
+    tags=("F2", "F4"),
+    oracle=f"""
+WITH {_ES},
+r1m AS (
+  SELECT event_type,
+         CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS window_start,
+         CAST(epoch_ms(date_trunc('minute', ts)) + 60000 AS BIGINT) AS window_end,
+         count(*) AS order_count,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+  FROM es GROUP BY event_type, date_trunc('minute', ts)
+)
+SELECT event_type, count(*) AS n_windows,
+       CAST(SUM(order_count) AS BIGINT) AS order_count,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+FROM r1m
+WHERE window_start >= 1704844800000 AND window_end <= 1705708800000
+GROUP BY event_type
+""",
+)
+def time_range_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-containment time-range filter (F2, QueryService.kt:56-57):
+    window_start >= start AND window_end <= end — both bounds inside, not
+    overlap. Literals: [2024-01-10, 2024-01-20) UTC."""
+    es = order_stream(spark, sf_dir)
+    r1m = windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.count("*").alias("order_count"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        ],
+        "1 minute",
+    )
+    return (
+        r1m.filter(
+            (F.col("window_start") >= 1704844800000)
+            & (F.col("window_end") <= 1705708800000)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("order_count").cast("long").alias("order_count"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "time_parts",
+    tags=("P8",),
+    oracle="""
+SELECT event_id,
+       CAST(hour(ts) AS INT) AS hour_of_day,
+       CAST(isodow(ts) AS INT) AS day_of_week,
+       CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+FROM events
+WHERE event_id % 100 = 0
+""",
+)
+def time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day + ISO day-of-week derivations (P8,
+    TopKStreamingJob.kt:162-179). Spark's Sunday-first dayofweek is converted
+    to ISO 1=Mon..7=Sun; session TZ pinned UTC (SURVEY §7 risk 3)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        hour_of_day("ts").alias("hour_of_day"),
+        iso_dayofweek("ts").alias("day_of_week"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+@register(
+    "window_floor_alignment",
+    tags=("P7", "T3"),
+    oracle="""
+SELECT CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS wstart_window,
+       CAST(floor(epoch_ms(ts) / 60000) * 60000 AS BIGINT) AS wstart_manual,
+       count(*) AS n
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def window_floor_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pin that Spark's window() start equals the reference's manual
+    epoch-floor `(ts/60000)*60000` (P7, KafkaConsumerTopKJob.kt:145-150) —
+    both columns must agree on every row."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.unix_millis(F.window("ts", "1 minute").start).alias("wstart_window"),
+            floor_to_window_ms("ts", 60_000).alias("wstart_manual"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (D1/D3 batch semantics) and distinct counts (A6/A7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_first_seen",
+    tags=("D1", "D3", "G1"),
+    oracle=f"""
+WITH {_ES},
+b AS (
+  SELECT es.*, CAST(floor(epoch_ms(ts) / 60000) * 60000 AS BIGINT) AS bucket,
+         row_number() OVER (
+           PARTITION BY user_id, event_type,
+                        CAST(floor(epoch_ms(ts) / 60000) * 60000 AS BIGINT)
+           ORDER BY ts ASC, event_id ASC) AS rn
+  FROM es
+)
+SELECT event_type, count(*) AS survivors,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+FROM b WHERE rn = 1
+GROUP BY event_type
+""",
+)
+def dedup_first_seen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-wins dedup (D1/D3): at most one event per
+    (user, item, minute), earliest by (ts, event_id) survives — the batch
+    analog of Flink ValueState dedup (TopKStreamingJob.kt:87-119)."""
+    es = order_stream(spark, sf_dir).withColumn(
+        "bucket", floor_to_window_ms("ts", 60_000)
+    )
+    d = dedup_first_seen(
+        es,
+        ["user_id", "event_type", "bucket"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("survivors"),
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@register(
+    "distinct_exact",
+    tags=("A6",),
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per item analog (A6 — the reference's
+    per-window MutableSet union, TopKStreamingJob.kt:79,130,144)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        exact_distinct("user_id").alias("unique_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "distinct_hll",
+    tags=("A7", "A8"),
+    oracle=None,  # sketch estimates are engine-specific → rows-only check
+)
+def distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketched distinct customers per item analog (A7/A8): the real
+    sketch the reference declares but fakes (TopKStreamingJob.kt:168-169).
+    Build per 1h window, merge across windows, estimate — proving
+    re-aggregability (the property the rollup ladder needs at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(hll_sketch("user_id").alias("sketch"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .select(
+            "event_type", hll_estimate("sketch").alias("approx_unique_users")
+        )
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over the `embeddings` table (north-star ANN surface).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the (small)
+query set against a full scan of the corpus — no shuffle of the corpus at
+all, so it scales linearly with corpus size and is embarrassingly parallel.
+The LSH-bucketed variant (added in ops/similarity) is the 100 TB path: it
+trades exactness for touching only matching buckets.
+
+Numeric determinism: dot products are computed by a sequential left-fold over
+the array (`aggregate`) in double precision — the same order DuckDB's
+`list_inner_product` uses — so oracle values match bit-for-bit; scores are
+additionally rounded to 6 dp in the output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.ops.topk import rank_topk
+from topk_spark.workload import register
+
+_QUERY_IDS = (0, 1, 2)
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    """Deterministic sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "cosine_topk",
+    headline=True,
+    tags=("ANN-brute",),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, v.vec_id, v.label,
+         round(list_inner_product(q.qv, v.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(v.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]))), 6) AS score
+  FROM q, embeddings v
+  WHERE v.vec_id != q.query_id
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, score, rank
+FROM rk WHERE rank <= 5
+""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for a fixed query set:
+    broadcast queries × corpus scan, rank per query. The corpus never
+    shuffles; per-partition work is a vectorized fold over 64-dim arrays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv"))
+    )
+    v = emb.select("vec_id", "label", _dbl("embedding").alias("vv"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("qv"), F.col("vv")), 6).alias("score"),
+        )
+    )
+    return rank_topk(
+        scored, ["query_id"], [F.desc("score"), F.asc("vec_id")], 5
+    ).select("query_id", "vec_id", "label", "score", "rank")
+
+
+@register(
+    "embedding_neardup_pairs",
+    tags=("DD-embed",),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.label AS label_a, b.label AS label_b, count(*) AS n_pairs
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9
+GROUP BY a.label, b.label
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: count high-similarity pairs
+    per label combination. The all-pairs form is the exactness oracle; at
+    100 TB the same predicate runs after LSH bucketing (candidate pairs only),
+    which the `lsh_ann` rows-only query demonstrates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", _dbl("embedding").alias("e")).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("vid_a"), F.col("label").alias("label_a"),
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vid_b"), F.col("label").alias("label_b"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("vid_a") < F.col("vid_b"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.filter(sim >= 0.9)
+        .groupBy("label_a", "label_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
