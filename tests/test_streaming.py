@@ -1,0 +1,168 @@
+"""Streaming pipeline tests (SURVEY.md §3.2, T1-T9) with a file-source Kafka
+stand-in: JSON-lines files play micro-batches, availableNow drains them, and
+the parquet sink tables are compared against independent batch computations.
+
+Topology under test (two chained queries — see streaming/job.py docstring):
+stage 1 dedups the event stream into the raw table (1h horizon); stage 2
+streams the raw table into 1-minute rollups (10s lateness watermark).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from topk_spark.fixtures import FixtureSpec, generate_order_events
+from topk_spark.schemas import ORDER_EVENT
+from topk_spark.streaming.job import (
+    build_dedup_stream,
+    start_raw_sink,
+    start_rollup_from_raw,
+)
+
+
+def _write_jsonl(path: str, rows: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_pipeline(spark, tmp, files: list[list[dict]], max_files_per_trigger=None):
+    """Drain stage 1 then stage 2 with availableNow; return (raw, rollup)."""
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    # File mtime order drives processing order under maxFilesPerTrigger=1.
+    for i, rows in enumerate(files):
+        p = os.path.join(src, f"batch_{i:03d}.json")
+        _write_jsonl(p, rows)
+        os.utime(p, (1000 + i, 1000 + i))
+    stream = spark.readStream.schema(ORDER_EVENT)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = stream.json(src)
+
+    raw_path = os.path.join(tmp, "raw")
+    rollup_path = os.path.join(tmp, "rollup")
+    q1 = start_raw_sink(
+        build_dedup_stream(events), raw_path, os.path.join(tmp, "ckpt/raw"),
+        available_now=True,
+    )
+    q1.awaitTermination(120)
+    q2 = start_rollup_from_raw(
+        spark, raw_path, rollup_path, os.path.join(tmp, "ckpt/rollup"),
+        available_now=True, max_files_per_trigger=max_files_per_trigger,
+    )
+    q2.awaitTermination(120)
+    return spark.read.parquet(raw_path), spark.read.parquet(rollup_path)
+
+
+def test_pipeline_dedup_and_revenue(spark, tmp_path):
+    rows = generate_order_events(FixtureSpec(n_events=800))
+    n_unique = len({r["event_id"] for r in rows})
+    assert n_unique < len(rows)  # fixture really injects duplicates
+
+    raw, _ = _run_pipeline(spark, str(tmp_path), [rows])
+
+    # D1: exactly one row per event_id (duplicates inside the horizon dropped)
+    assert raw.count() == n_unique
+    assert raw.select("event_id").distinct().count() == n_unique
+    # S8/P5: revenue is widened integer math
+    bad = raw.filter(
+        F.col("revenue_cents")
+        != F.col("quantity").cast("long") * F.col("price_in_cents").cast("long")
+    ).count()
+    assert bad == 0
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    rows = generate_order_events(FixtureSpec(n_events=800))
+    raw, rollup = _run_pipeline(spark, str(tmp_path), [rows])
+
+    # Append mode emits only windows closed by the final watermark
+    # (watermark = max(event_ts) - 10s). Those must match a batch rollup over
+    # the deduped raw table exactly.
+    max_ts = raw.agg(F.max("timestamp")).collect()[0][0]
+    horizon = max_ts - 10_000
+
+    batch = (
+        raw.withColumn("wstart", F.col("timestamp") - F.col("timestamp") % 60000)
+        .filter(F.col("wstart") + 60000 <= horizon)
+        .groupBy("wstart", "restaurant_id", "menu_item_id")
+        .agg(
+            F.sum("quantity").cast("long").alias("sum_quantity"),
+            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
+            F.count("*").alias("order_count"),
+        )
+    )
+    got = rollup.select(
+        F.col("window_start_1m").alias("wstart"),
+        "restaurant_id",
+        "menu_item_id",
+        "sum_quantity",
+        "sum_revenue_cents",
+        "order_count",
+    ).filter(F.col("wstart") + 60000 <= horizon)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    # RollupEvent derivations present (A2/P8)
+    r = rollup.limit(1).collect()[0]
+    assert r["window_start_ts"] == r["window_start_1m"]
+    assert 1 <= r["day_of_week"] <= 7 and 0 <= r["hour_of_day"] <= 23
+
+
+def test_late_event_dropped_from_rollup_kept_in_raw(spark, tmp_path):
+    # Batch 1: a steady minute of traffic. Batch 2: one event 5 minutes older
+    # than batch 1's head — beyond the 10s lateness watermark (its window is
+    # long closed), inside the 1h dedup horizon.
+    base = 1_704_067_200_000
+    batch1 = []
+    for i in range(180):  # 3 minutes of traffic → first windows close
+        batch1.append(
+            {
+                "event_id": f"EVT{i:08d}",
+                "order_id": f"ORD{i:08x}",
+                "customer_id": f"CUST{1000 + i}",
+                "restaurant_id": "REST001",
+                "menu_item_id": "ITEM001",
+                "category_id": "CAT001",
+                "menu_item_name": "Margherita Pizza",
+                "quantity": 1,
+                "price_in_cents": 1299,
+                "timestamp": base + 600_000 + i * 1000,
+            }
+        )
+    late = dict(batch1[0])
+    late["event_id"] = "EVTLATE0001"
+    late["timestamp"] = base + 60_000  # 9 min before batch1's window
+    raw, rollup = _run_pipeline(
+        spark, str(tmp_path), [batch1, [late]], max_files_per_trigger=1
+    )
+
+    # T5 (Flink-path semantics): late event dropped from the windowed rollup…
+    assert rollup.filter(F.col("window_start_1m") == base + 60_000).count() == 0
+    # …but still present in the raw deduped branch (1h horizon).
+    assert raw.filter(F.col("event_id") == "EVTLATE0001").count() == 1
+
+
+def test_hll_sketch_in_rollup(spark, tmp_path):
+    rows = generate_order_events(FixtureSpec(n_events=400))
+    raw, rollup = _run_pipeline(spark, str(tmp_path), [rows])
+    # A7/A8: merging all per-window sketches estimates global uniques ≈ exact.
+    est = (
+        rollup.agg(F.hll_union_agg("unique_customers_hll").alias("u"))
+        .select(F.hll_sketch_estimate("u").alias("est"))
+        .collect()[0]["est"]
+    )
+    max_ts = raw.agg(F.max("timestamp")).collect()[0][0]
+    horizon = max_ts - 10_000
+    exact = (
+        raw.withColumn("wstart", F.col("timestamp") - F.col("timestamp") % 60000)
+        .filter(F.col("wstart") + 60000 <= horizon)
+        .select("customer_id")
+        .distinct()
+        .count()
+    )
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05  # lg_k=12 → ~1.6% typical error
