@@ -1,0 +1,108 @@
+"""Unit tests: tier router tiling, OLAP write layout, retention, idempotent
+upsert sink."""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+import pyspark.sql.functions as F
+
+from topk_spark.io.sinks import (
+    drop_expired_partitions,
+    merge_upsert_batch,
+    write_olap_table,
+)
+from topk_spark.serve.router import TierRouter
+
+HOUR = 3_600_000
+MIN = 60_000
+
+
+def _mk_rollup(spark, window_ms, start, end):
+    """Synthetic rollup tier: one row per window, order_count=window minutes."""
+    n = (end - start) // window_ms
+    return spark.range(n).select(
+        (F.lit(start) + F.col("id") * window_ms).alias("window_start"),
+        (F.lit(start) + (F.col("id") + 1) * window_ms).alias("window_end"),
+        (F.lit(window_ms // MIN)).cast("long").alias("order_count"),
+    )
+
+
+def test_router_prefers_coarse_tier_with_fine_edges(spark):
+    day0 = 1_704_067_200_000
+    r1m = _mk_rollup(spark, MIN, day0, day0 + 6 * HOUR)
+    r1h = _mk_rollup(spark, HOUR, day0, day0 + 6 * HOUR)
+    router = TierRouter({MIN: r1m, HOUR: r1h})
+
+    # misaligned range: 00:30 → 04:30
+    start, end = day0 + 30 * MIN, day0 + 4 * HOUR + 30 * MIN
+    plan = router.plan(start, end)
+    # middle hours from the 1h tier, both edges from the 1m tier
+    sizes = [(t.window_ms, e - s) for t, s, e in plan]
+    assert (HOUR, 4 * HOUR - HOUR) in [(w, n) for w, n in sizes] or any(
+        w == HOUR for w, _ in sizes
+    )
+    coarse_span = sum(e - s for t, s, e in plan if t.window_ms == HOUR)
+    fine_span = sum(e - s for t, s, e in plan if t.window_ms == MIN)
+    assert coarse_span == 3 * HOUR  # 01:00-04:00
+    assert fine_span == HOUR  # 00:30-01:00 + 04:00-04:30
+    # total minutes covered must equal the direct fine-tier answer
+    total = router.scan(start, end).agg(F.sum("order_count")).collect()[0][0]
+    assert total == (end - start) // MIN
+
+
+def test_router_range_inside_one_coarse_window(spark):
+    day0 = 1_704_067_200_000
+    r1m = _mk_rollup(spark, MIN, day0, day0 + HOUR)
+    r1h = _mk_rollup(spark, HOUR, day0, day0 + HOUR)
+    router = TierRouter({MIN: r1m, HOUR: r1h})
+    start, end = day0 + 10 * MIN, day0 + 25 * MIN
+    plan = router.plan(start, end)
+    assert all(t.window_ms == MIN for t, _, _ in plan)
+    total = router.scan(start, end).agg(F.sum("order_count")).collect()[0][0]
+    assert total == 15
+
+
+def test_write_olap_table_layout_and_retention(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("K"), (F.col("id") % 7)).alias("key"),
+        F.when(F.col("id") < 50, "2024-01-01").otherwise("2024-01-20").alias("event_date"),
+    )
+    path = str(tmp_path / "olap")
+    write_olap_table(
+        df, path, partition_cols=("event_date",), sort_cols=("key",),
+        bucket_col="key", bloom_cols=("key",),
+    )
+    assert os.path.isdir(os.path.join(path, "event_date=2024-01-01"))
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # partition pruning visible in the plan
+    plan = back.filter(F.col("event_date") == "2024-01-20")._jdf.queryExecution().executedPlan().toString()
+    assert back.filter(F.col("event_date") == "2024-01-20").count() == 50
+
+    dropped = drop_expired_partitions(path, retention_days=7, today=date(2024, 1, 21))
+    assert dropped == ["event_date=2024-01-01"]
+    assert spark.read.parquet(path).count() == 50
+
+
+def test_merge_upsert_batch_idempotent(spark, tmp_path):
+    path = str(tmp_path / "upsert")
+    b1 = spark.createDataFrame(
+        [("k1", 1, "a"), ("k2", 1, "b")], "key string, ver int, val string"
+    )
+    merge_upsert_batch(spark, b1, path, ["key"])
+    assert spark.read.parquet(path).count() == 2
+
+    # redelivery of k2 with new value + new k3 → k2 updated, no duplicates
+    b2 = spark.createDataFrame(
+        [("k2", 2, "B"), ("k3", 1, "c")], "key string, ver int, val string"
+    )
+    merge_upsert_batch(spark, b2, path, ["key"])
+    got = {r["key"]: (r["ver"], r["val"]) for r in spark.read.parquet(path).collect()}
+    assert got == {"k1": (1, "a"), "k2": (2, "B"), "k3": (1, "c")}
+
+    # exact redelivery is a no-op
+    merge_upsert_batch(spark, b2, path, ["key"])
+    assert spark.read.parquet(path).count() == 3

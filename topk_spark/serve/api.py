@@ -1,0 +1,145 @@
+"""Serving facade — the reference's REST query surface as typed Python
+functions over rollup/topk DataFrames (SURVEY.md §2 "Serving API surface").
+
+Reference endpoints (TopKController.kt:30-129 → QueryService.kt:37-129):
+- GET /api/v1/restaurants/{id}/topk          → topk_for_restaurant
+- GET /api/v1/restaurants/all/topk           → topk_global
+- GET /api/v1/restaurants/{id}/topk/revenue  → topk_by_revenue ("all" → global)
+
+Semantics carried over exactly:
+- time filter is CLOSED CONTAINMENT: window_start >= start AND
+  window_end <= end (QueryService.kt:56-57) — windows fully inside the range,
+  not overlapping it;
+- defaults: start = now − 1h, end = now, k = 10 (TopKController.kt:34-38);
+- ranking: order_count desc (default) or total_revenue_in_cents desc
+  (revenue variant, QueryService.kt:124); rank is recomputed 1..k over the
+  queried range, deterministic tiebreak (menu_item_id asc) replacing the
+  reference's nondeterministic encounter order;
+- global rows carry restaurant_id='ALL' (KafkaConsumerTopKJob.kt:281).
+
+Unlike the reference's string-interpolated SQL (injectable,
+QueryService.kt:55), parameters here are typed and become Catalyst literals.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from topk_spark.ops.topk import global_topk, rank_topk
+from topk_spark.schemas import GLOBAL_SENTINEL
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _range_filter(rollup: DataFrame, start_ms: int, end_ms: int) -> DataFrame:
+    """F2: closed containment on [start, end]."""
+    return rollup.filter(
+        (F.col("window_start") >= F.lit(start_ms))
+        & (F.col("window_end") <= F.lit(end_ms))
+    )
+
+
+def _aggregate_range(rollup: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapse all rollup windows in range to one metric row per key —
+    re-aggregation (A5), sums of sums."""
+    return rollup.groupBy(*keys).agg(
+        F.sum("order_count").cast("long").alias("order_count"),
+        F.sum("sum_quantity").cast("long").alias("total_quantity"),
+        F.sum("sum_revenue_cents").cast("long").alias("total_revenue_in_cents"),
+        F.min("window_start").cast("long").alias("window_start"),
+        F.max("window_end").cast("long").alias("window_end"),
+        F.min("menu_item_name").alias("menu_item_name"),
+    )
+
+
+def topk_for_restaurant(
+    rollup: DataFrame,
+    restaurant_id: str,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Per-restaurant top-k by order_count over a time range
+    (QueryService.kt:37-64). Expects rollup rows with columns
+    restaurant_id, menu_item_id, menu_item_name, window_start, window_end,
+    order_count, sum_quantity, sum_revenue_cents."""
+    end_ms = end_ms if end_ms is not None else _now_ms()
+    start_ms = start_ms if start_ms is not None else end_ms - 3_600_000
+    base = _range_filter(rollup, start_ms, end_ms).filter(
+        F.col("restaurant_id") == F.lit(restaurant_id)  # F1
+    )
+    agg = _aggregate_range(base, ["restaurant_id", "menu_item_id"])
+    ranked = rank_topk(
+        agg,
+        ["restaurant_id"],
+        [F.desc("order_count"), F.asc("menu_item_id")],
+        k,
+    )
+    return ranked.select(
+        "restaurant_id", "menu_item_id", "menu_item_name", "rank",
+        "order_count", "total_quantity", "total_revenue_in_cents",
+        "window_start", "window_end",
+    )
+
+
+def topk_global(
+    rollup: DataFrame,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Global top-k by order_count (QueryService.kt:69-94): aggregate across
+    all restaurants per item, sentinel restaurant_id='ALL'."""
+    end_ms = end_ms if end_ms is not None else _now_ms()
+    start_ms = start_ms if start_ms is not None else end_ms - 3_600_000
+    base = _range_filter(rollup, start_ms, end_ms)
+    agg = _aggregate_range(base, ["menu_item_id"])
+    ranked = global_topk(
+        agg,
+        [F.desc("order_count"), F.asc("menu_item_id")],
+        k,
+        sentinel_col=None,
+    ).withColumn("restaurant_id", F.lit(GLOBAL_SENTINEL))
+    return ranked.select(
+        "restaurant_id", "menu_item_id", "menu_item_name", "rank",
+        "order_count", "total_quantity", "total_revenue_in_cents",
+        "window_start", "window_end",
+    )
+
+
+def topk_by_revenue(
+    rollup: DataFrame,
+    restaurant_id: str = "all",
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k re-ranked by revenue (QueryService.kt:99-129); 'all' → global
+    (F4 optional-predicate composition, TopKController.kt:108)."""
+    end_ms = end_ms if end_ms is not None else _now_ms()
+    start_ms = start_ms if start_ms is not None else end_ms - 3_600_000
+    base = _range_filter(rollup, start_ms, end_ms)
+    is_global = restaurant_id.lower() == "all"
+    if not is_global:
+        base = base.filter(F.col("restaurant_id") == F.lit(restaurant_id))
+        agg = _aggregate_range(base, ["restaurant_id", "menu_item_id"])
+    else:
+        agg = _aggregate_range(base, ["menu_item_id"]).withColumn(
+            "restaurant_id", F.lit(GLOBAL_SENTINEL)
+        )
+    order = [
+        F.desc("total_revenue_in_cents"),
+        F.desc("window_end"),  # K4 ordering (QueryService.kt:125)
+        F.asc("menu_item_id"),
+    ]
+    ranked = rank_topk(agg, ["restaurant_id"], order, k)
+    return ranked.select(
+        "restaurant_id", "menu_item_id", "menu_item_name", "rank",
+        "order_count", "total_quantity", "total_revenue_in_cents",
+        "window_start", "window_end",
+    )

@@ -46,6 +46,7 @@ def load_all() -> dict[str, Query]:
         tpch_queries,
         text_queries,
         similarity_queries,
+        serving_queries,
     )
 
     return REGISTRY

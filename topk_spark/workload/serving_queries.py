@@ -1,0 +1,153 @@
+"""Serving-surface queries: the three REST endpoint semantics
+(TopKController.kt:30-129) exercised end-to-end — build the 1m rollup from
+the event stream analog, then serve a fixed time range through serve.api.
+
+Mapping onto driver testdata (FIXTURES.md §4): restaurant ← event_type,
+menu item ← user_id. Range: [2024-01-05, 2024-01-25) UTC, closed containment.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.ops.rollup import windowed_rollup
+from topk_spark.serve.api import topk_by_revenue, topk_for_restaurant, topk_global
+from topk_spark.workload import register
+from topk_spark.workload.events_queries import _ES, order_stream
+
+_START = 1_704_412_800_000  # 2024-01-05T00:00:00Z
+_END = 1_706_140_800_000    # 2024-01-25T00:00:00Z
+
+
+def _serving_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = order_stream(spark, sf_dir).select(
+        F.col("event_type").alias("restaurant_id"),
+        F.col("user_id").alias("menu_item_id"),
+        F.concat(F.lit("U"), F.col("user_id")).alias("menu_item_name"),
+        "ts",
+        "quantity",
+        "revenue_cents",
+    )
+    return windowed_rollup(
+        es,
+        "ts",
+        ["restaurant_id", "menu_item_id"],
+        [
+            F.min("menu_item_name").alias("menu_item_name"),
+            F.sum("quantity").cast("long").alias("sum_quantity"),
+            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
+            F.count("*").alias("order_count"),
+        ],
+        "1 minute",
+    ).drop("hour_of_day", "day_of_week")
+
+
+# DuckDB CTE mirroring _serving_rollup + the range-aggregation step.
+_SERVE_BASE = f"""
+{_ES},
+r1m AS (
+  SELECT event_type AS restaurant_id, user_id AS menu_item_id,
+         'U' || CAST(user_id AS VARCHAR) AS menu_item_name,
+         CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS window_start,
+         CAST(epoch_ms(date_trunc('minute', ts)) + 60000 AS BIGINT) AS window_end,
+         CAST(SUM(quantity) AS BIGINT) AS sum_quantity,
+         CAST(SUM(revenue_cents) AS BIGINT) AS sum_revenue_cents,
+         count(*) AS order_count
+  FROM es GROUP BY 1, 2, 3, date_trunc('minute', ts)
+),
+in_range AS (
+  SELECT * FROM r1m
+  WHERE window_start >= {_START} AND window_end <= {_END}
+)
+"""
+
+_AGG_PER_ITEM = """
+  SELECT restaurant_id, menu_item_id,
+         CAST(SUM(order_count) AS BIGINT) AS order_count,
+         CAST(SUM(sum_quantity) AS BIGINT) AS total_quantity,
+         CAST(SUM(sum_revenue_cents) AS BIGINT) AS total_revenue_in_cents,
+         CAST(min(window_start) AS BIGINT) AS window_start,
+         CAST(max(window_end) AS BIGINT) AS window_end,
+         min(menu_item_name) AS menu_item_name
+  FROM in_range GROUP BY restaurant_id, menu_item_id
+"""
+
+
+@register(
+    "serve_topk_restaurant",
+    tags=("SERVE", "F1", "F2", "F3", "K2", "K5"),
+    oracle=f"""
+WITH {_SERVE_BASE},
+agg AS ({_AGG_PER_ITEM}),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY restaurant_id
+      ORDER BY order_count DESC, menu_item_id ASC) AS INT) AS rank
+  FROM agg WHERE restaurant_id = 'purchase'
+)
+SELECT restaurant_id, menu_item_id, menu_item_name, rank, order_count,
+       total_quantity, total_revenue_in_cents, window_start, window_end
+FROM rk WHERE rank <= 10
+""",
+)
+def serve_topk_restaurant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /api/v1/restaurants/{id}/topk semantics: one restaurant, range,
+    k=10 ranked by order_count."""
+    rollup = _serving_rollup(spark, sf_dir)
+    return topk_for_restaurant(rollup, "purchase", _START, _END, k=10)
+
+
+@register(
+    "serve_topk_global",
+    tags=("SERVE", "K3", "G4"),
+    oracle=f"""
+WITH {_SERVE_BASE},
+agg AS (
+  SELECT menu_item_id,
+         CAST(SUM(order_count) AS BIGINT) AS order_count,
+         CAST(SUM(sum_quantity) AS BIGINT) AS total_quantity,
+         CAST(SUM(sum_revenue_cents) AS BIGINT) AS total_revenue_in_cents,
+         CAST(min(window_start) AS BIGINT) AS window_start,
+         CAST(max(window_end) AS BIGINT) AS window_end,
+         min(menu_item_name) AS menu_item_name
+  FROM in_range GROUP BY menu_item_id
+)
+SELECT 'ALL' AS restaurant_id, menu_item_id, menu_item_name,
+       CAST(row_number() OVER (ORDER BY order_count DESC, menu_item_id ASC) AS INT) AS rank,
+       order_count, total_quantity, total_revenue_in_cents,
+       window_start, window_end
+FROM agg
+ORDER BY rank
+LIMIT 10
+""",
+)
+def serve_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /api/v1/restaurants/all/topk semantics: global top-k with the
+    'ALL' sentinel."""
+    rollup = _serving_rollup(spark, sf_dir)
+    return topk_global(rollup, _START, _END, k=10).orderBy("rank")
+
+
+@register(
+    "serve_topk_revenue",
+    tags=("SERVE", "K4"),
+    oracle=f"""
+WITH {_SERVE_BASE},
+agg AS ({_AGG_PER_ITEM}),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY restaurant_id
+      ORDER BY total_revenue_in_cents DESC, window_end DESC, menu_item_id ASC) AS INT) AS rank
+  FROM agg WHERE restaurant_id = 'click'
+)
+SELECT restaurant_id, menu_item_id, menu_item_name, rank, order_count,
+       total_quantity, total_revenue_in_cents, window_start, window_end
+FROM rk WHERE rank <= 5
+""",
+)
+def serve_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /api/v1/restaurants/{id}/topk/revenue semantics: re-ranked by
+    revenue with the K4 ordering (revenue desc, window_end desc)."""
+    rollup = _serving_rollup(spark, sf_dir)
+    return topk_by_revenue(rollup, "click", _START, _END, k=5)
