@@ -1,0 +1,248 @@
+"""Near-duplicate detection for large text corpora (north-star LLM-pipeline
+operators, BASELINE.json:6): MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything is built from native Catalyst expressions — higher-order array
+functions + xxhash64 — so the hot path stays inside whole-stage codegen with
+zero Python. The 100 TB shape:
+
+    shingle (map) → minhash P perms (map) → explode B bands (×B rows of
+    16 bytes) → shuffle on (band, band_hash) → per-bucket self-join on tiny
+    groups → exact-Jaccard verify on candidates only.
+
+The only shuffle carries (band_hash, doc_id) pairs — never documents — and
+the candidate join is bounded by bucket size, not corpus size. That is the
+standard MinHash-LSH bound: P(pair surfaces) = 1-(1-j^R)^B, with j the true
+Jaccard, R rows/band, B bands.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def tokenize(text: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens (optionally lowercased) — the unit for shingling."""
+    t = F.lower(text) if lowercase else text
+    return F.split(F.trim(t), r"\s+")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as strings. n=1 → distinct token set."""
+    if n == 1:
+        return F.array_distinct(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """P-permutation MinHash signature: array<long> of
+    min(xxhash64(shingle, p)) for p in 0..P-1. One pass over shingles per
+    perm, all inside codegen — the Spark-native replacement for a Python
+    minhash UDF (~100× cheaper at scale)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, p))),
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs, band_hash =
+    xxhash64 over the band's R minhash values (joined as text — cheap,
+    deterministic)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(",", F.slice(signature, b * rows + 1, rows)), F.lit(-1)
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash LSH.
+
+    Returns (id_a, id_b, shingles_a, shingles_b) with id_a < id_b, distinct
+    pairs. Verify with `jaccard(shingles_a, shingles_b)` ≥ threshold.
+    """
+    rows = num_perm // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    banded = sh.select(
+        "id",
+        "shingles",
+        F.explode(lsh_bands(minhash_signature(F.col("shingles"), num_perm), bands, rows)).alias("band"),
+    ).select("id", "shingles", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("shingles_a"),
+            F.col("b.shingles").alias("shingles_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
+    Output: (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    cand = minhash_lsh_candidates(docs, id_col, text_col, shingle_n, num_perm, bands)
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("shingles_a"), F.col("shingles_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash as a long: per-token xxhash64, bit-vote per position,
+    sign of the vote sets the bit. Pure codegen expressions (aggregate over a
+    64-counter array); shift amounts are Python literals (Spark's shift
+    functions don't take column shift counts)."""
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        bit = -(1 << 63) if i == 63 else (1 << i)  # signed-long bit patterns
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit longs (popcount of xor)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket on 16-bit chunks (a pair within hamming
+    ≤ 3 of 64 bits must agree on ≥1 of 4 chunks — pigeonhole), then exact
+    hamming verify per bucket. Output (id_a, id_b, hamming)."""
+    h = docs.select(
+        F.col(id_col).alias("id"),
+        simhash64(tokenize(F.col(text_col))).alias("sim"),
+    )
+    chunked = h.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("sim"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "sim", "ch.chunk_id", "ch.chunk_val")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the oracle/baseline for the LSH
+    methods; quadratic — use only on samples or within LSH buckets at scale).
+    Output (id_a, id_b, jaccard ≥ threshold)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(tokenize(F.col(text_col)), n).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

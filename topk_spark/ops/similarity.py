@@ -1,0 +1,168 @@
+"""Approximate nearest-neighbor search over embedding columns (north-star
+similarity-search surface, BASELINE.json:6).
+
+Two tiers:
+- `brute_force_topk` — exact cosine top-k: broadcast queries × corpus scan,
+  rank per query. Linear, shuffle-free on the corpus; the correctness
+  baseline.
+- `lsh_ann_topk` — random-hyperplane LSH: 100 TB path. Corpus is bucketed by
+  an H-bit signature (sign pattern against H deterministic hyperplanes);
+  queries probe their own bucket plus all 1-bit-flip neighbors (multi-probe),
+  and only those buckets are scanned + exactly re-ranked. Bucket assignment
+  is a map-side expression; the only join is query-signature × bucket.
+
+Hyperplane components are derived from xxhash64(plane, dim) — deterministic
+across runs/executors with no RNG state or broadcast weight matrix.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from topk_spark.ops.topk import rank_topk
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _hyperplane_component(table: int, plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-uniform in [-0.5, 0.5): hash(table, plane, dim)
+    → fraction. No RNG state, no broadcast weight matrix — every executor
+    derives identical hyperplanes."""
+    return (
+        F.pmod(
+            F.xxhash64(F.lit(table), F.lit(plane), dim, F.lit(7919)), F.lit(100_000)
+        )
+        / F.lit(100_000.0)
+        - F.lit(0.5)
+    )
+
+
+def lsh_signature(vec: Column, num_planes: int, table: int = 0) -> Column:
+    """H-bit sign signature as a long for one hash table: bit h =
+    [dot(vec, plane_{table,h}) > 0]. Plane index/bit shifts are Python
+    literals (unrolled loop); the per-dimension fold stays codegen'd."""
+    def _proj_lambda(h: int):
+        return lambda x, d: x * _hyperplane_component(table, h, d)
+
+    sig = F.lit(0).cast("long")
+    for h in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _proj_lambda(h)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.lit(1 << h).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, score, rank)."""
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")
+    )
+    q = queries.select(query_id_col, query_vec_col)
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            F.round(cosine(F.col(query_vec_col), F.col("vv")), 6).alias("score"),
+        )
+    )
+    return rank_topk(scored, [query_id_col], [F.desc("score"), F.asc("vec_id")], k)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Approximate cosine top-k: multi-table hyperplane LSH + exact rerank
+    inside matched buckets.
+
+    L independent tables of H planes each: a vector lands in one bucket per
+    table ((table_id, signature) keys); a query's candidates are the union of
+    its L buckets. P(neighbor at cosine-angle θ surfaces) =
+    1-(1-(1-θ/π)^H)^L — tune H (bucket size ≈ N/2^H) and L (recall) per
+    corpus. Expected candidate fraction ≈ L/2^H of the corpus; the corpus is
+    hashed in one map-side pass (explode L keys), candidates are exactly
+    reranked so scores equal the brute-force scores wherever they overlap.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("vv"),
+    ).select(
+        "vec_id",
+        "vv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_signature(F.col("vv"), num_planes, t).alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "vv", "b.table_id", "b.sig")
+    q = queries.select(query_id_col, query_vec_col).select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_signature(F.col(query_vec_col), num_planes, t).alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select(query_id_col, query_vec_col, "b.table_id", "b.sig")
+    scored = (
+        v.join(F.broadcast(q), ["table_id", "sig"])
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            F.round(cosine(F.col(query_vec_col), F.col("vv")), 6).alias("score"),
+        )
+        .dropDuplicates([query_id_col, "vec_id"])
+    )
+    return rank_topk(scored, [query_id_col], [F.desc("score"), F.asc("vec_id")], k)

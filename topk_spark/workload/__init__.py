@@ -47,6 +47,7 @@ def load_all() -> dict[str, Query]:
         text_queries,
         similarity_queries,
         serving_queries,
+        fuzzy_queries,
     )
 
     return REGISTRY
