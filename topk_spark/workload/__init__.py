@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
         similarity_queries,
         serving_queries,
         fuzzy_queries,
+        text2_queries,
     )
 
     return REGISTRY
