@@ -166,3 +166,80 @@ def test_hll_sketch_in_rollup(spark, tmp_path):
     )
     assert exact > 0
     assert abs(est - exact) / exact < 0.05  # lg_k=12 → ~1.6% typical error
+
+
+def test_continuous_topk_stateful(spark, tmp_path):
+    """K1: applyInPandasWithState re-emits a ranked top-k per restaurant on
+    every micro-batch, accumulating state across batches."""
+    from topk_spark.streaming.continuous_topk import continuous_topk
+
+    base = 1_704_067_200_000
+
+    def mk(i, rest, item, qty):
+        return {
+            "event_id": f"EVT{i:08d}",
+            "order_id": f"ORD{i:08x}",
+            "customer_id": f"CUST{i}",
+            "restaurant_id": rest,
+            "menu_item_id": item,
+            "category_id": "CAT001",
+            "menu_item_name": f"Dish {item}",
+            "quantity": qty,
+            "price_in_cents": 100,
+            "timestamp": base + i * 1000,
+        }
+
+    # Batch 1: A×3, B×1 at R1.  Batch 2: B×3 at R1 (B overtakes A), C×1 at R2.
+    b1 = [mk(0, "R1", "A", 1), mk(1, "R1", "A", 2), mk(2, "R1", "A", 1),
+          mk(3, "R1", "B", 5)]
+    b2 = [mk(4, "R1", "B", 1), mk(5, "R1", "B", 1), mk(6, "R1", "B", 1),
+          mk(7, "R2", "C", 9)]
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"batch_{i:03d}.json")
+        _write_jsonl(p, rows)
+        os.utime(p, (1000 + i, 1000 + i))
+
+    events = (
+        spark.readStream.schema(ORDER_EVENT)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    orders = events.withColumn(
+        "revenue_cents",
+        F.col("quantity").cast("long") * F.col("price_in_cents").cast("long"),
+    )
+    sink = os.path.join(str(tmp_path), "out")
+
+    def write_batch(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    q = (
+        continuous_topk(orders, k=2)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    rows = {
+        (r["batch_id"], r["restaurant_id"], r["rank"]): r
+        for r in out.collect()
+    }
+    # Batch 0: A leads (3 orders) over B (1 order).
+    assert rows[(0, "R1", 1)]["menu_item_id"] == "A"
+    assert rows[(0, "R1", 1)]["order_count"] == 3
+    assert rows[(0, "R1", 2)]["menu_item_id"] == "B"
+    # Batch 1: B accumulated 1+3=4 orders and overtakes A (state persisted).
+    assert rows[(1, "R1", 1)]["menu_item_id"] == "B"
+    assert rows[(1, "R1", 1)]["order_count"] == 4
+    assert rows[(1, "R1", 1)]["total_quantity"] == 8
+    assert rows[(1, "R1", 2)]["menu_item_id"] == "A"
+    # New key R2 appears only in batch 1.
+    assert rows[(1, "R2", 1)]["menu_item_id"] == "C"
+    assert (0, "R2", 1) not in rows
