@@ -68,3 +68,22 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     as_ = {(r["query_id"], r["vec_id"]): r["score"] for r in approx.collect()}
     for key in e & a:
         assert es[key] == as_[key]
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    from topk_spark.ops.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv")
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    es = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    as_ = {(r["query_id"], r["vec_id"]): r["score"] for r in approx.collect()}
+    e, a = set(es), set(as_)
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF ANN recall {recall:.2f} too low"
+    # exact rerank: overlapping pairs score identically
+    for key in e & a:
+        assert es[key] == as_[key]

@@ -166,3 +166,74 @@ def lsh_ann_topk(
         .dropDuplicates([query_id_col, "vec_id"])
     )
     return rank_topk(scored, [query_id_col], [F.desc("score"), F.asc("vec_id")], k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantization + exact cosine
+    rerank inside the `nprobe` nearest cells per query.
+
+    The second 100 TB path, complementary to `lsh_ann_topk`: k-means learns
+    the corpus's actual density (better cell balance than data-oblivious
+    hyperplanes). Centroids are learned once (here: in-line fit; at scale:
+    fit on a sample, reuse across jobs), cell assignment is a single
+    JVM-side `model.transform` pass, and each query touches only
+    `nprobe/nlist` of the corpus. At scale the assignment is materialized at
+    write time with the corpus partitioned/bucketed BY CELL, so a probe is a
+    partition-pruned scan — no shuffle of the corpus at query time; the only
+    joins are broadcasts of (query × probed-cell) pairs and centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")
+    ).withColumn("features", array_to_vector("vv"))
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(v.select("features"))
+    assigned = model.transform(v).select(
+        "vec_id", "vv", F.col("prediction").alias("cell")
+    )
+
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    # nprobe nearest cells per query, by euclidean distance to centroid
+    # (k-means' own metric); nlist is small so this is a broadcast cross.
+    q = queries.select(query_id_col, query_vec_col)
+    d2 = F.aggregate(
+        F.zip_with(F.col(query_vec_col), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = rank_topk(
+        q.crossJoin(F.broadcast(cent)).select(
+            query_id_col, query_vec_col, "cell", d2.alias("d2")
+        ),
+        [query_id_col],
+        [F.asc("d2"), F.asc("cell")],
+        nprobe,
+        rank_col="cell_rank",
+    ).select(query_id_col, query_vec_col, "cell")
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            F.round(cosine(F.col(query_vec_col), F.col("vv")), 6).alias("score"),
+        )
+    )
+    return rank_topk(scored, [query_id_col], [F.desc("score"), F.asc("vec_id")], k)

@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
         serving_queries,
         fuzzy_queries,
         text2_queries,
+        joins_queries,
     )
 
     return REGISTRY

@@ -135,3 +135,29 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, k=10, num_planes=4, num_tables=16).select(
         "query_id", "vec_id", "score", "rank"
     )
+
+
+@register(
+    "ivf_ann_topk",
+    tags=("ANN-ivf",),
+    oracle=None,
+)
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 neighbors for 5 query vectors: k-means coarse
+    quantization (nlist=16 cells), nprobe=4 nearest cells probed per query,
+    exact cosine rerank inside probed cells (~25% of the corpus touched).
+    The data-adaptive counterpart to lsh_ann_topk; at scale the corpus is
+    bucketed by cell at write time so probes are partition-pruned scans."""
+    from topk_spark.ops.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("qv"),
+        )
+    )
+    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).select(
+        "query_id", "vec_id", "score", "rank"
+    )
