@@ -106,3 +106,23 @@ def test_merge_upsert_batch_idempotent(spark, tmp_path):
     # exact redelivery is a no-op
     merge_upsert_batch(spark, b2, path, ["key"])
     assert spark.read.parquet(path).count() == 3
+
+
+def test_kafka_sink_frame(spark):
+    from topk_spark.io.sinks import kafka_sink_frame
+
+    df = spark.createDataFrame(
+        [("EVT1", "R1", 3)], "event_id string, restaurant_id string, quantity int"
+    )
+    out = kafka_sink_frame(df, "event_id", topic="restaurant-orders-raw")
+    assert out.columns == ["key", "value", "topic"]
+    row = out.collect()[0]
+    assert bytes(row["key"]) == b"EVT1"
+    import json
+
+    assert json.loads(row["value"]) == {
+        "event_id": "EVT1",
+        "restaurant_id": "R1",
+        "quantity": 3,
+    }
+    assert row["topic"] == "restaurant-orders-raw"

@@ -119,3 +119,21 @@ def merge_upsert_batch(
     if target.exists():
         shutil.rmtree(target)
     tmp.rename(target)
+
+
+def kafka_sink_frame(
+    df: DataFrame, key_col: str, topic: str | None = None
+) -> DataFrame:
+    """Build the (key, value[, topic]) frame a Kafka sink consumes (S3-S5):
+    key = the routing column as UTF-8 bytes (event_id for raw, menu_item_id
+    for top-k results — TopKStreamingJob.kt:277-293, KafkaConsumerTopKJob.kt:
+    293-303), value = the full row as JSON. Attach
+    `.writeStream.format("kafka")` (or batch `.write`) to publish; the frame
+    itself is broker-independent and unit-testable."""
+    cols = [
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    ]
+    if topic is not None:
+        cols.append(F.lit(topic).alias("topic"))
+    return df.select(*cols)

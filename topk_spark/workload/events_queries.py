@@ -572,3 +572,54 @@ def distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", hll_estimate("sketch").alias("approx_unique_users")
         )
     )
+
+
+@register(
+    "revenue_by_hour",
+    tags=("A5", "P8", "P10"),
+    oracle=f"""
+WITH {_ES},
+r1m AS (
+  SELECT event_type,
+         CAST(hour(date_trunc('minute', ts)) AS INT) AS hour_of_day,
+         CAST(SUM(revenue_cents) AS BIGINT) AS sum_revenue_cents,
+         count(*) AS order_count
+  FROM es GROUP BY event_type, date_trunc('minute', ts)
+)
+SELECT hour_of_day,
+       CAST(SUM(sum_revenue_cents) AS BIGINT) AS revenue_cents,
+       CAST(CAST(SUM(sum_revenue_cents) AS DOUBLE) / 100.0 AS DOUBLE)
+         AS revenue_dollars,
+       CAST(SUM(order_count) AS BIGINT) AS order_count
+FROM r1m
+GROUP BY hour_of_day
+ORDER BY hour_of_day
+""",
+)
+def revenue_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's "Revenue by Hour" sample (pinot/README.md:5): group
+    the rollup tier's hour_of_day dimension, re-aggregating stored sums (A5)
+    — a star-tree-prefix query answered without touching raw events; cents →
+    display dollars (P10)."""
+    es = order_stream(spark, sf_dir)
+    r1m = windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
+            F.count("*").alias("order_count"),
+        ],
+        "1 minute",
+    )
+    return (
+        r1m.groupBy("hour_of_day")
+        .agg(
+            F.sum("sum_revenue_cents").cast("long").alias("revenue_cents"),
+            (F.sum("sum_revenue_cents").cast("double") / 100.0).alias(
+                "revenue_dollars"
+            ),
+            F.sum("order_count").cast("long").alias("order_count"),
+        )
+        .orderBy("hour_of_day")
+    )
