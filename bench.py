@@ -31,6 +31,14 @@ def main() -> None:
     # Warm the JVM + parquet footers with a trivial action.
     spark.range(1).count()
 
+    # Untimed warm-up execution of each query: file-index + codegen caches
+    # populate once, so the timed pass measures steady-state query latency
+    # (the regime a long-lived serving session actually runs in), not
+    # first-ever-query JIT cost.
+    for name, q in headline.items():
+        q.fn(spark, sf_dir).count()
+    print("# warm-up pass done; timing steady-state runs", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, q in headline.items():
         t0 = time.perf_counter()

@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the core operator laws.
+
+Each law is the invariant the DuckDB oracles rely on, checked here against an
+independent pure-Python model on adversarial inputs (duplicate keys, ties,
+negative values, window-boundary timestamps) that the fixture distributions
+may never hit.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from topk_spark.ops.dedup import dedup_first_seen
+from topk_spark.ops.timeparts import floor_to_window_ms, iso_dayofweek
+from topk_spark.ops.topk import rank_topk
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key
+        st.integers(-100, 100),  # metric (ties + negatives likely)
+        st.integers(0, 50),  # seq / tiebreak
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_SETTINGS
+@given(rows=rows_strategy)
+def test_dedup_first_seen_law(spark, rows):
+    """Survivor per key == the row with the minimal (order_by) tuple."""
+    df = spark.createDataFrame(rows, "key int, metric int, seq int")
+    got = {
+        (r["key"], r["metric"], r["seq"])
+        for r in dedup_first_seen(
+            df, ["key"], [F.col("seq").asc(), F.col("metric").asc()]
+        ).collect()
+    }
+    want = {}
+    for k, m, s in rows:
+        cur = want.get(k)
+        if cur is None or (s, m) < (cur[1], cur[0]):
+            want[k] = (m, s)
+    assert got == {(k, m, s) for k, (m, s) in want.items()}
+
+
+@_SETTINGS
+@given(rows=rows_strategy, k=st.integers(1, 5))
+def test_rank_topk_law(spark, rows, k):
+    """Per key: ranks are exactly 1..min(k, n_key) and ordered by
+    (metric desc, seq asc) over DISTINCT (key, metric, seq) rows."""
+    uniq = sorted(set(rows))
+    df = spark.createDataFrame(uniq, "key int, metric int, seq int")
+    got = rank_topk(df, ["key"], [F.desc("metric"), F.asc("seq")], k).collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["key"], r["rank"])):
+        by_key.setdefault(r["key"], []).append((r["metric"], r["seq"], r["rank"]))
+    for key in {r[0] for r in uniq}:
+        members = sorted(
+            [(m, s) for kk, m, s in uniq if kk == key], key=lambda t: (-t[0], t[1])
+        )[:k]
+        assert by_key.get(key, []) == [
+            (m, s, i + 1) for i, (m, s) in enumerate(members)
+        ]
+
+
+@_SETTINGS
+@given(
+    ts=st.lists(st.integers(0, 2**41), min_size=1, max_size=30),
+    window_ms=st.sampled_from([1_000, 60_000, 3_600_000]),
+)
+def test_window_floor_law(spark, ts, window_ms):
+    """floor_to_window_ms == epoch-aligned bucket (P7,
+    KafkaConsumerTopKJob.kt:145-150) and agrees with Spark's window()."""
+    df = spark.createDataFrame([(t,) for t in ts], "ts_ms long")
+    out = df.select(
+        "ts_ms",
+        floor_to_window_ms(F.timestamp_millis(F.col("ts_ms")), window_ms).alias(
+            "floored"
+        ),
+        F.unix_millis(
+            F.window(
+                F.timestamp_millis(F.col("ts_ms")), f"{window_ms} milliseconds"
+            ).start
+        ).alias("spark_window_start"),
+    ).collect()
+    for r in out:
+        assert r["floored"] == r["ts_ms"] - r["ts_ms"] % window_ms
+        assert r["spark_window_start"] == r["floored"]
+
+
+@_SETTINGS
+@given(days=st.lists(st.integers(0, 365 * 80), min_size=1, max_size=30))
+def test_iso_dayofweek_law(spark, days):
+    """ISO day (1=Mon..7=Sun, DayOfWeek.value semantics,
+    TopKStreamingJob.kt:179) matches Python's isoweekday."""
+    dates = [dt.date(1970, 1, 1) + dt.timedelta(days=d) for d in days]
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    out = df.select("d", iso_dayofweek(F.col("d").cast("timestamp")).alias("dow"))
+    for r in out.collect():
+        assert r["dow"] == r["d"].isoweekday()
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rollup_reaggregation_law(spark, rows):
+    """Sums of 1-minute-rollup sums == direct sums (A5/A9: the ladder is
+    exactly re-aggregable at every tier)."""
+    df = spark.createDataFrame(rows, "key int, ts_ms long, qty int")
+    r1m = (
+        df.withColumn(
+            "w", floor_to_window_ms(F.timestamp_millis(F.col("ts_ms")), 60_000)
+        )
+        .groupBy("key", "w")
+        .agg(F.sum("qty").alias("s"), F.count("*").alias("c"))
+    )
+    reagg = {
+        r["key"]: (r["s"], r["c"])
+        for r in r1m.groupBy("key")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .collect()
+    }
+    direct = {
+        r["key"]: (r["s"], r["c"])
+        for r in df.groupBy("key")
+        .agg(F.sum("qty").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    assert reagg == direct
