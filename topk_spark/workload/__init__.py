@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
         fuzzy_queries,
         text2_queries,
         joins_queries,
+        olap_queries,
     )
 
     return REGISTRY

@@ -1,0 +1,176 @@
+"""OLAP + training-pipeline utility operators: deterministic train/test
+split, skew-safe heavy hitters, exact percentiles, and pivot.
+
+These are engine-generic capabilities a 100 TB training-data pipeline needs
+on top of the reference's serving surface. Each is chosen to have an exact
+cross-engine oracle (md5 and linear-interpolation percentiles are
+bit-identical between Spark and DuckDB — verified, not assumed).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+
+def hash_bucket(col: F.Column, buckets: int = 100) -> F.Column:
+    """Deterministic, engine-portable bucket in [0, buckets): first 8 hex
+    chars of md5 of the id's decimal string. Stable across runs, engines,
+    partitionings — the property a train/test split must have so that
+    re-running the pipeline (or running it on another engine) never migrates
+    a document across the split."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % buckets).cast("int")
+
+
+@register(
+    "train_test_split",
+    tags=("PIPE-split",),
+    oracle="""
+WITH b AS (
+  SELECT doc_id, n_chars, lang,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM b
+GROUP BY 1
+ORDER BY split
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/test split by md5 hash-bucket of doc_id — deterministic
+    and partition-independent (no rand(), no sampleBy): shuffling 100 TB
+    never changes an example's split. The query reports per-split document
+    counts as the verifiable projection of the assignment."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("bucket", hash_bucket(F.col("doc_id"), 100))
+        .withColumn(
+            "split", F.when(F.col("bucket") < 80, "train").otherwise("test")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "heavy_hitters_salted",
+    tags=("A4", "G4", "SKEW"),
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 20
+""",
+)
+def heavy_hitters_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via an explicit two-stage salted aggregate: stage 1
+    groups by (user_id, salt) — a hot key's rows spread across 16 reducers —
+    stage 2 merges the partials. Identical results to the direct group-by
+    (the oracle IS the direct group-by); the point is the plan shape, which
+    survives a key owning 10% of 100 TB. Spark's partial aggregation does
+    this implicitly for simple sums; the explicit salt is the pattern for
+    non-combinable aggregates and demonstrates the skew strategy AQE
+    complements."""
+    e = load_table(spark, sf_dir, "events")
+    salted = (
+        e.withColumn("salt", (F.pmod(F.xxhash64("event_id"), F.lit(16))).cast("int"))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return (
+        salted.groupBy("user_id")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "value_percentiles",
+    tags=("A4", "PCTL"),
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`, same interpolation — verified). Exact
+    percentile is a sort-based aggregate; at 100 TB swap in
+    `approx_percentile` (t-digest, mergeable, one pass) — same call shape,
+    documented trade."""
+    e = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))")
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p90"),
+            F.round(F.col("p")[3], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "event_type_pivot",
+    tags=("PIVOT",),
+    oracle="""
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS views,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases,
+       CAST(count(*) FILTER (event_type NOT IN ('view','click','purchase'))
+            AS BIGINT) AS other
+FROM events
+GROUP BY user_id
+""",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types to columns via conditional aggregation — the
+    fixed-vocabulary form that keeps the plan a single hash aggregate (no
+    second pass to discover pivot values, which at 100 TB would be its own
+    full scan)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def cnt(pred):
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+    t = F.col("event_type")
+    return e.groupBy("user_id").agg(
+        cnt(t == "view").alias("views"),
+        cnt(t == "click").alias("clicks"),
+        cnt(t == "purchase").alias("purchases"),
+        cnt(~t.isin("view", "click", "purchase")).alias("other"),
+    )
