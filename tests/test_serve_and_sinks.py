@@ -126,3 +126,34 @@ def test_kafka_sink_frame(spark):
         "quantity": 3,
     }
     assert row["topic"] == "restaurant-orders-raw"
+
+
+def test_partition_pruning_on_date(spark, tmp_path):
+    """§4.1: a date-partitioned write + date filter must prune at the
+    FileSourceScan (PartitionFilters), i.e. the range-index effect — a
+    time-range query's cost is proportional to the range, not the table."""
+    from topk_spark.io.sinks import write_olap_table
+
+    df = spark.createDataFrame(
+        [(f"E{i}", f"2024-01-{1 + i % 9:02d}", i) for i in range(200)],
+        "event_id string, event_date string, v int",
+    )
+    path = str(tmp_path / "olap")
+    write_olap_table(
+        df, path, partition_cols=("event_date",), sort_cols=("event_id",),
+        bloom_cols=("event_id",),
+    )
+    rd = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-03")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # physical proof: only the one matching partition's files are scanned
+    scan = rd._jdf.queryExecution().executedPlan()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1)
+    assert rd.count() == len([i for i in range(200) if i % 9 == 2])
+    # and the value filter on the sorted column is pushed to parquet
+    rd2 = spark.read.parquet(path).filter(F.col("event_id") == "E7")
+    plan2 = rd2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_id), EqualTo(event_id,E7)]" in plan2
