@@ -246,3 +246,58 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (id, component) where component = the smallest id reachable from `id`.
+
+    This is the canonicalization step of fuzzy dedup — near-dup PAIRS become
+    KEEP/DROP decisions by electing each component's minimum id. Each
+    iteration is one join + one min-aggregate; convergence takes
+    O(component diameter) rounds, and near-dup clusters are shallow (a
+    handful of variants of one document), so 3–5 rounds in practice —
+    the same label-propagation structure large-scale dedup pipelines use.
+    `localCheckpoint` truncates the growing lineage so plan size stays
+    constant across rounds.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))

@@ -161,3 +161,61 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).select(
         "query_id", "vec_id", "score", "rank"
     )
+
+
+@register(
+    "neardup_cluster_dedup",
+    tags=("DD-cluster",),
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_PERT_OFFSET} AS doc_id,
+         array_to_string(l[1:len(l)-1], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM base)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)-1),
+            i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id, CAST(min(r) AS BIGINT) AS component,
+       (id = min(r)) AS keep
+FROM reach
+GROUP BY id
+""",
+)
+def neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup canonicalization: near-dup pairs (exact 3-gram Jaccard ≥
+    0.5, same corpus as ngram_jaccard_neardup) → connected components by
+    iterative min-label propagation → keep = component minimum. The step
+    that turns pair detection into an actual deduplicated corpus; oracled
+    end-to-end by a DuckDB recursive CTE computing the same closure."""
+    from topk_spark.ops.fuzzy_dedup import connected_components
+
+    corpus = perturbed_corpus(spark, sf_dir, modulo=5)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.withColumn("keep", F.col("id") == F.col("component"))

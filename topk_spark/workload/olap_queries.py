@@ -174,3 +174,72 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(t == "purchase").alias("purchases"),
         cnt(~t.isin("view", "click", "purchase")).alias("other"),
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    tags=("PIPE-e2e", "DD-exact", "TXT-quality", "PIPE-split"),
+    oracle="""
+WITH dedup AS (
+  SELECT min_by(documents, doc_id) AS d FROM documents GROUP BY md5(text)
+),
+flat AS (
+  SELECT d.doc_id AS doc_id, d.text AS text, d.lang AS lang FROM dedup
+),
+quality AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM flat
+  WHERE len(string_split(text, ' ')) >= 20
+),
+split AS (
+  SELECT lang, n_tokens,
+         CASE WHEN CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS INT) < 80
+              THEN 'train' ELSE 'test' END AS split
+  FROM quality
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
+FROM split
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in ONE dataflow: exact dedup
+    (content-hash, min-doc_id canonical) → quality gate (token floor) →
+    deterministic hash-bucket train/test split → per-(split, lang) corpus
+    stats. The whole pipeline is three narrow stages + two shuffles (dedup
+    hash, final group-by); no stage carries document text past the point
+    it's needed — at 100 TB the shuffle payload after dedup is (doc_id,
+    lang, n_tokens), ~20 bytes/doc."""
+    from topk_spark.ops.dedup import dedup_first_seen
+    from topk_spark.workload.olap_queries import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    deduped = dedup_first_seen(
+        d.withColumn("text_md5", F.md5("text")),
+        ["text_md5"],
+        [F.col("doc_id").asc()],
+    )
+    quality = deduped.select(
+        "doc_id", "lang", F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 20)
+    split = quality.withColumn(
+        "split",
+        F.when(hash_bucket(F.col("doc_id"), 100) < 80, "train").otherwise("test"),
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / F.count("*"), 6).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("split", "lang")
+    )
