@@ -243,3 +243,102 @@ def test_continuous_topk_stateful(spark, tmp_path):
     # New key R2 appears only in batch 1.
     assert rows[(1, "R2", 1)]["menu_item_id"] == "C"
     assert (0, "R2", 1) not in rows
+
+
+def test_continuous_global_topk(spark, tmp_path):
+    """K3/G4: global ranked list under the 'ALL' sentinel, cumulative
+    across micro-batches."""
+    from topk_spark.streaming.continuous_topk import continuous_global_topk
+
+    base = 1_704_067_200_000
+
+    def mk(i, rest, item, qty):
+        return {
+            "event_id": f"EVT{i:08d}",
+            "order_id": f"ORD{i:08x}",
+            "customer_id": f"CUST{i}",
+            "restaurant_id": rest,
+            "menu_item_id": item,
+            "category_id": "CAT001",
+            "menu_item_name": f"Dish {item}",
+            "quantity": qty,
+            "price_in_cents": 100,
+            "timestamp": base + i * 1000,
+        }
+
+    # Item B leads globally (3 orders across two restaurants) over A (2).
+    rows = [mk(0, "R1", "B", 1), mk(1, "R2", "B", 1), mk(2, "R2", "B", 2),
+            mk(3, "R1", "A", 4), mk(4, "R2", "A", 1)]
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "b0.json"), rows)
+
+    events = spark.readStream.schema(ORDER_EVENT).json(src)
+    orders = events.withColumn(
+        "revenue_cents",
+        F.col("quantity").cast("long") * F.col("price_in_cents").cast("long"),
+    )
+    sink = os.path.join(str(tmp_path), "out")
+
+    q = (
+        continuous_global_topk(orders, k=2)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = {r["rank"]: r for r in spark.read.parquet(sink).collect()}
+    assert out[1]["restaurant_id"] == "ALL"
+    assert out[1]["menu_item_id"] == "B" and out[1]["order_count"] == 3
+    assert out[2]["menu_item_id"] == "A" and out[2]["order_count"] == 2
+    assert out[2]["total_quantity"] == 5
+
+
+def test_streaming_to_serving_full_loop(spark, tmp_path):
+    """The reference's complete loop (§3.2 + §3.1): event stream → dedup →
+    1-min rollup table → serving API top-k — answers must equal a direct
+    batch computation over the deduped events."""
+    from topk_spark.serve.api import topk_for_restaurant
+
+    rows = generate_order_events(FixtureSpec(n_events=1500))
+    raw, rollup = _run_pipeline(spark, str(tmp_path), [rows])
+
+    serve_rollup = rollup.select(
+        "restaurant_id",
+        "menu_item_id",
+        "menu_item_name",
+        F.col("window_start_1m").alias("window_start"),
+        (F.col("window_start_1m") + 60_000).alias("window_end"),
+        "order_count",
+        "sum_quantity",
+        "sum_revenue_cents",
+    )
+    lo = serve_rollup.agg(F.min("window_start")).collect()[0][0]
+    hi = serve_rollup.agg(F.max("window_end")).collect()[0][0]
+    rest = raw.groupBy("restaurant_id").count().orderBy(F.desc("count")).first()[0]
+
+    got = topk_for_restaurant(serve_rollup, rest, lo, hi, k=5).collect()
+
+    # independent oracle: batch aggregate over the deduped raw rows whose
+    # 1-min window both closed (rollup emitted) and fits [lo, hi]
+    max_ts = raw.agg(F.max("timestamp")).collect()[0][0]
+    horizon = max_ts - 10_000
+    batch = (
+        raw.withColumn("w", F.col("timestamp") - F.col("timestamp") % 60000)
+        .filter((F.col("w") + 60000 <= horizon)
+                & (F.col("w") >= lo) & (F.col("w") + 60000 <= hi)
+                & (F.col("restaurant_id") == rest))
+        .groupBy("menu_item_id")
+        .agg(F.count("*").alias("oc"), F.sum("quantity").alias("tq"))
+        .orderBy(F.desc("oc"), F.asc("menu_item_id"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r["menu_item_id"], r["order_count"], r["total_quantity"]) for r in got] \
+        == [(r["menu_item_id"], r["oc"], r["tq"]) for r in batch]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))

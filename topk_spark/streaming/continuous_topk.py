@@ -122,3 +122,24 @@ def continuous_topk(orders: DataFrame, k: int = 10) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def continuous_global_topk(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Continuous GLOBAL top-k (K3/G4): all traffic keyed to the 'ALL'
+    sentinel — the same single-key funnel as the reference's
+    `keyBy { "global" }` (TopKStreamingJob.kt:543-548) and the consumer
+    job's global list (KafkaConsumerTopKJob.kt:274-291), emitting a ranked
+    global list per micro-batch.
+
+    Hotspot note (G4): one key means one state partition, exactly the
+    bottleneck the reference has. It is tolerable here because the update
+    fn pre-aggregates each micro-batch vectorized in pandas before touching
+    state (per-batch cost O(batch) + O(items log items), state O(k)); at
+    higher volume, pre-reduce per (item) upstream in `foreachBatch` before
+    the single-key merge."""
+    import pyspark.sql.functions as F
+
+    from topk_spark.schemas import GLOBAL_SENTINEL
+
+    keyed = orders.withColumn("restaurant_id", F.lit(GLOBAL_SENTINEL))
+    return continuous_topk(keyed, k)

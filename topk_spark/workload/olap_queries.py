@@ -243,3 +243,50 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "window_functions_suite",
+    tags=("W-rank", "W-offset", "W-cume"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderpriority) AS INT) AS prio_rank,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_orderkey,
+       CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface beyond row_number: offset (lag/lead),
+    rank-family (dense_rank, percent_rank), and a running frame — all
+    sharing ONE partition sort where the spec allows (Catalyst collapses
+    same-spec Window operators; the differently-keyed dense_rank gets its
+    own). Running sum in decimal so accumulation order can't change the
+    answer."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wprio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.dense_rank().over(wprio).cast("int").alias("prio_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.lag("o_orderkey").over(w).cast("long").alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).cast("long").alias("next_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(wrun)
+        .cast("double")
+        .alias("running_spend"),
+    )
