@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
         text2_queries,
         joins_queries,
         olap_queries,
+        tpch2_queries,
     )
 
     return REGISTRY
