@@ -1,0 +1,124 @@
+"""Event-behavior analytics over the `events` stream table: ordered-sequence
+funnel and weekly cohort retention.
+
+The reference's event model (orders keyed by customer with timestamps) implies
+exactly these serving questions; they're also the standard evaluation queries
+for any event-analytics engine (Pinot's own demo workloads feature funnels).
+Both are pure DataFrame compositions — sequence matching is min-timestamp
+chaining, not a UDF — so they stay in whole-stage codegen and scale linearly.
+
+Scale shape: every stage groups by user_id (150 at sf0.01, ~10^8 at 100 TB) —
+one hash shuffle per stage on a uniformly distributed key, each stage's output
+is one row per surviving user, so data only shrinks down the funnel.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+
+@register(
+    "funnel_conversion",
+    tags=("K-funnel",),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel (view → click → purchase): a user
+    advances a stage only with an event strictly after their entry into the
+    previous stage. Each stage is a groupBy-min then a join back to the raw
+    events filtered to the next type — stage outputs are one row per user,
+    so the joins shrink monotonically; at 100 TB each stage's smaller side
+    can broadcast once the funnel narrows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(event_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        nxt = e.filter(F.col("event_type") == event_type)
+        return (
+            nxt.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_buy")
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in ((v, "n_view"), (c, "n_view_click"), (p, "n_view_click_purchase"))
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)
+    return out
+
+
+@register(
+    "cohort_retention",
+    tags=("A4", "P8"),
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.act_week) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM cohort c JOIN activity a ON c.user_id = a.user_id
+GROUP BY c.cohort_week, week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen week,
+    counted in each subsequent active week. Monday-start `date_trunc('week')`
+    agrees between Spark and DuckDB; the offset divides a day-diff that is a
+    multiple of 7 by construction. Two shuffles on user_id then one small
+    grouped agg — the cohort table is 1 row/user and broadcastable at need."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("act_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
