@@ -1,0 +1,97 @@
+"""Physical-plan assertions — the 100 TB posture, checked mechanically.
+
+These tests pin the *plan shape*, not the result: dimension joins must be
+broadcast (no sort-merge shuffle of the fact side), scan-level predicates
+must reach the parquet reader (PushedFilters), global top-k must use the
+distributed bounded heap (TakeOrderedAndProject), and aggregations must be
+partial+final. A regression here is a query that still returns the right
+rows at sf0.01 but shuffles 100 TB at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from topk_spark.workload import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(name: str, spark, sf_dir: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+BROADCAST_ONLY = [
+    # fact⋈dim star joins: every join broadcast, fact never sort-merge-joined
+    "top_customers",
+    "brand_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q19_bracket_revenue",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_ONLY)
+def test_dims_broadcast_not_sortmerge(spark, sf_dir, name):
+    plan = plan_of(name, spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+    assert "SortMergeJoin" not in plan, (
+        f"{name}: dimension join fell back to sort-merge (fact-side shuffle)\n{plan}"
+    )
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    """Q6 is scan-bound: all four predicates must reach the parquet reader."""
+    plan = plan_of("q6_forecast_revenue", spark, sf_dir)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, f"ship-date range not pushed: [{pushed}]"
+    assert "l_quantity" in pushed, f"quantity bound not pushed: [{pushed}]"
+    assert "l_discount" in pushed, f"discount range not pushed: [{pushed}]"
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    """The Q6 scan must read only the 4 referenced columns of 11."""
+    plan = plan_of("q6_forecast_revenue", spark, sf_dir)
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    for col in ("l_shipdate", "l_quantity", "l_extendedprice", "l_discount"):
+        assert col in read
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read, f"unpruned column {col} in {read}"
+
+
+@pytest.mark.parametrize("name", ["q10_returned_items", "q18_large_orders"])
+def test_topk_uses_bounded_heap(spark, sf_dir, name):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject — a per-
+    partition heap + driver merge — never a global Sort."""
+    plan = plan_of(name, spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, f"{name}: global sort for top-k\n{plan}"
+
+
+def test_partial_aggregation_everywhere(spark, sf_dir):
+    """Grouped aggregates must be partial+final (map-side combine): two
+    HashAggregates around the key exchange."""
+    plan = plan_of("pricing_summary", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_semi_join_pushes_filter_first(spark, sf_dir):
+    """Q4's EXISTS: the returned-lines filter must sit under the semi join
+    (only returned lines enter the join), and the join must stay semi."""
+    plan = plan_of("q4_priority_returns", spark, sf_dir)
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag filter not pushed to scan"
+
+
+def test_q13_join_stays_outer(spark, sf_dir):
+    """Q13's priority predicate lives in the join condition — the plan must
+    keep LeftOuter (a WHERE rewrite would drop zero-order customers)."""
+    plan = plan_of("q13_order_count_distribution", spark, sf_dir)
+    assert "LeftOuter" in plan
