@@ -10,6 +10,7 @@ rows at sf0.01 but shuffles 100 TB at scale.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from topk_spark.workload import load_all
@@ -95,3 +96,35 @@ def test_q13_join_stays_outer(spark, sf_dir):
     keep LeftOuter (a WHERE rewrite would drop zero-order customers)."""
     plan = plan_of("q13_order_count_distribution", spark, sf_dir)
     assert "LeftOuter" in plan
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-bucketed fact tables join with no Exchange on either side: bucket
+    lineitem and orders by orderkey once at write time, then the join reads
+    bucket i ⋈ bucket i directly. With broadcast disabled (to force the
+    shuffle-join path a 100 TB fact⋈fact join would take), the plan must
+    contain a SortMergeJoin but zero Exchange operators."""
+    from topk_spark.io.sinks import write_bucketed_table
+    from topk_spark.io.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed_table(li, "li_b", str(tmp_path / "li_b"), ["l_orderkey"], 8,
+                         sort_cols=["l_orderkey"])
+    write_bucketed_table(o, "o_b", str(tmp_path / "o_b"), ["o_orderkey"], 8,
+                         sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(
+            spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and the result is actually correct
+        assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")

@@ -1,0 +1,144 @@
+"""Streaming join coverage — beyond the reference's fan-out-only topology,
+an engine replacing Flink must ship stream enrichment:
+
+- stream-static join (dimension enrichment): the denormalized item name /
+  category the reference carries on every event (Models.kt:14-16) is what a
+  normalized pipeline would attach from a dim table — the static side
+  broadcasts into every micro-batch, no state.
+- stream-stream interval join: order events matched to the user's preceding
+  view event within a bounded horizon (the attribution topology). Both sides
+  watermarked; state is bounded by the interval + watermark, the Spark
+  equivalent of Flink's IntervalJoin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+VIEW_SCHEMA = StructType(
+    [
+        StructField("view_id", StringType()),
+        StructField("user_id", StringType()),
+        StructField("item_id", StringType()),
+        StructField("view_ms", LongType()),
+    ]
+)
+
+BUY_SCHEMA = StructType(
+    [
+        StructField("order_id", StringType()),
+        StructField("user_id", StringType()),
+        StructField("item_id", StringType()),
+        StructField("buy_ms", LongType()),
+    ]
+)
+
+T0 = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def _write_jsonl(path: str, rows: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _drain(query):
+    query.awaitTermination()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Static dim join: every streamed order picks up its margin from a
+    static menu table; the static side needs no watermark and no state."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_jsonl(
+        os.path.join(src, "b0.jsonl"),
+        [
+            {"order_id": f"O{i}", "user_id": f"U{i % 3}",
+             "item_id": f"I{i % 4}", "buy_ms": T0 + i * 1000}
+            for i in range(40)
+        ],
+    )
+    menu = spark.createDataFrame(
+        [(f"I{i}", i * 100) for i in range(4)], ["item_id", "margin_cents"]
+    )
+    stream = spark.readStream.schema(BUY_SCHEMA).json(src)
+    enriched = stream.join(F.broadcast(menu), "item_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_orders")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    out = spark.table("enriched_orders")
+    assert out.count() == 40  # every order matched its dim row
+    got = {r["item_id"]: r["margin_cents"] for r in out.collect()}
+    assert got == {"I0": 0, "I1": 100, "I2": 200, "I3": 300}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchase attributed to a view by the same user within 10 minutes
+    before the purchase. One in-window pair matches; a view outside the
+    interval and a user with no view must not produce rows."""
+    views_dir = str(tmp_path / "views")
+    buys_dir = str(tmp_path / "buys")
+    os.makedirs(views_dir)
+    os.makedirs(buys_dir)
+    m = 60_000
+    _write_jsonl(
+        os.path.join(views_dir, "v0.jsonl"),
+        [
+            # in-window: U1 views 5 min before buying
+            {"view_id": "V1", "user_id": "U1", "item_id": "I1", "view_ms": T0},
+            # out-of-window: U2's view is 30 min before the buy
+            {"view_id": "V2", "user_id": "U2", "item_id": "I2", "view_ms": T0},
+            # never buys
+            {"view_id": "V3", "user_id": "U9", "item_id": "I3", "view_ms": T0},
+        ],
+    )
+    _write_jsonl(
+        os.path.join(buys_dir, "b0.jsonl"),
+        [
+            {"order_id": "O1", "user_id": "U1", "item_id": "I1", "buy_ms": T0 + 5 * m},
+            {"order_id": "O2", "user_id": "U2", "item_id": "I2", "buy_ms": T0 + 30 * m},
+            # no prior view at all
+            {"order_id": "O3", "user_id": "U3", "item_id": "I9", "buy_ms": T0 + 5 * m},
+        ],
+    )
+    views = (
+        spark.readStream.schema(VIEW_SCHEMA).json(views_dir)
+        .withColumn("view_ts", F.timestamp_millis("view_ms"))
+        .withWatermark("view_ts", "20 minutes")
+    )
+    buys = (
+        spark.readStream.schema(BUY_SCHEMA).json(buys_dir)
+        .withColumn("buy_ts", F.timestamp_millis("buy_ms"))
+        .withWatermark("buy_ts", "20 minutes")
+    )
+    joined = buys.join(
+        views,
+        (buys.user_id == views.user_id)
+        & (views.view_ts <= buys.buy_ts)
+        & (views.view_ts >= buys.buy_ts - F.expr("INTERVAL 10 MINUTES")),
+    ).select("order_id", "view_id", "buy_ts", "view_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.table("attributed").collect()
+    assert [(r["order_id"], r["view_id"]) for r in rows] == [("O1", "V1")]

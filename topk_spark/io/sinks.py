@@ -51,6 +51,33 @@ def write_olap_table(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Register `df` as a hash-bucketed (and optionally bucket-sorted)
+    catalog table — the Spark analog of Pinot's partition-aware serving
+    layout (orders_raw_upsert_table.json:64-66).
+
+    Two tables bucketed the same way on the join key co-locate: Catalyst
+    plans the join with ZERO Exchange on either side (proof:
+    tests/test_plans.py::test_bucketed_join_needs_no_shuffle). At 100 TB this
+    is the difference between an all-to-all shuffle of the fact table per
+    join and none — bucket once at ingest, join shuffle-free forever after.
+    """
+    writer = df.write.mode(mode).option("path", path).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def drop_expired_partitions(
     table_path: str,
     retention_days: int,
