@@ -151,3 +151,41 @@ def serve_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue with the K4 ordering (revenue desc, window_end desc)."""
     rollup = _serving_rollup(spark, sf_dir)
     return topk_by_revenue(rollup, "click", _START, _END, k=5)
+
+
+@register(
+    "sql_facade_topk",
+    tags=("S9", "A4", "K4"),
+    oracle=f"""
+WITH {_ES}
+SELECT user_id AS menu_item_id,
+       CAST(SUM(revenue_cents) AS BIGINT) AS total_revenue_cents,
+       CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+       count(*) AS order_count
+FROM es
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total_revenue_cents DESC, menu_item_id ASC
+LIMIT 10
+""",
+)
+def sql_facade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — the Pinot SQL-over-HTTP hop collapses to `spark.sql` over a
+    registered view: the exact serving-SQL *string* a reference client POSTs
+    to the broker (QueryService.kt:131-137 / pinot/README.md top-10 sample)
+    runs unchanged through Catalyst. This is the migration path for reference
+    users with existing SQL: register views, keep the SQL."""
+    order_stream(spark, sf_dir).createOrReplaceTempView("orders_raw")
+    return spark.sql(
+        """
+        SELECT user_id AS menu_item_id,
+               SUM(revenue_cents) AS total_revenue_cents,
+               SUM(quantity) AS total_quantity,
+               COUNT(*) AS order_count
+        FROM orders_raw
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY total_revenue_cents DESC, menu_item_id ASC
+        LIMIT 10
+        """
+    )
