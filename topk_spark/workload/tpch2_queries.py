@@ -229,6 +229,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_profit_by_nation_year",
+    headline=True,
     tags=("J-star", "P8"),
     oracle="""
 SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
