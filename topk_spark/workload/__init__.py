@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         joins_queries,
         olap_queries,
         tpch2_queries,
+        tpch3_queries,
         behavior_queries,
     )
 
