@@ -297,12 +297,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fact (shipdate > orderdate + 1y stands in for the missing
     receiptdate > commitdate lateness).
 
-    Scale shape: candidate late lines are built once and reused for both the
-    probe side and the anti build (distinct (orderkey,suppkey), far smaller
-    than the fact); all three self-joins hash on l_orderkey so AQE can chain
-    them on one exchange; supplier/nation broadcast."""
+    Scale shape: the one-nation supplier-key filter broadcasts into the
+    candidate build FIRST, shrinking the probe side ~25× before any
+    self-join; the anti build keeps ALL nations' late lines (required for
+    correctness) as distinct (orderkey,suppkey) pairs, far smaller than the
+    fact; both self-joins hash on l_orderkey; supplier/nation broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
     cand = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
@@ -310,7 +316,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     other_supp = li.select("l_orderkey", "l_suppkey").distinct().alias("l2")
     other_late = cand.select("l_orderkey", "l_suppkey").distinct().alias("l3")
-    l1 = cand.alias("l1")
+    l1 = cand.join(
+        F.broadcast(supp.select("s_suppkey")),
+        cand.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    ).alias("l1")
     waiting = (
         l1.join(
             other_supp,
@@ -324,11 +334,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
             "left_anti",
         )
-    )
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
-        "s_suppkey", "s_name"
     )
     return (
         waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
