@@ -31,8 +31,13 @@ def windowed_rollup(
     aggs: Sequence[Column],
     window_duration: str = "1 minute",
     carry_dims: Sequence[str] = (),
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window rollup (A1+A2): one row per (keys..., window).
+    """Tumbling-window rollup (A1+A2): one row per (keys..., window); pass
+    `slide` < duration for a sliding/hopping window (each event lands in
+    duration/slide windows — the input amplification happens map-side inside
+    the window expression, before partial aggregation, so the shuffle carries
+    only per-window partials).
 
     Output carries the reference RollupEvent time derivations
     (TopKStreamingJob.kt:150-188): `window_start` / `window_end` epoch-ms
@@ -41,8 +46,13 @@ def windowed_rollup(
     menu_item_id key) — last-seen in the reference, deterministic `min` here.
     """
     carried = [F.min(d).alias(d) for d in carry_dims]
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
     out = (
-        df.groupBy(F.window(ts_col, window_duration).alias("w"), *keys)
+        df.groupBy(win.alias("w"), *keys)
         .agg(*carried, *aggs)
         .withColumn("window_start", F.unix_millis(F.col("w.start")))
         .withColumn("window_end", F.unix_millis(F.col("w.end")))

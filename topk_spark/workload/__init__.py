@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         olap_queries,
         tpch2_queries,
         tpch3_queries,
+        pipeline2_queries,
         behavior_queries,
     )
 

@@ -1,0 +1,150 @@
+"""Training-pipeline part 2 + sliding windows: deterministic corpus
+shuffle-sharding, sequence packing (chunked with SQL oracle, greedy via
+applyInPandas rows-only), and the hopping/sliding-window rollup the tumbling
+suite (`rollup_1m`) doesn't cover.
+
+Scale rules embodied here:
+- a reproducible global shuffle is hash-rank + shard-local sort — never a
+  global ORDER BY rand() (nondeterministic under task retry AND a full-data
+  range exchange);
+- sliding windows amplify rows map-side inside the window expression; the
+  shuffle moves only per-(window,key) partials;
+- greedy packing is sequential per shard, so shards — not rows — are the
+  parallelism unit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.ops.packing import pack_chunked, pack_greedy, shuffle_shards
+from topk_spark.ops.rollup import windowed_rollup
+from topk_spark.workload import register
+from topk_spark.workload.events_queries import order_stream
+
+_ES = """
+es AS (
+  SELECT event_id, ts, user_id, event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS quantity,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+         CAST(CAST(json_extract(props, '$.k') AS INT) AS BIGINT)
+           * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents
+  FROM events
+)
+"""
+
+# Affine-hash constants — keep in sync with topk_spark.ops.packing.
+_HASH_SQL = "((doc_id * 1103515245 + 12345) % 2147483648)"
+
+
+@register(
+    "rollup_sliding_5m_1m",
+    tags=("T3", "A1", "A5"),
+    oracle=f"""
+WITH {_ES},
+slid AS (
+  SELECT e.event_type, e.revenue_cents,
+         epoch_ms(date_trunc('minute', e.ts)) - k.k * 60000 AS ws
+  FROM es e CROSS JOIN (SELECT unnest(range(5)) AS k) k
+)
+SELECT event_type, CAST(ws AS BIGINT) AS window_start,
+       CAST(ws + 300000 AS BIGINT) AS window_end,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+       count(*) AS order_count
+FROM slid
+GROUP BY event_type, ws
+""",
+)
+def rollup_sliding_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 5-minute windows sliding every 1 minute (each
+    event contributes to 5 windows). The Flink analog is
+    SlidingEventTimeWindows — the reference runs tumbling only
+    (TopKStreamingJob.kt:313), this is the standard generalization. The
+    DuckDB oracle materializes the 5-fold amplification explicitly; Spark's
+    `window(ts, '5 minutes', '1 minute')` does the same inside the window
+    expression, map-side."""
+    es = order_stream(spark, sf_dir)
+    return windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.count("*").alias("order_count"),
+        ],
+        "5 minutes",
+        slide="1 minute",
+    ).select("event_type", "window_start", "window_end", "revenue_cents", "order_count")
+
+
+@register(
+    "corpus_shuffle_shards",
+    tags=("PIPE-shuffle", "PIPE-split"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars, {_HASH_SQL} AS shuffle_key,
+         CAST({_HASH_SQL} % 16 AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, n_chars, shuffle_key, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM h
+""",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle of the document corpus into 16 shards:
+    affine-hash rank (map-side), hash-mod shard, partition-local position.
+    Identical output on every engine and every re-run — the property
+    `ORDER BY rand()` cannot give — with one shard-key shuffle and zero
+    global sorts at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return shuffle_shards(docs, "doc_id", 16).select(
+        "doc_id", "n_chars", "shuffle_key", "shard", "pos"
+    )
+
+
+@register(
+    "pack_sequences_chunked",
+    tags=("PIPE-pack",),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars, {_HASH_SQL} AS shuffle_key,
+         CAST({_HASH_SQL} % 16 AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY shard
+                                      ORDER BY shuffle_key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_chars)
+                  / 8192.0) AS BIGINT) AS pack_id
+FROM h
+""",
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents in shuffle order are cut
+    into ~8192-char training packs (a document counts into the pack where it
+    starts). Prefix-sum + floor-div window arithmetic — fully declarative."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_chunked(docs, "doc_id", "n_chars", 8192, 16).select(
+        "doc_id", "shard", "pack_id"
+    )
+
+
+@register(
+    "pack_sequences_greedy",
+    tags=("PIPE-pack",),
+    # First-fit greedy packing needs a sequential scan with carried state —
+    # not SQL-expressible → rows-only driver check; semantics pinned by
+    # tests/test_packing.py against a pure-Python oracle.
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit greedy packing per shard (packs never overflow 8192 chars;
+    documents never straddle packs) via Arrow-batched applyInPandas — the
+    stateful sibling of `pack_sequences_chunked`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_greedy(docs, "doc_id", "n_chars", 8192, 16).select(
+        "doc_id", "shard", "pos", "pack_id"
+    )
