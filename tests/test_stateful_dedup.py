@@ -1,0 +1,103 @@
+"""applyInPandasWithState first-seen dedup (streaming/stateful_dedup):
+cross-batch duplicate suppression with per-key boolean state and
+processing-time TTL re-admission, mirroring the reference's keyed dedup
+with StateTtlConfig (TopKStreamingJob.kt:87-119)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from topk_spark.schemas import ORDER_EVENT
+from topk_spark.streaming.stateful_dedup import dedup_stateful
+
+BASE = 1_704_067_200_000
+
+
+def _evt(i: int, event_id: str, qty: int = 1) -> dict:
+    return {
+        "event_id": event_id,
+        "order_id": f"ORD{i:08x}",
+        "customer_id": f"CUST{i}",
+        "restaurant_id": "R1",
+        "menu_item_id": "A",
+        "category_id": "CAT001",
+        "menu_item_name": "Dish A",
+        "quantity": qty,
+        "price_in_cents": 100,
+        "timestamp": BASE + i * 1000,
+    }
+
+
+def _write_batch(src: str, i: int, rows: list[dict]) -> None:
+    p = os.path.join(src, f"batch_{i:03d}.json")
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    os.utime(p, (1000 + i, 1000 + i))
+
+
+def _drain(spark, tmp_path, src: str, ttl_ms=None):
+    stream = (
+        spark.readStream.schema(ORDER_EVENT)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    out = os.path.join(str(tmp_path), "out")
+    q = (
+        dedup_stateful(stream, ttl_ms=ttl_ms)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(ORDER_EVENT).parquet(out)
+
+
+def test_first_seen_survives_across_batches(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    # E1 duplicated within batch 1 AND again in batch 2; E2 only in batch 2.
+    _write_batch(src, 0, [_evt(0, "E1", qty=7), _evt(1, "E1", qty=2)])
+    _write_batch(src, 1, [_evt(2, "E1", qty=9), _evt(3, "E2", qty=4)])
+    got = _drain(spark, tmp_path, src).collect()
+
+    by_key = {r.event_id: r for r in got}
+    assert sorted(by_key) == ["E1", "E2"]
+    assert len(got) == 2
+    # The FIRST occurrence won (qty 7, the earliest timestamp), not a later one.
+    assert by_key["E1"].quantity == 7
+    assert by_key["E1"].timestamp == BASE
+    assert by_key["E2"].quantity == 4
+
+
+def test_within_batch_winner_is_earliest_timestamp(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    # Same key, out-of-order within one batch: earliest ts must win.
+    _write_batch(src, 0, [_evt(5, "E9", qty=3), _evt(1, "E9", qty=8)])
+    got = _drain(spark, tmp_path, src).collect()
+    assert len(got) == 1
+    assert got[0].quantity == 8 and got[0].timestamp == BASE + 1000
+
+
+def test_ttl_expiry_readmits_duplicates(spark, tmp_path):
+    """The reference's bounded-state trade-off: a duplicate arriving after
+    the state TTL is treated as new (TopKStreamingJob.kt:96-103,
+    NeverReturnExpired). Two availableNow drains over one checkpoint: the
+    first sees E1 and then cleans up its expired state; after the TTL, the
+    second re-admits the duplicate."""
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    _write_batch(src, 0, [_evt(0, "E1", qty=3)])
+    first = _drain(spark, tmp_path, src, ttl_ms=1500).collect()
+    assert [(r.event_id, r.quantity) for r in first] == [("E1", 3)]
+
+    time.sleep(2.0)  # let the processing-time TTL pass
+    _write_batch(src, 1, [_evt(1, "E1", qty=9)])
+    got = _drain(spark, tmp_path, src, ttl_ms=1500).collect()
+    assert sorted((r.event_id, r.quantity) for r in got) == [("E1", 3), ("E1", 9)]
