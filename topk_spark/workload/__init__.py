@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         tpch3_queries,
         pipeline2_queries,
         behavior_queries,
+        hygiene_queries,
     )
 
     return REGISTRY

@@ -1,0 +1,178 @@
+"""Corpus-hygiene batch: the quality/safety gates a training-data pipeline
+runs between raw crawl and tokenization — intra-document repetition scoring
+(the Gopher-style duplicate-n-gram signal), per-source document caps,
+PII-style redaction, and eval-set contamination detection via shared n-grams.
+
+These extend the reference's capability surface (it has no text pipeline —
+SURVEY.md §2 "north-star extensions"); each stays in codegen'd array/regex
+expressions (no Python UDFs) so the hot path is JVM-side at 100 TB, and each
+carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+
+@register(
+    "doc_repetition_ratio",
+    tags=("TXT-repetition",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+  WHERE doc_id % 3 = 0
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+  FROM t
+  WHERE len(w) >= 3
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(1.0 - len(list_distinct(grams)) / len(grams), 4) AS repetition_ratio
+FROM g
+""",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram fraction per document — the repetition quality signal
+    (high ratio = boilerplate/spam) large-corpus filters threshold on. All
+    array expressions (split → transform → array_distinct), zero shuffles:
+    a pure map over the scan, so it runs at ingest bandwidth at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ", -1)
+    g = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(w)-3),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            ).alias("grams"),
+        )
+    )
+    n_total = F.size("grams").cast("long")
+    n_distinct = F.size(F.array_distinct("grams")).cast("long")
+    return g.select(
+        "doc_id",
+        n_total.alias("n_trigrams"),
+        n_distinct.alias("n_distinct"),
+        F.round(F.lit(1.0) - n_distinct / n_total, 4).alias("repetition_ratio"),
+    )
+
+
+@register(
+    "source_cap_sample",
+    tags=("PIPE-domaincap",),
+    oracle="""
+SELECT doc_id, source, rn
+FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+           AS rn
+  FROM documents
+)
+WHERE rn <= 50
+""",
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain cap every crawl pipeline
+    applies so no single site dominates the corpus): deterministic keep-first-N
+    by doc_id within each source. rank-within-partition + filter — Spark runs
+    this as a single hash-partition-by-source pass; no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    return (
+        d.select("doc_id", "source", rn.cast("long").alias("rn"))
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "pii_redact",
+    tags=("TXT-redact",),
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+FROM events
+WHERE event_id % 25 = 0
+""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction pass (the PII-scrub shape: replace matches with a
+    placeholder token and count what was removed). Digit runs stand in for
+    the email/phone/SSN patterns a production scrubber uses — the dataflow
+    (regexp_replace + regexp_extract_all count, map-only, codegen'd) is
+    identical, only the pattern list differs."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 25 == 0).select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("redacted"),
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_redactions"),
+    )
+
+
+@register(
+    "eval_contamination",
+    tags=("PIPE-contamination",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3])) AS gram
+  FROM t
+  WHERE len(w) >= 4
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 29 <> 0)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id
+""",
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training documents sharing any
+    4-gram with the held-out eval set (here: doc_id % 29 == 0). The eval
+    side is tiny by construction, so its distinct grams broadcast — the scan
+    over the 100-TB training side never shuffles; contaminated-gram counts
+    come from a partial-aggregated groupBy on doc_id. At production scale the
+    join key would be xxhash64(gram) to move 8 bytes instead of strings
+    (kept as raw strings here so the DuckDB oracle joins identically)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ", -1).alias("w"))
+        .filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-4),"
+                    " i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    ev = grams.filter(F.col("doc_id") % 29 == 0).select("gram").distinct()
+    tr = grams.filter(F.col("doc_id") % 29 != 0)
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"))
+    )
