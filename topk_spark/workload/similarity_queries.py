@@ -92,6 +92,82 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup",
+    tags=("DD-semantic",),
+    oracle="""
+WITH RECURSIVE v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM v a, v b
+  WHERE a.label = b.label AND a.vec_id < b.vec_id
+    AND list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
+),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION
+  SELECT ib AS a, ia AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT v.vec_id, v.label,
+       CAST(coalesce(c.component, v.vec_id) AS BIGINT) AS component,
+       (coalesce(c.component, v.vec_id) = v.vec_id) AS keep
+FROM v LEFT JOIN comp c ON c.id = v.vec_id
+""",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: pair vectors ONLY within
+    their coarse cluster (here the `label` column stands in for the cell id
+    an IVF/k-means pass assigns), connect pairs above a cosine threshold into
+    components, and keep one representative (the min vec_id) per component.
+    The cluster-local equi-join is the scale move: pairwise work is quadratic
+    only within a bounded cell, cells process in parallel, and the corpus
+    never all-pairs joins. The 0.3 threshold is calibrated to this synthetic
+    testdata's similarity spread (real embedding spaces use ~0.95); the
+    dataflow is threshold-independent. Oracled end-to-end by a DuckDB
+    recursive CTE computing the same closure, singletons included."""
+    from topk_spark.ops.fuzzy_dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", _dbl("embedding").alias("e")).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, F.col("la") == F.col("lb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.3)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        v.join(comp, v.vec_id == comp.id, "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("component", "vec_id").cast("long").alias("component"),
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )
+
+
+@register(
     "embedding_neardup_pairs",
     tags=("DD-embed",),
     oracle="""
