@@ -125,6 +125,58 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_coverage",
+    tags=("TXT-vocab",),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS r FROM freq
+  ) WHERE r <= 16
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+       round(count(*) FILTER (WHERE v.word IS NULL) / count(*), 4) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (word)
+WHERE t.doc_id % 11 = 0
+GROUP BY t.doc_id
+""",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep shape: induce a vocabulary as the corpus's top-K words
+    by frequency (deterministic count-desc/word-asc tiebreak), then score
+    each document's out-of-vocabulary token rate against it. Two passes over
+    the corpus: a word-count aggregate whose top-K is tiny and broadcasts,
+    then a map-side membership join — the 100-TB wordcount is the only
+    shuffle, and it moves (word, count) pairs, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    freq = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    r = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("word"))
+    )
+    vocab = freq.select("word", r.alias("r")).filter(F.col("r") <= 16).select(
+        "word", F.lit(True).alias("in_vocab")
+    )
+    scored = tok.filter(F.col("doc_id") % 11 == 0).join(
+        F.broadcast(vocab), "word", "left"
+    )
+    n_tokens = F.count("*").cast("long")
+    n_oov = F.count_if(F.col("in_vocab").isNull()).cast("long")
+    return scored.groupBy("doc_id").agg(
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.round(n_oov / n_tokens, 4).alias("oov_rate"),
+    )
+
+
+@register(
     "eval_contamination",
     tags=("PIPE-contamination",),
     oracle="""
