@@ -148,3 +148,92 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(docs, "doc_id", "n_chars", 8192, 16).select(
         "doc_id", "shard", "pos", "pack_id"
     )
+
+
+_RATE_SQL = """CASE
+  WHEN source IN ('src0','src1','src2','src3') THEN 100
+  WHEN source IN ('src4','src5','src6','src7') THEN 50
+  WHEN source IN ('src8','src9','src10','src11') THEN 25
+  ELSE 10
+END"""
+
+
+@register(
+    "mixture_sample",
+    tags=("PIPE-mixture",),
+    oracle=f"""
+SELECT doc_id, source, CAST({_RATE_SQL} AS INT) AS rate_pct
+FROM documents
+WHERE {_HASH_SQL} % 100 < {_RATE_SQL}
+""",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture re-weighting: sample each source at its own rate (the
+    knob pretraining pipelines turn to up/down-weight domains) by thresholding
+    a deterministic affine hash of doc_id — reproducible across engines,
+    re-runs, and task retries, unlike `rand()`-based sampling. Pure map over
+    the scan: no shuffle, no state, identical plan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 100)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), 50)
+        .when(F.col("source").isin("src8", "src9", "src10", "src11"), 25)
+        .otherwise(10)
+    )
+    h = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    return (
+        docs.withColumn("rate_pct", rate.cast("int"))
+        .filter((h % 100) < F.col("rate_pct"))
+        .select("doc_id", "source", "rate_pct")
+    )
+
+
+@register(
+    "robust_outlier_filter",
+    tags=("PIPE-outlier",),
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         s.med,
+         quantile_cont(abs(e.value - s.med), 0.5) AS mad
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY e.event_type, s.med
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(m.med, 6) AS med, round(m.mad, 6) AS mad
+FROM events e JOIN mad m USING (event_type)
+WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad
+""",
+)
+def robust_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (median/MAD, the data-cleaning gate
+    that survives the skew that mean/stddev gates don't): two grouped exact
+    medians, then a map-side filter of the fact against the tiny per-group
+    stats (broadcast join). At 100 TB the exact medians become
+    `approx_percentile` with the same dataflow; exact is kept here so the
+    DuckDB oracle matches value-for-value."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
