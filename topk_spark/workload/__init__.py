@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         pipeline2_queries,
         behavior_queries,
         hygiene_queries,
+        relational_queries,
     )
 
     return REGISTRY

@@ -1,0 +1,143 @@
+"""Relational-completeness batch: the set operations and reshaping operators
+a user switching from any SQL-serving OLAP store (the reference delegates
+these to Pinot's engine) expects to keep — INTERSECT/EXCEPT, hierarchical
+ROLLUP with grouping markers, and wide→long UNPIVOT.
+
+All three are single-shuffle shapes: set ops hash on the full row, rollup on
+the grouping keys (Spark expands grouping sets map-side before one
+exchange), and unpivot is a pure map (row explosion with no exchange at
+all).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+
+@register(
+    "retained_churned_users",
+    tags=("SET",),
+    oracle="""
+WITH w1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-08'
+),
+w2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+)
+SELECT 'retained' AS cohort, user_id FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
+UNION ALL
+SELECT 'churned' AS cohort, user_id FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2)
+""",
+)
+def retained_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT surface: users active in week 1 split into retained
+    (also active in week 2) and churned (absent from week 2). Spark plans
+    both as hash aggregates + left-semi/left-anti joins on the distinct key
+    sets — the week extents shrink to distinct user ids before anything
+    moves."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = (
+        e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    w2 = (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    retained = w1.intersect(w2).select(
+        F.lit("retained").alias("cohort"), "user_id"
+    )
+    churned = w1.exceptAll(w2).select(F.lit("churned").alias("cohort"), "user_id")
+    return retained.unionAll(churned)
+
+
+@register(
+    "region_nation_rollup",
+    tags=("A10", "SET"),
+    oracle="""
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → grand total) with an explicit
+    grouping_id so consumers can tell a real NULL from a subtotal marker —
+    the dimension-hierarchy half of the star-tree analog (`startree_cube`
+    covers the full cube). Dims broadcast onto the fact; grouping-set
+    expansion happens map-side before the single keyed exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("int")
+            .alias("gid"),
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gid",
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@register(
+    "metric_unpivot",
+    tags=("RESHAPE",),
+    oracle="""
+WITH agg AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n_events,
+         CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+         round(SUM(value), 2) AS total_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, metric, value FROM agg
+UNPIVOT (value FOR metric IN (n_events, n_users, total_value))
+""",
+)
+def metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (the inverse of `event_type_pivot`): one metrics row
+    per (group, metric) pair via native unpivot/melt — a map-only row
+    explosion after the aggregate, no exchange of its own."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return agg.unpivot(
+        ["event_type"],
+        ["n_events", "n_users", "total_value"],
+        "metric",
+        "value",
+    )
