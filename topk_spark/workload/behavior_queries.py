@@ -122,3 +122,99 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "user_journey_path",
+    tags=("K-journey",),
+    oracle="""
+SELECT user_id,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_steps
+FROM events
+WHERE user_id % 10 = 0
+GROUP BY user_id
+""",
+)
+def user_journey_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence serialization: each user's journey as a
+    'view->click->purchase' path string (the input to journey clustering /
+    Markov funnel models). Ordered string_agg is expressed as
+    sort_array(collect_list(struct(ts, event_id, type))) → transform →
+    array_join, so ordering is deterministic under ties (event_id breaks
+    them) and the whole thing is one partial-aggregated groupBy — no window,
+    no second shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                "->",
+            ).alias("path"),
+            F.count("*").alias("n_steps"),
+        )
+    )
+
+
+@register(
+    "latest_event_per_user",
+    tags=("K-argmax",),
+    oracle="""
+SELECT user_id,
+       arg_max(event_type, ts) AS last_event_type,
+       arg_max(value, ts) AS last_value,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation: each user's most recent event without a window
+    function — max_by carries the payload with the max key, so this is one
+    partial+final aggregate (combiners keep only one row per user per
+    partition) instead of a rank-filter over a full shuffle of the fact.
+    (ts is unique per user in this data — verified — so no tiebreak is
+    needed; with tie-prone keys use max_by(x, struct(ts, id)).)"""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.expr("max_by(event_type, ts)").alias("last_event_type"),
+        F.expr("max_by(value, ts)").alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "value_histogram",
+    tags=("A-histogram",),
+    oracle="""
+SELECT event_type,
+       CAST(least(floor(value / 25.0) + 1, 21) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(SUM(value), 2) AS bucket_value
+FROM events
+GROUP BY event_type, least(floor(value / 25.0) + 1, 21)
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram per group (width_bucket(value, 0, 500, 20)
+    semantics, spelled as explicit floor arithmetic so both engines evaluate
+    the identical double expression — width_bucket implementations differ in
+    ulp at bin boundaries). Bucket assignment is map-side; the shuffle moves
+    only (group, bucket) partials, so cardinality is bounded by
+    groups × bins regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0) + 1, F.lit(21)).cast("int")
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("bucket_value"),
+        )
+    )
