@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         behavior_queries,
         hygiene_queries,
         relational_queries,
+        profiling_queries,
     )
 
     return REGISTRY
