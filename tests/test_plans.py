@@ -128,3 +128,51 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_contamination_training_side_not_shuffled(spark, sf_dir):
+    """eval_contamination: the (huge) training side must meet the (tiny) eval
+    gram set via BroadcastHashJoin — a sort-merge here would shuffle every
+    training gram. Both scans must prune to <doc_id,text>."""
+    plan = plan_of("eval_contamination", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_vocab_topk_is_bounded_heap_and_broadcast(spark, sf_dir):
+    """vocab_coverage: the top-16 vocabulary must be TakeOrderedAndProject
+    (distributed bounded heap, not a global sort) and must broadcast into the
+    per-doc membership probe."""
+    plan = plan_of("vocab_coverage", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_outlier_stats_broadcast_onto_fact(spark, sf_dir):
+    """robust_outlier_filter: per-group median/MAD stats are tiny and must
+    broadcast onto the events fact — the fact is never sort-merge shuffled."""
+    plan = plan_of("robust_outlier_filter", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_sample_is_map_only(spark, sf_dir):
+    """mixture_sample: affine-hash thresholding is a pure map — no Exchange,
+    no aggregate, no join anywhere in the plan."""
+    plan = plan_of("mixture_sample", spark, sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_argmax_is_single_aggregate_no_window(spark, sf_dir):
+    """latest_event_per_user: max_by must plan as one partial+final aggregate
+    pair — no Window operator, and exactly one Exchange (on user_id)."""
+    plan = plan_of("latest_event_per_user", spark, sf_dir)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # max_by is not hash-aggregable, so Spark picks SortAggregate — the
+    # partial/final split (map-side combine) is what matters at scale.
+    assert "partial_max_by" in plan, plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan
