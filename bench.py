@@ -113,6 +113,129 @@ def bench_streaming_ingest(spark, sf: float) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_E2E_BASE_MS = 1_704_067_200_000
+
+
+def _order_json(i: int, ts_ms: int, restaurant: str) -> str:
+    return json.dumps({
+        "event_id": f"{restaurant}-E{i}", "order_id": f"{restaurant}-O{i}",
+        "customer_id": f"C{i % 50}", "restaurant_id": restaurant,
+        "menu_item_id": f"ITEM{i % 20}", "category_id": "CAT0",
+        "menu_item_name": f"Item {i % 20}", "quantity": 1 + i % 4,
+        "price_in_cents": 500, "timestamp": ts_ms,
+    })
+
+
+def _drop_events(src: str, name: str, rows: list[str]) -> None:
+    tmp = os.path.join(os.path.dirname(src), f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(rows))
+    os.replace(tmp, os.path.join(src, name))  # atomic: source never sees partial
+
+
+def _poll(fn, timeout_s: float = 60.0, interval_s: float = 0.2):
+    deadline = time.perf_counter() + timeout_s
+    while time.perf_counter() < deadline:
+        try:
+            if fn():
+                return time.perf_counter()
+        except Exception:
+            pass
+        time.sleep(interval_s)
+    return None
+
+
+def bench_e2e_latency(spark) -> dict:
+    """Order → queryable latency, measured the way the reference's "<2 s"
+    claim is defined (BASELINE.md): both stages (dedup→raw, raw→1-min
+    rollup) are ALREADY RUNNING on 250 ms triggers; we then drop order
+    events into the source and poll readers.
+
+    Two numbers, matching the reference's two tables:
+    - raw_visible_s: file-drop → row readable in the raw (deduped, upsert-
+      analog) table — the hop Pinot's realtime raw ingest answers with.
+    - rollup_visible_s: watermark-advancing event → closed 1-min window
+      readable in the rollup table (append-mode windowed aggs emit when the
+      watermark passes window end; the window-close wait is event-time
+      policy, not engine latency, so the clock starts at the advancer)."""
+    from topk_spark.io.sources import read_json_file_stream
+    from topk_spark.schemas import ORDER_EVENT
+    from topk_spark.streaming.job import (
+        build_dedup_stream,
+        start_raw_sink,
+        start_rollup_from_raw,
+    )
+
+    work = tempfile.mkdtemp(prefix="topk_bench_e2e_")
+    src = os.path.join(work, "input")
+    raw = os.path.join(work, "raw")
+    rollup = os.path.join(work, "rollup")
+    os.makedirs(src)
+    q1 = q2 = None
+    base = _E2E_BASE_MS
+    # Latency-sized state: a 1000-event micro-batch wants a handful of
+    # state-store partitions, not the throughput setting — 32 store commits
+    # per 1-second trigger would dominate the measurement. (Applies at plan
+    # time, so only to the two probe queries started below.)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # Prime: seed events + a watermark advancer so both parquet dirs
+        # exist and the seed window closes — steady state before measuring.
+        _drop_events(src, "seed.json",
+                     [_order_json(i, base + i * 10, "REST_SEED") for i in range(200)]
+                     + [_order_json(999, base + 300_000, "REST_SEED")])
+        deduped = build_dedup_stream(read_json_file_stream(spark, src, ORDER_EVENT))
+        q1 = start_raw_sink(
+            deduped, raw, os.path.join(work, "ckpt_raw"),
+            trigger_seconds=0.25,
+        )
+        # Stage 2 must start after stage 1's first commit: the file-stream
+        # source decides at start whether the dir is a streaming-sink output
+        # (_spark_metadata) — starting it against a not-yet-written dir
+        # leaves it reading a plain (empty) glob forever.
+        if _poll(lambda: spark.read.parquet(raw).count() > 0, 90) is None:
+            return {"raw_visible_s": None, "rollup_visible_s": None}
+        q2 = start_rollup_from_raw(
+            spark, raw, rollup, os.path.join(work, "ckpt_rollup"),
+            trigger_seconds=0.25,
+        )
+        if _poll(lambda: spark.read.parquet(rollup).count() > 0, 90) is None:
+            return {"raw_visible_s": None, "rollup_visible_s": None}
+
+        # Hop 1: probe batch → visible in the raw table.
+        probe_base = base + 600_000
+        t0 = time.perf_counter()
+        _drop_events(src, "probe.json",
+                     [_order_json(i, probe_base + i * 10, "REST_E2E")
+                      for i in range(1000)])
+        t_raw = _poll(
+            lambda: spark.read.parquet(raw)
+            .filter(F.col("restaurant_id") == "REST_E2E").count() >= 1000
+        )
+        raw_s = round(t_raw - t0, 3) if t_raw else None
+
+        # Hop 2: advancer closes the probe's window → rollup rows appear.
+        t1 = time.perf_counter()
+        _drop_events(src, "advance.json",
+                     [_order_json(0, probe_base + 300_000, "REST_ADV")])
+        t_roll = _poll(
+            lambda: spark.read.parquet(rollup)
+            .filter(F.col("restaurant_id") == "REST_E2E").count() > 0
+        )
+        rollup_s = round(t_roll - t1, 3) if t_roll else None
+        return {"raw_visible_s": raw_s, "rollup_visible_s": rollup_s}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for q in (q1, q2):
+            if q is not None:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -146,6 +269,13 @@ def main() -> None:
         f"(reference max tested: 579 orders/s)",
         file=sys.stderr,
     )
+    latency = bench_e2e_latency(spark)
+    print(
+        f"# e2e latency: raw {latency['raw_visible_s']}s, "
+        f"rollup {latency['rollup_visible_s']}s "
+        f"(reference claim: < 2 s order → queryable)",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -157,6 +287,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "streaming_ingest": streaming,
+                "e2e_latency": latency,
             }
         )
     )

@@ -105,11 +105,11 @@ RAW_SCHEMA = StructType(
 )
 
 
-def _trigger(available_now: bool, seconds: int) -> dict:
+def _trigger(available_now: bool, seconds: float) -> dict:
     return (
         {"availableNow": True}
         if available_now
-        else {"processingTime": f"{seconds} seconds"}
+        else {"processingTime": f"{int(seconds * 1000)} milliseconds"}
     )
 
 
