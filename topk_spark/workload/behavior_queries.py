@@ -15,7 +15,7 @@ is one row per surviving user, so data only shrinks down the funnel.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.workload import register
@@ -217,4 +217,92 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("bucket_value"),
         )
+    )
+
+
+@register(
+    "activity_streaks",
+    tags=("K-islands",),
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+           AS grp
+  FROM d
+)
+SELECT user_id,
+       CAST(min(day) AS VARCHAR) AS streak_start,
+       CAST(max(day) AS VARCHAR) AS streak_end,
+       CAST(count(*) AS BIGINT) AS streak_days
+FROM g
+GROUP BY user_id, grp
+HAVING count(*) >= 3
+""",
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per user
+    (date minus row_number collapses each run to a constant group key — the
+    classic islands identity, no self-join, no recursion). One shuffle on
+    user_id for the rank, one partial-aggregated groupBy; engagement-streak
+    features for user modeling at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    g = d.select(
+        "user_id", "day", F.date_sub("day", rn).alias("grp")
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").cast("string").alias("streak_start"),
+            F.max("day").cast("string").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("grp")
+    )
+
+
+@register(
+    "time_weighted_value",
+    tags=("W-tw",),
+    oracle="""
+WITH s AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+  FROM events
+),
+w AS (
+  SELECT user_id, value,
+         CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT) AS held_us
+  FROM s WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(held_us) AS BIGINT) AS total_us,
+       round(SUM(value * held_us) / SUM(held_us), 6) AS tw_avg_value
+FROM w
+GROUP BY user_id
+""",
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted average: each reading weighted by how long it was
+    current (lead(ts) - ts) — the correct aggregate for irregularly sampled
+    gauges, where a plain avg over-counts bursts. One window pass for the
+    lead, one grouped aggregate; ts is unique per user so the frame is
+    deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    nxt = F.lead("ts").over(Window.partitionBy("user_id").orderBy("ts"))
+    s = e.select("user_id", "value", "ts", nxt.alias("next_ts")).filter(
+        F.col("next_ts").isNotNull()
+    )
+    held = (F.unix_micros("next_ts") - F.unix_micros("ts")).cast("long")
+    w = s.select("user_id", "value", held.alias("held_us"))
+    return w.groupBy("user_id").agg(
+        F.sum("held_us").cast("long").alias("total_us"),
+        F.round(
+            F.sum(F.col("value") * F.col("held_us")) / F.sum("held_us"), 6
+        ).alias("tw_avg_value"),
     )
