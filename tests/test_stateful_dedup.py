@@ -101,3 +101,57 @@ def test_ttl_expiry_readmits_duplicates(spark, tmp_path):
     _write_batch(src, 1, [_evt(1, "E1", qty=9)])
     got = _drain(spark, tmp_path, src, ttl_ms=1500).collect()
     assert sorted((r.event_id, r.quantity) for r in got) == [("E1", 3), ("E1", 9)]
+
+
+def test_timer_eviction_under_continuous_trigger(spark, tmp_path):
+    """The opt-in eviction path: with register_eviction_timers=True and a
+    processing-time trigger, the timer fires in a scheduled micro-batch
+    (ProcessingTimeTimeout keeps batches running even with no new data),
+    physically removes the key, and a later duplicate is re-admitted."""
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    out = os.path.join(str(tmp_path), "out")
+    _write_batch(src, 0, [_evt(0, "E1", qty=3)])
+
+    stream = (
+        spark.readStream.schema(ORDER_EVENT)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        dedup_stateful(stream, ttl_ms=1000, register_eviction_timers=True)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        time.sleep(3.0)  # TTL passes; timer batch evicts the key
+        _write_batch(src, 1, [_evt(1, "E1", qty=9)])
+        deadline = time.time() + 30
+        got = []
+        while time.time() < deadline:
+            try:
+                got = spark.read.parquet(out).collect()
+                if len(got) >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert sorted((r.event_id, r.quantity) for r in got) == [
+        ("E1", 3),
+        ("E1", 9),
+    ]
