@@ -290,3 +290,124 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+@register(
+    "gap_fill_minutes",
+    tags=("T3", "RESHAPE"),
+    oracle="""
+WITH mins AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-01 01:59:00',
+                                INTERVAL 1 MINUTE)) AS minute
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, m.minute FROM types t CROSS JOIN mins m),
+counts AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         count(*) AS n, CAST(round(SUM(value), 2) AS DOUBLE) AS total_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-01 02:00:00'
+  GROUP BY event_type, date_trunc('minute', ts)
+)
+SELECT g.event_type, CAST(g.minute AS VARCHAR) AS minute,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       coalesce(c.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN counts c
+  ON g.event_type = c.event_type AND g.minute = c.minute
+""",
+)
+def gap_fill_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series from sparse events: a generated (type × minute)
+    grid left-joined onto per-minute aggregates so silent minutes appear as
+    explicit zeros (dashboards and anomaly detectors need the gaps). The
+    grid is sequence()+explode — generated, never scanned — and is tiny
+    relative to the fact, so the join broadcasts the aggregated side or the
+    grid, never the raw events."""
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = "2024-01-01 00:00:00", "2024-01-01 02:00:00"
+    mins = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(lo)),
+                F.to_timestamp(F.lit("2024-01-01 01:59:00")),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("minute")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(mins)
+    counts = (
+        e.filter(
+            (F.col("ts") >= F.to_timestamp(F.lit(lo)))
+            & (F.col("ts") < F.to_timestamp(F.lit(hi)))
+        )
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("total_value"),
+        )
+    )
+    return (
+        grid.join(counts, ["event_type", "minute"], "left")
+        .select(
+            "event_type",
+            F.col("minute").cast("string").alias("minute"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_share",
+    tags=("A5", "W-share"),
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, revenue,
+       round(CAST(revenue AS DOUBLE)
+             / CAST((SELECT SUM(revenue) FROM rev) AS DOUBLE), 6) AS share
+FROM rev
+""",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution per nation. The global denominator is a
+    one-row aggregate cross-joined (broadcast) onto the per-nation rows —
+    NOT an empty-partition window (sum() OVER () collapses everything to a
+    single task at scale). Dims broadcast onto the orders fact; two
+    aggregates total."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .select(
+            "nation",
+            "revenue",
+            F.round(
+                F.col("revenue").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
