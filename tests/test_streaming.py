@@ -342,3 +342,52 @@ def test_streaming_to_serving_full_loop(spark, tmp_path):
     assert [(r["menu_item_id"], r["order_count"], r["total_quantity"]) for r in got] \
         == [(r["menu_item_id"], r["oc"], r["tq"]) for r in batch]
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_checkpoint_restart_is_exactly_once_with_state_recovery(spark, tmp_path):
+    """T8/T9: a second availableNow run over the SAME checkpoint must (a) not
+    reprocess already-committed input (no duplicate output rows), and (b)
+    recover the dedup state store, so a duplicate event_id arriving after the
+    restart is still dropped — the exactly-once-to-idempotent-sink story the
+    reference gets from Flink checkpoints + Pinot upsert, here from the
+    offset log + state store alone."""
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    raw = os.path.join(tmp, "raw")
+    ckpt = os.path.join(tmp, "ckpt")
+    base = 1_704_067_200_000
+
+    def evt(eid: str, i: int) -> dict:
+        return {
+            "event_id": eid, "order_id": f"O{i}", "customer_id": f"C{i}",
+            "restaurant_id": "R1", "menu_item_id": "A", "category_id": "CAT",
+            "menu_item_name": "Dish", "quantity": 1, "price_in_cents": 100,
+            "timestamp": base + i * 1000,
+        }
+
+    def drain():
+        events = (
+            spark.readStream.schema(ORDER_EVENT)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = start_raw_sink(build_dedup_stream(events), raw, ckpt,
+                           available_now=True)
+        q.awaitTermination(120)
+
+    _write_jsonl(os.path.join(src, "b0.json"), [evt("E1", 0), evt("E2", 1)])
+    drain()
+    first = spark.read.parquet(raw)
+    assert sorted(r.event_id for r in first.collect()) == ["E1", "E2"]
+
+    # Run 2, same checkpoint: E1 is a cross-restart duplicate, E3 is new.
+    _write_jsonl(os.path.join(src, "b1.json"), [evt("E1", 2), evt("E3", 3)])
+    drain()
+    got = spark.read.parquet(raw).collect()
+    # b0 not reprocessed (offset log) AND E1's duplicate dropped by the
+    # recovered state store: exactly one row per event_id, three total.
+    assert sorted(r.event_id for r in got) == ["E1", "E2", "E3"]
+    # the surviving E1 is the ORIGINAL (run-1) occurrence, not the late dup
+    e1 = [r for r in got if r.event_id == "E1"][0]
+    assert e1.timestamp == base
