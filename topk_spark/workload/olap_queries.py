@@ -411,3 +411,31 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@register(
+    "value_quantity_correlation",
+    tags=("A-stats",),
+    oracle="""
+SELECT event_type,
+       round(corr(CAST(json_extract(props, '$.k') AS INT), value), 6) AS corr_k_value,
+       round(covar_samp(CAST(json_extract(props, '$.k') AS INT), value), 6)
+         AS covar_k_value,
+       round(stddev_samp(value), 6) AS stddev_value
+FROM events
+GROUP BY event_type
+""",
+)
+def value_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group — Pearson correlation, sample
+    covariance, sample stddev — as single-pass partial+final aggregates
+    (Spark's moment accumulators merge associatively, so map-side combine
+    works and no row leaves its partition unaggregated). The correlation
+    feature screen every feature-engineering pass runs."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.corr(k, F.col("value")), 6).alias("corr_k_value"),
+        F.round(F.covar_samp(k, F.col("value")), 6).alias("covar_k_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+    )
