@@ -176,3 +176,33 @@ def test_argmax_is_single_aggregate_no_window(spark, sf_dir):
     # partial/final split (map-side combine) is what matters at scale.
     assert "partial_max_by" in plan, plan
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan
+
+
+def test_session_scale_posture_confs(spark):
+    """Pin the configuration the 100 TB posture depends on: a drive-by
+    "simplification" of the session factory that drops AQE, skew-join
+    splitting, UTC, or the nanos shim would silently change plans or
+    timestamps everywhere — fail loudly here instead."""
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    )
+
+
+def test_queries_apply_confs_to_foreign_sessions():
+    """The driver imports __spark_entry__ with its OWN vanilla session; every
+    query function must self-apply the runtime confs (the nanos shim above
+    all — events.parquet is unreadable without it)."""
+    from topk_spark.session import _RUNTIME_CONF, ensure_session_conf
+    from pyspark.sql import SparkSession
+
+    vanilla = SparkSession.builder.master("local[2]").getOrCreate()
+    try:
+        ensure_session_conf(vanilla)
+        for k, v in _RUNTIME_CONF.items():
+            assert vanilla.conf.get(k) == v
+    finally:
+        pass  # shared session: leave confs applied, do not stop
