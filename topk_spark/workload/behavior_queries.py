@@ -306,3 +306,57 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("held_us")) / F.sum("held_us"), 6
         ).alias("tw_avg_value"),
     )
+
+
+@register(
+    "time_to_convert",
+    tags=("K-funnel", "A-stats"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(min(epoch_us(t_buy) - epoch_us(t_view)) AS BIGINT) AS min_us,
+       round(quantile_cont(epoch_us(t_buy) - epoch_us(t_view), 0.5), 1)
+         AS median_us,
+       CAST(max(epoch_us(t_buy) - epoch_us(t_view)) AS BIGINT) AS max_us
+FROM p JOIN v USING (user_id)
+""",
+)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag distribution: for every user whose first purchase
+    follows their first view, the min/median/max of that gap — the duration
+    metric funnels are judged by. Two groupBy-min stages (one row per user
+    each) then a single global summary aggregate over the tiny converted
+    set."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    gap = F.unix_micros("t_buy") - F.unix_micros("t_view")
+    return (
+        p.join(v, "user_id")
+        .select(gap.alias("gap_us"))
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.min("gap_us").cast("long").alias("min_us"),
+            F.round(F.expr("percentile(gap_us, 0.5)"), 1).alias("median_us"),
+            F.max("gap_us").cast("long").alias("max_us"),
+        )
+    )
