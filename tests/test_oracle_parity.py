@@ -2,19 +2,31 @@
 Spark AND its DuckDB oracle on the same parquet tables, compare row count,
 column names, and order-insensitive values.
 
-Runs at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
-to reproduce the driver's exact scale.
+Runs at sf0.01 BY DEFAULT — the driver's exact gate scale — so
+tie-breaking/float-accumulation mismatches surface here before the driver
+sees them (VERDICT.md round-1 item 5). Set SPARK_GRAFT_TEST_SF_DIR to
+/root/testdata/sf0.001 for a fast smoke pass.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
 from topk_spark.io.sources import TABLES
 from topk_spark.workload import load_all
+
+# Module-local default: the driver's gate scale (other test modules keep the
+# fast sf0.001 default from conftest).
+PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def sf_dir() -> str:
+    return PARITY_SF_DIR
 
 REGISTRY = load_all()
 ORACLED = [name for name, q in REGISTRY.items() if q.oracle is not None]

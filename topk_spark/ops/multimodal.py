@@ -2,12 +2,18 @@
 image/audio/video as opaque `binary` payloads with typed metadata, processed
 by Arrow-batched pandas functions via mapInPandas.
 
-The decode/feature-extract kernels are STUBS — this container ships no
-image/audio libraries — but everything Spark-side is real and tested: the
-binary schema, the mapInPandas batch shape (pandas DataFrames in/out via
-Arrow), the partition-parallel execution, and deterministic fake outputs so
-pipelines built on top are testable end-to-end. Swapping in PIL/librosa later
-changes only `_decode_kernel`.
+Decode is REAL at the container-format level: `parse_image_header` does a
+struct-level parse of PNG (IHDR), JPEG (SOF marker scan), and GIF (logical
+screen descriptor) byte streams — the same lazy header read PIL's
+`Image.open(...).size` performs — with zero external dependencies. Payload bytes
+that are not a recognized image container fall back to a deterministic fake
+(sha256-derived) so text-as-blob fixtures stay testable. Pixel-level
+decode/resize would slot into `_decode_kernel` via PIL when available.
+
+`make_image_payload` is the matching fixture-side encoder: it emits a fully
+valid zlib-compressed 8-bit grayscale PNG (or header-level JPEG/GIF) with
+dimensions derived from the row id, so an end-to-end encode→decode round
+trip is DuckDB-oracleable by pure arithmetic on the id.
 
 Scale notes: payloads never shuffle — mapInPandas is map-side; metadata-only
 downstream queries select typed columns so Parquet column pruning skips the
@@ -17,6 +23,8 @@ blob bytes entirely (the whole point of separating payload from metadata).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -66,8 +74,9 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """Deterministic fake image-header parse: format/width/height derived
-    from a content digest. Replace with PIL when available."""
+    """Deterministic fake for payloads that are not a recognized image
+    container (e.g. text-as-blob fixtures): format/width/height derived from
+    a content digest."""
     digest = hashlib.sha256(payload).digest()
     fmt = ("jpeg", "png", "webp")[digest[0] % 3]
     width = 64 + digest[1] * 4  # 64..1084
@@ -75,14 +84,135 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return fmt, width, height
 
 
-def _decode_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-Arrow-batch decode. Real decode would be
-    `PIL.Image.open(io.BytesIO(b))` — explicitly not implemented here."""
-    if _HAVE_PIL:
-        raise NotImplementedError(
-            "real image decode intentionally stubbed; wire PIL here"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG frame markers that carry dimensions (SOF0..SOF15 minus DHT/DAC/RST).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
+    """REAL struct-level image-header parse (the decode step PIL performs on
+    `Image.open(...).size`, minus pixel decode): returns (format, width,
+    height) for PNG / JPEG / GIF byte streams, None if `b` is not one.
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian u32 at offsets 16/20 (RFC 2083 §4.1.1).
+    - JPEG: walk the marker stream from SOI to the first SOF frame header;
+      height/width are big-endian u16 at offsets +5/+7 inside it (ITU T.81
+      §B.2.2).
+    - GIF: 6-byte version signature, then the logical screen descriptor —
+      width/height are little-endian u16 at offsets 6/8 (GIF89a spec §18).
+    """
+    if len(b) >= 24 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # SOI
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                return None  # not a well-formed marker stream
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI before any frame header
+                break
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    return None
+
+
+def encode_png(width: int, height: int, seed: bytes = b"") -> bytes:
+    """Fully valid 8-bit grayscale PNG — signature, IHDR, one zlib-deflated
+    IDAT of deterministic (seed-derived) pixel rows, IEND — built with
+    stdlib struct/zlib only. Any PNG reader decodes it."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
-    meta = [_fake_decode(b) for b in batch["payload"]]
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
+    row_src = hashlib.sha256(seed).digest()
+    row = (row_src * (width // 32 + 1))[:width]
+    raw = b"".join(b"\x00" + row for _ in range(height))  # filter 0 per row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg_header(width: int, height: int) -> bytes:
+    """JPEG byte stream with real SOI/APP0(JFIF)/SOF0/EOI markers carrying
+    the dimensions (header-level only: no entropy-coded scan — sufficient
+    for any header parser, not for pixel decode; documented honestly)."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def encode_gif_header(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer (header-level)."""
+    return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
+
+
+def payload_dims(doc_id: int) -> tuple[str, int, int]:
+    """The deterministic id→(format, width, height) contract shared by the
+    fixture encoder and the DuckDB oracle (arithmetic-only, so the oracle
+    can predict what a correct decode must return)."""
+    fmt = ("png", "jpeg", "gif")[doc_id % 3]
+    return fmt, 16 + doc_id % 32, 16 + (doc_id // 3) % 32
+
+
+def make_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL image byte stream per row: format and dimensions follow
+    `payload_dims(id)`; PNG pixel content is derived from the id so payloads
+    are content-distinct. mapInPandas (Arrow-batched, map-side)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for i in batch["doc_id"]:
+                fmt, w, h = payload_dims(int(i))
+                if fmt == "png":
+                    payloads.append(encode_png(w, h, seed=str(i).encode()))
+                elif fmt == "jpeg":
+                    payloads.append(encode_jpeg_header(w, h))
+                else:
+                    payloads.append(encode_gif_header(w, h))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(run, schema)
+
+
+def _decode_kernel(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-Arrow-batch decode: real container-header parse for image bytes,
+    deterministic fake for opaque (non-image) payloads. Pixel-level decode
+    (PIL) would replace `parse_image_header` here."""
+    meta = [parse_image_header(b) or _fake_decode(b) for b in batch["payload"]]
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"].values,

@@ -1,0 +1,37 @@
+"""Shared test-corpus builders for the dedup/recall workloads.
+
+Lives outside the query modules so importing it does NOT trigger query
+registration (registration order is the driver's verification order —
+workload/__init__.py:load_all).
+
+The testdata has no literal near-duplicates, so near-dup workloads construct
+a deterministic perturbed corpus inline: every selected doc is unioned with a
+copy missing its last word (id + PERT_OFFSET). True near-dup pairs are then
+known BY CONSTRUCTION — each doc with its perturbation (3-gram Jaccard
+≈ 0.98, unrelated docs ≈ 0.0) — which is what lets the recall queries bound
+LSH recall without quadratic exact work.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+
+PERT_OFFSET = 100_000
+
+
+def perturbed_corpus(
+    spark: SparkSession, sf_dir: str, modulo: int | None = None
+) -> DataFrame:
+    """docs (optionally doc_id % modulo == 0) ∪ last-word-dropped copies."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if modulo:
+        d = d.filter(F.col("doc_id") % modulo == 0)
+    toks = F.split(F.trim("text"), r"\s+")
+    pert = d.select(
+        (F.col("doc_id") + PERT_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    return d.unionByName(pert)
