@@ -87,3 +87,60 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     # exact rerank: overlapping pairs score identically
     for key in e & a:
         assert es[key] == as_[key]
+
+
+def test_prefix_filter_equals_allpairs(spark, sf_dir):
+    """The registered prefix-filtered n-gram Jaccard path must reproduce the
+    quadratic all-pairs answer exactly (losslessness of AllPairs prefix
+    filtering at the threshold)."""
+    corpus = perturbed_corpus(spark, sf_dir, modulo=5)
+    for t in (0.5, 0.6):
+        exact = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                corpus, n=3, threshold=t, method="allpairs"
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                corpus, n=3, threshold=t, method="prefix"
+            ).collect()
+        }
+        assert exact, "perturbed corpus must contain true near-dup pairs"
+        assert pref == exact
+
+
+def test_embedding_neardup_bucketed_equals_allpairs(spark, sf_dir):
+    """The registered LSH-bucketed embedding near-dup query must reproduce
+    the all-pairs per-label pair counts (miss probability ≈ 4e-6 per pair at
+    cos ≥ 0.9 with H=4/L=16)."""
+    from topk_spark.workload.similarity_queries import (
+        _dbl,
+        dot,
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", _dbl("embedding").alias("e")).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("vid_a"), F.col("label").alias("label_a"),
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vid_b"), F.col("label").alias("label_b"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    allpairs = (
+        a.crossJoin(b)
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .filter(sim >= 0.9)
+        .groupBy("label_a", "label_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    exact = {tuple(r) for r in allpairs.collect()}
+    got = {tuple(r) for r in embedding_neardup_pairs(spark, sf_dir).collect()}
+    assert got == exact

@@ -223,26 +223,93 @@ def simhash_neardup_pairs(
     )
 
 
+def _hash_ordered_shingles(sh: Column) -> Column:
+    """Shingles sorted by (xxhash64, value) — a fixed global total order.
+    Hash order (vs lexicographic) decorrelates prefix membership from shingle
+    frequency, balancing posting lists for the prefix-filter join."""
+    return F.transform(
+        F.array_sort(
+            F.transform(sh, lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")))
+        ),
+        lambda st: st["s"],
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
+    method: str = "prefix",
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard (the oracle/baseline for the LSH
-    methods; quadratic — use only on samples or within LSH buckets at scale).
-    Output (id_a, id_b, jaccard ≥ threshold)."""
+    """EXACT n-gram Jaccard pairs ≥ threshold — identical output from two
+    physical strategies:
+
+    - ``method="prefix"`` (default, the registered/scale path): AllPairs-style
+      prefix filtering (Bayardo et al., WWW'07). Under any fixed total order
+      of shingles, J(A,B) ≥ t implies |A∩B| ≥ t·max(|A|,|B|) (since the union
+      is at least the larger set), so the intersection cannot fit entirely in
+      the last ⌈t·|A|⌉−1 positions of A's ordering: every qualifying pair
+      shares at least one shingle within each side's first
+      |S| − ⌈t·|S|⌉ + 1 shingles. Indexing only those prefixes and equi-
+      joining on the shingle is therefore LOSSLESS for the threshold; the
+      join fan-out is bounded by per-shingle posting-list length, not corpus
+      size, and only (shingle-hash, id) pairs shuffle. Candidates are then
+      exactly verified, so output = the all-pairs answer, guaranteed.
+    - ``method="allpairs"``: the quadratic cross join — kept ONLY as the
+      test-side oracle for the prefix path (tests/test_fuzzy.py); never
+      registered as a driver query.
+
+    Output (id_a, id_b, jaccard).
+    """
     sh = docs.select(
         F.col(id_col).alias("id"),
         word_shingles(tokenize(F.col(text_col)), n).alias("sh"),
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    if method == "allpairs":
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        )
+    if method != "prefix":
+        raise ValueError(f"unknown method {method!r}")
+    ordered = sh.select(
+        "id", "sh", _hash_ordered_shingles(F.col("sh")).alias("osh")
+    )
+    # prefix length |S| - ceil(t*|S|) + 1 (≥1 shared prefix shingle is
+    # necessary for J >= t — see docstring). The 1e-9 guards float noise
+    # pushing an exact-integer t*|S| up a step, which would silently shorten
+    # the prefix below the lossless bound.
+    plen = (
+        F.size("osh")
+        - F.ceil(F.size("osh") * F.lit(float(threshold)) - F.lit(1e-9))
+        + 1
+    )
+    indexed = ordered.select(
+        "id",
+        "sh",
+        F.explode(F.slice("osh", 1, plen.cast("int"))).alias("tok"),
+    )
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )

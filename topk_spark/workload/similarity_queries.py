@@ -184,26 +184,69 @@ GROUP BY a.label, b.label
 """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: count high-similarity pairs
-    per label combination. The all-pairs form is the exactness oracle; at
-    100 TB the same predicate runs after LSH bucketing (candidate pairs only),
-    which the `lsh_ann` rows-only query demonstrates."""
+    """Embedding-cosine near-duplicate detection: count cos ≥ 0.9 pairs per
+    label combination, with LSH-BUCKETED candidate generation (the scale
+    path — no unbounded cross join anywhere in the plan).
+
+    Candidates come from multi-table hyperplane LSH (H=4 planes, L=16
+    tables): vectors meet only inside a matching (table, signature) bucket,
+    then the exact cosine predicate runs on candidates. At cos ≥ 0.9
+    (θ ≤ 25.8°) the per-plane agreement probability is p = 1−θ/π ≈ 0.857, so
+    the miss probability is (1−p⁴)¹⁶ ≈ 4e-6 — and the DuckDB oracle is the
+    quadratic EXACT form, so the driver's hash check itself verifies the
+    bucketed plan reproduces the all-pairs answer at gate scale (as does
+    tests/test_fuzzy.py against the in-engine all-pairs twin). At 100 TB, H
+    grows with corpus size so bucket width — and with it the candidate join —
+    stays bounded; candidates shuffle as (table, sig) keys, never as a
+    cartesian."""
+    from topk_spark.ops.similarity import lsh_signature
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", _dbl("embedding").alias("e")).withColumn(
         "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
     )
-    a = v.select(
-        F.col("vec_id").alias("vid_a"), F.col("label").alias("label_a"),
-        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    num_planes, num_tables = 4, 16
+    banded = v.select(
+        "vec_id",
+        "label",
+        "e",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_signature(F.col("e"), num_planes, t).alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "label", "e", "nrm", "b.table_id", "b.sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vid_a"),
+            F.col("b.vec_id").alias("vid_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["vid_a", "vid_b"])
     )
-    b = v.select(
-        F.col("vec_id").alias("vid_b"), F.col("label").alias("label_b"),
-        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    pairs = a.crossJoin(b).filter(F.col("vid_a") < F.col("vid_b"))
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.filter(sim >= 0.9)
+        cand.filter(sim >= 0.9)
         .groupBy("label_a", "label_b")
         .agg(F.count("*").alias("n_pairs"))
     )
