@@ -35,9 +35,17 @@ def _synth_order_events(spark, out_dir: str, n: int, partitions: int = 32) -> No
         spark.range(n).repartition(partitions)
         .select(
             # ~1% of ids emit the previous id's event again → real duplicates.
+            # id=0 is excluded: 0 % 97 == 0 would point at the nonexistent
+            # "EVT-1" and make that row unique, not a duplicate.
             F.concat(
                 F.lit("EVT"),
-                (F.col("id") - (F.pmod(F.col("id"), F.lit(97)) == 0).cast("long"))
+                (
+                    F.col("id")
+                    - (
+                        (F.col("id") > 0)
+                        & (F.pmod(F.col("id"), F.lit(97)) == 0)
+                    ).cast("long")
+                ),
             ).alias("event_id"),
             F.concat(F.lit("ORD"), F.col("id")).alias("order_id"),
             F.concat(F.lit("CUST"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2000)))

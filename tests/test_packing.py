@@ -85,3 +85,21 @@ def test_chunked_pack_ids_are_dense_and_ordered(spark):
         for r in rows:
             assert r.pack_id == cum // BUDGET
             cum += r.n_chars
+
+
+def test_shuffle_rank_no_overflow_for_huge_keys(spark):
+    """ADVICE round-1: keys >= ~8.4e9 used to overflow int64 in the affine
+    multiply, yielding negative ranks/shards. The mod-first form must stay
+    non-negative over the full int64 key range (including negatives)."""
+    import pyspark.sql.functions as F
+
+    from topk_spark.ops.packing import shuffle_rank, shuffle_shards
+
+    keys = spark.createDataFrame(
+        [(0,), (1,), (8_400_000_000,), (2**62,), (2**63 - 1,), (-5,)],
+        "doc_id long",
+    )
+    ranks = keys.select(shuffle_rank(F.col("doc_id")).alias("r")).collect()
+    assert all(0 <= r["r"] < 2_147_483_648 for r in ranks)
+    sharded = shuffle_shards(keys, "doc_id", n_shards=16)
+    assert all(0 <= r["shard"] < 16 for r in sharded.collect())

@@ -155,3 +155,64 @@ def test_timer_eviction_under_continuous_trigger(spark, tmp_path):
         ("E1", 3),
         ("E1", 9),
     ]
+
+
+def test_timer_survives_midttl_duplicate(spark, tmp_path):
+    """ADVICE round-1 (stateful_dedup timer re-arm): Spark clears a key's
+    timeout on every function invocation, so a duplicate arriving mid-TTL
+    used to cancel the eviction timer permanently. The duplicate path now
+    re-arms with the REMAINING lifetime: after the duplicate, eviction must
+    still fire (on the original first-seen clock) and a post-TTL duplicate
+    must be re-admitted."""
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    out = os.path.join(str(tmp_path), "out")
+    _write_batch(src, 0, [_evt(0, "E1", qty=3)])
+
+    stream = (
+        spark.readStream.schema(ORDER_EVENT)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        # TTL must exceed streaming-query startup latency (~12 s) so the
+        # duplicate genuinely lands mid-TTL.
+        dedup_stateful(stream, ttl_ms=20000, register_eviction_timers=True)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        # Mid-TTL duplicate: suppressed, but must NOT cancel the timer.
+        _write_batch(src, 1, [_evt(1, "E1", qty=5)])
+        time.sleep(26.0)  # TTL (anchored at first-seen) passes; timer evicts
+        _write_batch(src, 2, [_evt(2, "E1", qty=9)])
+        deadline = time.time() + 30
+        got = []
+        while time.time() < deadline:
+            try:
+                got = spark.read.parquet(out).collect()
+                if len(got) >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    # qty=5 (mid-TTL dup) suppressed; qty=9 re-admitted after eviction.
+    assert sorted((r.event_id, r.quantity) for r in got) == [
+        ("E1", 3),
+        ("E1", 9),
+    ]

@@ -391,3 +391,103 @@ def test_checkpoint_restart_is_exactly_once_with_state_recovery(spark, tmp_path)
     # the surviving E1 is the ORIGINAL (run-1) occurrence, not the late dup
     e1 = [r for r in got if r.event_id == "E1"][0]
     assert e1.timestamp == base
+
+
+def test_global_topk_prereduce(spark, tmp_path):
+    """G4 pre-reduce (VERDICT round-1 item 4): the map-side partial
+    aggregation must (a) shrink row volume entering the single sentinel key
+    to O(partitions x items), (b) preserve the aggregate values exactly, and
+    (c) produce an identical ranked list to the unreduced sentinel funnel."""
+    import pyspark.sql.functions as F
+
+    from topk_spark.schemas import GLOBAL_SENTINEL
+    from topk_spark.streaming.continuous_topk import (
+        continuous_topk,
+        prereduce_orders,
+    )
+
+    # 2000 events over 5 items / 3 restaurants: heavy per-item duplication.
+    orders = (
+        spark.range(2000)
+        .select(
+            F.concat(F.lit("R"), (F.col("id") % 3)).alias("restaurant_id"),
+            F.concat(F.lit("ITEM"), (F.col("id") % 5)).alias("menu_item_id"),
+            F.concat(F.lit("Dish "), (F.col("id") % 5)).alias("menu_item_name"),
+            (F.col("id") % 7 + 1).cast("long").alias("quantity"),
+            ((F.col("id") % 7 + 1) * 100).cast("long").alias("revenue_cents"),
+        )
+        .repartition(8)
+    )
+    partial = prereduce_orders(orders)
+    n_partial = partial.count()
+    # <= partitions x (restaurants x items) partial rows, far below 2000.
+    assert n_partial <= 8 * 15
+    merged = partial.groupBy("menu_item_id").agg(
+        F.sum("order_count").alias("oc"),
+        F.sum("total_quantity").alias("tq"),
+        F.sum("total_revenue_cents").alias("tr"),
+    )
+    direct = orders.groupBy("menu_item_id").agg(
+        F.count("*").alias("oc"),
+        F.sum("quantity").alias("tq"),
+        F.sum("revenue_cents").alias("tr"),
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+    # Streaming equality: pre-reduced sentinel funnel == raw sentinel funnel.
+    rows = [
+        {
+            "event_id": f"EVT{i:08d}",
+            "order_id": f"ORD{i:08x}",
+            "customer_id": f"CUST{i}",
+            "restaurant_id": f"R{i % 3}",
+            "menu_item_id": f"ITEM{i % 5}",
+            "category_id": "CAT001",
+            "menu_item_name": f"Dish {i % 5}",
+            "quantity": i % 7 + 1,
+            "price_in_cents": 100,
+            "timestamp": 1_704_067_200_000 + i * 1000,
+        }
+        for i in range(200)
+    ]
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "b0.json"), rows)
+
+    def run(variant: str):
+        events = spark.readStream.schema(ORDER_EVENT).json(src)
+        st = events.withColumn(
+            "revenue_cents",
+            F.col("quantity").cast("long") * F.col("price_in_cents").cast("long"),
+        )
+        if variant == "prereduced":
+            from topk_spark.streaming.continuous_topk import (
+                continuous_global_topk,
+            )
+
+            ranked = continuous_global_topk(st, k=3)
+        else:
+            keyed = st.withColumn("restaurant_id", F.lit(GLOBAL_SENTINEL))
+            ranked = continuous_topk(keyed, k=3)
+        sink = os.path.join(str(tmp_path), f"out_{variant}")
+        q = (
+            ranked.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option(
+                "checkpointLocation", os.path.join(str(tmp_path), f"ckpt_{variant}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["rank"], r["menu_item_id"], r["order_count"],
+             r["total_quantity"], r["total_revenue_cents"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    assert run("prereduced") == run("raw")

@@ -34,16 +34,22 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.types import LongType, StructField, StructType
 
-# Affine hash constants (LCG multiplier/increment, Numerical Recipes); the
-# modulus keeps the rank positive and well inside int64 for any realistic key.
+# Affine hash constants (LCG multiplier/increment, Numerical Recipes).
 _A = 1103515245
 _C = 12345
 _M = 2_147_483_648  # 2^31
 
 
 def shuffle_rank(key: Column) -> Column:
-    """Deterministic pseudo-random rank of a stable integer key."""
-    return (key.cast("long") * _A + _C) % _M
+    """Deterministic pseudo-random rank of a stable integer key.
+
+    The key is reduced mod 2^31 BEFORE the affine step, so the multiply
+    peaks at (2^31−1)·A + C ≈ 2.4e18 < 2^63 — no int64 overflow for ANY
+    int64 key (ADVICE round-1: the unreduced form wrapped for keys ≥
+    ~8.4e9, going negative in Spark and raising in DuckDB). pmod keeps
+    negative keys positive. Keys 2^31 apart share a rank; the (rank, key)
+    tiebreak in shuffle_shards still totally orders them."""
+    return (F.pmod(key.cast("long"), F.lit(_M)) * _A + _C) % _M
 
 
 def shuffle_shards(

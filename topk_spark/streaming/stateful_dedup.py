@@ -100,6 +100,16 @@ def dedup_stateful(
         if state.exists:
             (seen_at,) = state.get
             if ttl_ms is None or now_ms - seen_at <= ttl_ms:
+                if use_timers:
+                    # Spark clears a key's registered timeout on EVERY
+                    # invocation of this function for the key, so returning
+                    # without re-arming would permanently cancel eviction
+                    # for hot (frequently duplicated) keys and let their
+                    # state live forever. Re-arm with the REMAINING
+                    # lifetime so the eviction clock stays anchored to the
+                    # original first-seen instant (OnCreateAndWrite), not
+                    # to the duplicate's arrival.
+                    state.setTimeoutDuration(max(1, ttl_ms - (now_ms - seen_at)))
                 return  # live state: duplicate, emit nothing
             # Expired state == absent state (NeverReturnExpired): fall
             # through and re-admit, refreshing seen_at (OnCreateAndWrite —

@@ -35,8 +35,13 @@ es AS (
 )
 """
 
-# Affine-hash constants — keep in sync with topk_spark.ops.packing.
-_HASH_SQL = "((doc_id * 1103515245 + 12345) % 2147483648)"
+# Affine-hash constants — keep in sync with topk_spark.ops.packing
+# (key reduced mod 2^31 first so the multiply never overflows int64;
+# DuckDB would raise on overflow where Spark wraps).
+_HASH_SQL = (
+    "((((doc_id % 2147483648) + 2147483648) % 2147483648"
+    " * 1103515245 + 12345) % 2147483648)"
+)
 
 
 @register(
@@ -180,7 +185,9 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source").isin("src8", "src9", "src10", "src11"), 25)
         .otherwise(10)
     )
-    h = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    from topk_spark.ops.packing import shuffle_rank
+
+    h = shuffle_rank(F.col("doc_id"))
     return (
         docs.withColumn("rate_pct", rate.cast("int"))
         .filter((h % 100) < F.col("rate_pct"))
