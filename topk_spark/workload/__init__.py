@@ -38,17 +38,36 @@ def register(
     return deco
 
 
+# Query names with a green driver CORRECTNESS row in round 1 (the keys of
+# CORRECTNESS_r01.json). The driver verifies in registration order under a
+# cap (round 1 checked exactly the first 50), so load_all() registers every
+# name NOT in this set first — one round of driver runs closes VERDICT gap #1
+# without re-spending the cap on already-hash-verified queries.
+_R1_VERIFIED: frozenset[str] = frozenset({
+    "topk_revenue_raw_24h", "rollup_1m", "merge_rollup_1h",
+    "reagg_rollup_total", "topk_per_key", "topk_global",
+    "latest_window_ranked", "filter_eq_project", "time_range_contained",
+    "time_parts", "window_floor_alignment", "dedup_first_seen",
+    "distinct_exact", "distinct_hll", "revenue_by_hour", "pricing_summary",
+    "top_customers", "brand_revenue", "customers_without_orders",
+    "nations_with_big_suppliers", "union_active_users", "running_revenue",
+    "token_stats", "quality_score", "docs_exact_dedup", "doc_fingerprint",
+    "multimodal_binary_meta", "cosine_topk", "semantic_dedup",
+    "embedding_neardup_pairs", "serve_topk_restaurant", "serve_topk_global",
+    "serve_topk_revenue", "sql_facade_topk", "ngram_jaccard_neardup",
+    "minhash_lsh_neardup", "simhash_neardup", "lsh_ann_topk", "ivf_ann_topk",
+    "neardup_cluster_dedup", "lang_id", "json_roundtrip", "revenue_dollars",
+    "startree_cube", "regex_token_count", "multimodal_decode",
+    "q3_shipping_priority", "q5_region_volume", "asof_view_attribution",
+    "sessionize_events",
+})
+
+
 def load_all() -> dict[str, Query]:
     """Import all workload modules (side-effect: registration) and return the
-    registry.
-
-    Import order IS registration order, and the driver verifies queries in
-    registration order under a cap (round 1 checked exactly the first 50).
-    Round-2 ordering therefore front-loads (a) the new recall/error oracles
-    for the approximate ops and (b) every module the round-1 driver snapshot
-    never reached (VERDICT.md gap #1); the 50 already-hash-verified round-1
-    queries register last.
-    """
+    registry, re-ordered so that every query WITHOUT a round-1 driver
+    CORRECTNESS row registers before the already-verified ones (the driver
+    checks in registration order under a cap; see _R1_VERIFIED)."""
     from topk_spark.workload import (  # noqa: F401
         recall_queries,
         tpch2_queries,
@@ -69,4 +88,5 @@ def load_all() -> dict[str, Query]:
         joins_queries,
     )
 
-    return REGISTRY
+    ordered = sorted(REGISTRY, key=lambda n: (n in _R1_VERIFIED,))
+    return {n: REGISTRY[n] for n in ordered}

@@ -34,4 +34,10 @@ def perturbed_corpus(
         (F.col("doc_id") + PERT_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
     )
-    return d.unionByName(pert)
+    # The testdata parquet is one row group → ~2 file splits, which would run
+    # the CPU-heavy shingle/minhash maps downstream on 2 of 32 cores. A real
+    # corpus arrives with thousands of file splits; give the tiny test corpus
+    # the same property explicitly. (Cheap: only (doc_id, text) rows move.)
+    return d.unionByName(pert).repartition(
+        spark.sparkContext.defaultParallelism
+    )
