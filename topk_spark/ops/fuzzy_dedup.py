@@ -119,46 +119,39 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH.
 
-    Returns (id_a, id_b, shingles_a, shingles_b) with id_a < id_b, distinct
-    pairs. Verify with `jaccard(shingles_a, shingles_b)` ≥ threshold.
+    Physical shape (the 100 TB pipeline, one consumption per scan):
+    1. `minhash_band_rows` — ONE Arrow-batched kernel pass over the corpus
+       emits (id, band_id, band_hash); text never leaves the scan.
+    2. `bucket_pairs` — groupBy the band key, expand i<j pairs inside each
+       (small) bucket. No self-join: a self-join re-evaluates the signature
+       scan per side (Catalyst can't reuse the exchanges once per-branch
+       pushdown specializes them — measured 8 corpus scans in the round-1
+       plan, 1 here).
+    3. Join the candidate PAIRS (volume bounded by bucket collisions, not
+       corpus size) back to `hashed_shingles` — 8-byte hashes per shingle,
+       never text — for the exact verify.
+
+    Returns (id_a, id_b, shingles_a, shingles_b) with id_a < id_b, distinct;
+    the shingle columns are the sorted hashed-shingle arrays. Verify with
+    `jaccard(shingles_a, shingles_b)` — identical to string-set Jaccard up
+    to 64-bit hash collisions (~2^-64 per pair).
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    # The band table carries ONLY (id, band_id, band_hash) — the shuffle
-    # never moves shingle text (the whole point of the 100 TB shape in the
-    # module docstring). Shingles are joined back by id onto the candidate
-    # PAIRS, whose volume is bounded by bucket collisions, not corpus size.
-    # `lsh_banded` (not lsh_bands∘minhash_signature) so the minhash work is
-    # P×|shingles| per row, not P×B×|shingles| — see lsh_banded docstring.
-    banded = sh.select(
-        "id",
-        F.explode(lsh_banded(F.col("shingles"), num_perm, bands)).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    id_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    from topk_spark.ops.sig_kernels import (
+        bucket_pairs,
+        hashed_shingles,
+        minhash_band_rows,
     )
+
+    banded = minhash_band_rows(docs, id_col, text_col, shingle_n, num_perm, bands)
+    id_pairs = bucket_pairs(banded, ["band_id", "band_hash"])
+    hsh = hashed_shingles(docs, id_col, text_col, shingle_n)
     return (
         id_pairs.join(
-            sh.select(
-                F.col("id").alias("id_a"), F.col("shingles").alias("shingles_a")
-            ),
+            hsh.select(F.col("id").alias("id_a"), F.col("hsh").alias("shingles_a")),
             "id_a",
         )
         .join(
-            sh.select(
-                F.col("id").alias("id_b"), F.col("shingles").alias("shingles_b")
-            ),
+            hsh.select(F.col("id").alias("id_b"), F.col("hsh").alias("shingles_b")),
             "id_b",
         )
         .select("id_a", "id_b", "shingles_a", "shingles_b")
@@ -175,7 +168,9 @@ def minhash_neardup_pairs(
     bands: int = 16,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
-    Output: (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    Output: (id_a, id_b, jaccard) for pairs ≥ threshold. The verify is
+    JVM-side set arithmetic over hashed-shingle arrays (see
+    minhash_lsh_candidates)."""
     cand = minhash_lsh_candidates(docs, id_col, text_col, shingle_n, num_perm, bands)
     return (
         cand.withColumn("jaccard", jaccard(F.col("shingles_a"), F.col("shingles_b")))
@@ -234,11 +229,16 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket on 16-bit chunks (a pair within hamming
     ≤ 3 of 64 bits must agree on ≥1 of 4 chunks — pigeonhole), then exact
-    hamming verify per bucket. Output (id_a, id_b, hamming)."""
-    h = docs.select(
-        F.col(id_col).alias("id"),
-        simhash64(tokenize(F.col(text_col))).alias("sim"),
-    )
+    hamming verify per bucket. Output (id_a, id_b, hamming).
+
+    One kernel pass computes signatures (`simhash_table`); chunk keys are
+    cheap JVM bit-ops on the 64-bit value; `bucket_pairs` expands candidates
+    inside buckets carrying the signature as payload, so the verify
+    (bit_count of xor) runs with zero join-back and the corpus is scanned
+    exactly once."""
+    from topk_spark.ops.sig_kernels import bucket_pairs, simhash_table
+
+    h = simhash_table(docs, id_col, text_col)
     chunked = h.select(
         "id",
         "sim",
@@ -256,21 +256,13 @@ def simhash_neardup_pairs(
             )
         ).alias("ch"),
     ).select("id", "sim", "ch.chunk_id", "ch.chunk_val")
-    a = chunked.alias("a")
-    b = chunked.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        bucket_pairs(chunked, ["chunk_id", "chunk_val"], payload_col="sim")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -309,17 +301,29 @@ def ngram_jaccard_pairs(
       join fan-out is bounded by per-shingle posting-list length, not corpus
       size, and only (shingle-hash, id) pairs shuffle. Candidates are then
       exactly verified, so output = the all-pairs answer, guaranteed.
-    - ``method="allpairs"``: the quadratic cross join — kept ONLY as the
-      test-side oracle for the prefix path (tests/test_fuzzy.py); never
-      registered as a driver query.
+
+      Physically the prefix path runs entirely in HASH space: one
+      `hashed_shingles` kernel pass emits each doc's sorted 64-bit shingle
+      hashes (ascending int64 = the fixed total order, which decorrelates
+      prefix membership from shingle frequency exactly like the old
+      hash-then-sort-strings order); prefix tokens feed `bucket_pairs`
+      (groupBy a posting list, expand in place — no self-join, so the scan
+      runs once); candidate pairs join the hash arrays back for the exact
+      verify. Jaccard over the hashed sets equals string-set Jaccard up to
+      64-bit collisions (~2^-64 per pair). Shuffle volume per doc: prefix
+      (tok, id) rows ≈ (1−t)·|S|·16 B plus two hash-array sides on the
+      candidate join — never shingle text.
+    - ``method="allpairs"``: the quadratic cross join over STRING shingles —
+      kept ONLY as the test-side oracle for the prefix path
+      (tests/test_fuzzy.py); never registered as a driver query.
 
     Output (id_a, id_b, jaccard).
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(tokenize(F.col(text_col)), n).alias("sh"),
-    )
     if method == "allpairs":
+        sh = docs.select(
+            F.col(id_col).alias("id"),
+            word_shingles(tokenize(F.col(text_col)), n).alias("sh"),
+        )
         a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         return (
@@ -331,32 +335,30 @@ def ngram_jaccard_pairs(
         )
     if method != "prefix":
         raise ValueError(f"unknown method {method!r}")
-    ordered = sh.select(
-        "id", "sh", _hash_ordered_shingles(F.col("sh")).alias("osh")
-    )
+    from topk_spark.ops.sig_kernels import bucket_pairs, hashed_shingles
+
+    hsh = hashed_shingles(docs, id_col, text_col, n)
     # prefix length |S| - ceil(t*|S|) + 1 (≥1 shared prefix shingle is
     # necessary for J >= t — see docstring). The 1e-9 guards float noise
     # pushing an exact-integer t*|S| up a step, which would silently shorten
     # the prefix below the lossless bound.
     plen = (
-        F.size("osh")
-        - F.ceil(F.size("osh") * F.lit(float(threshold)) - F.lit(1e-9))
+        F.size("hsh")
+        - F.ceil(F.size("hsh") * F.lit(float(threshold)) - F.lit(1e-9))
         + 1
     )
-    indexed = ordered.select(
-        "id",
-        "sh",
-        F.explode(F.slice("osh", 1, plen.cast("int"))).alias("tok"),
+    indexed = hsh.select(
+        "id", F.explode(F.slice("hsh", 1, plen.cast("int"))).alias("tok")
     )
-    a = indexed.alias("a")
-    b = indexed.alias("b")
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+        bucket_pairs(indexed, ["tok"])
+        .join(
+            hsh.select(F.col("id").alias("id_a"), F.col("hsh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            hsh.select(F.col("id").alias("id_b"), F.col("hsh").alias("sh_b")),
+            "id_b",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -400,14 +402,21 @@ def connected_components(
       at worst we run `check_every - 1` extra cheap rounds in exchange for
       halving the number of extra actions per round.
     """
-    sym = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-
     def _ckpt(df: DataFrame) -> DataFrame:
         if reliable_checkpoint:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    # Materialize the edge set ONCE: `sym` is probed by every round's join,
+    # and without a checkpoint each round would re-execute the full upstream
+    # pipeline that produced the pairs (e.g. the whole MinHash-LSH candidate
+    # generation — measured as the dominant cost of cluster dedup, not the
+    # propagation itself).
+    sym = _ckpt(
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+    )
 
     labels = _ckpt(
         sym.select(F.col("a").alias("id"))

@@ -17,8 +17,16 @@ across runs/executors with no RNG state or broadcast weight matrix.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from topk_spark.ops.topk import rank_topk
 
@@ -119,42 +127,35 @@ def lsh_ann_topk(
     its L buckets. P(neighbor at cosine-angle θ surfaces) =
     1-(1-(1-θ/π)^H)^L — tune H (bucket size ≈ N/2^H) and L (recall) per
     corpus. Expected candidate fraction ≈ L/2^H of the corpus; the corpus is
-    hashed in one map-side pass (explode L keys), candidates are exactly
-    reranked so scores equal the brute-force scores wherever they overlap.
+    hashed in one Arrow-batched kernel pass (`hyperplane_signatures`, a
+    single GEMM against the hash-derived plane matrix — corpus and query
+    sides share the kernel, so bucket keys agree by construction),
+    candidates are exactly reranked so scores equal the brute-force scores
+    wherever they overlap.
     """
-    v = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        as_double_array(vec_col).alias("vv"),
-    ).select(
+    from topk_spark.ops.sig_kernels import hyperplane_signatures
+
+    v = hyperplane_signatures(
+        corpus.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")),
         "vec_id",
         "vv",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        lsh_signature(F.col("vv"), num_planes, t).alias("sig"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "vv", "b.table_id", "b.sig")
-    q = queries.select(query_id_col, query_vec_col).select(
+        num_planes,
+        num_tables,
+        carry_vec=True,
+    ).select(F.col("id").alias("vec_id"), "table_id", "sig", F.col("vec").alias("vv"))
+    q = hyperplane_signatures(
+        queries.select(query_id_col, query_vec_col),
         query_id_col,
         query_vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        lsh_signature(F.col(query_vec_col), num_planes, t).alias("sig"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("b"),
-    ).select(query_id_col, query_vec_col, "b.table_id", "b.sig")
+        num_planes,
+        num_tables,
+        carry_vec=True,
+    ).select(
+        F.col("id").alias(query_id_col),
+        "table_id",
+        "sig",
+        F.col("vec").alias(query_vec_col),
+    )
     scored = (
         v.join(F.broadcast(q), ["table_id", "sig"])
         .filter(F.col("vec_id") != F.col(query_id_col))
@@ -166,6 +167,127 @@ def lsh_ann_topk(
         .dropDuplicates([query_id_col, "vec_id"])
     )
     return rank_topk(scored, [query_id_col], [F.desc("score"), F.asc("vec_id")], k)
+
+
+def cluster_cosine_components(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    max_block_elems: int = 1 << 22,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup, resolved per cluster in one pass:
+    for each coarse cluster (a k-means cell id / `label`), connect vectors
+    with cosine ≥ threshold into components and elect the min id per
+    component. Output: (id, cluster, component, keep) — every input row
+    appears, singletons as their own component.
+
+    This is the scale shape SemDeDup (Abbas et al., 2023) actually runs:
+    similarity is only ever computed WITHIN a coarse cell, so the whole
+    problem — pair generation AND transitive closure — is cluster-local.
+    One shuffle (groupBy cell), then a vectorized per-cell kernel: a
+    float64 GEMM over the cell's normalized matrix plus an in-memory
+    union-find. No iterative driver loop, no per-round checkpoint — the
+    distributed `connected_components` op remains the tool for edge sets
+    that genuinely span clusters.
+
+    Memory: the GEMM runs in row blocks of ⌈max_block_elems / n⌉ rows so
+    scratch stays ~`8·max_block_elems` bytes regardless of cell size; cell
+    population is bounded by the coarse-quantizer design (SemDeDup's own
+    contract), not by this kernel.
+
+    Determinism: scores from the blocked GEMM are accepted outright only
+    when they clear the threshold by >1e-9; borderline pairs are recomputed
+    with the same sequential left-fold the Catalyst/DuckDB oracle expression
+    uses, so summation-order ulps can never flip an edge vs the oracle.
+    """
+    cluster_field = df.schema[cluster_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(cluster_col, cluster_field.dataType, True),
+            StructField("component", LongType(), False),
+            StructField("keep", BooleanType(), False),
+        ]
+    )
+
+    def _seq_cosine(a: np.ndarray, b: np.ndarray) -> float:
+        def fold(x: np.ndarray, y: np.ndarray) -> float:
+            acc = 0.0
+            for k in range(len(x)):
+                acc += float(x[k]) * float(y[k])
+            return acc
+
+        import math
+
+        return fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype=object) for c in out_schema}
+            )
+        E = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+        N = E / nrm[:, None]
+
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(i: int, j: int) -> None:
+            ri, rj = find(i), find(j)
+            if ri == rj:
+                return
+            # attach the larger root under the smaller: index order == id
+            # order (sorted above), so every final root is its component's
+            # min id.
+            if ri < rj:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+
+        block = max(1, max_block_elems // n)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            G = N[lo:hi] @ N.T  # (hi-lo) × n
+            bi, bj = np.nonzero(G >= threshold - 1e-9)
+            for i, j in zip(bi + lo, bj):
+                if i >= j:  # upper triangle only
+                    continue
+                if abs(G[i - lo, j] - threshold) <= 1e-9 and not (
+                    _seq_cosine(E[i], E[j]) >= threshold
+                ):
+                    continue
+                union(int(i), int(j))
+
+        comp = ids[np.fromiter((find(i) for i in range(n)), dtype=np.int64)]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                cluster_col: pdf[cluster_col].values,
+                "component": comp,
+                "keep": comp == ids,
+            }
+        )
+
+    return (
+        df.select(id_col, cluster_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(kernel, out_schema)
+    )
 
 
 def ivf_topk(

@@ -28,7 +28,6 @@ from topk_spark.ops.fuzzy_dedup import (
     hamming64,
     jaccard,
     minhash_neardup_pairs,
-    simhash64,
     simhash_neardup_pairs,
     tokenize,
     word_shingles,
@@ -195,10 +194,12 @@ def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming ≤ 3; at ≤ 6 a pair can spread flips 2+2+1+1 across all four
     chunks and be missed, hence a floor (~0.9 measured) rather than 1.0."""
     corpus = perturbed_corpus(spark, sf_dir, modulo=5)
-    h = corpus.select(
-        F.col("doc_id").alias("id"),
-        simhash64(tokenize(F.col("text"))).alias("sim"),
-    )
+    # Truth hamming comes from the SAME signature source the pipeline uses
+    # (the kernel), so the recall bound measures bucketing loss, not a
+    # hash-family mismatch.
+    from topk_spark.ops.sig_kernels import simhash_table
+
+    h = simhash_table(corpus, "doc_id", "text")
     orig = h.filter(F.col("id") < _PERT_OFFSET).select(
         F.col("id").alias("id_a"), F.col("sim").alias("sim_a")
     )

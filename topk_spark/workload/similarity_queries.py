@@ -125,47 +125,25 @@ FROM v LEFT JOIN comp c ON c.id = v.vec_id
 """,
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped semantic deduplication: pair vectors ONLY within
+    """SemDeDup-shaped semantic deduplication: vectors pair ONLY within
     their coarse cluster (here the `label` column stands in for the cell id
-    an IVF/k-means pass assigns), connect pairs above a cosine threshold into
-    components, and keep one representative (the min vec_id) per component.
-    The cluster-local equi-join is the scale move: pairwise work is quadratic
-    only within a bounded cell, cells process in parallel, and the corpus
-    never all-pairs joins. The 0.3 threshold is calibrated to this synthetic
-    testdata's similarity spread (real embedding spaces use ~0.95); the
-    dataflow is threshold-independent. Oracled end-to-end by a DuckDB
-    recursive CTE computing the same closure, singletons included."""
-    from topk_spark.ops.fuzzy_dedup import connected_components
+    an IVF/k-means pass assigns), cosine-threshold pairs connect into
+    components, and one representative (the min vec_id) is kept per
+    component. Because similarity is cluster-local by construction,
+    components cannot span clusters — so the ENTIRE resolution (pairing and
+    transitive closure) runs inside one `applyInPandas` kernel per cluster:
+    one shuffle on the cell id, a float64 GEMM + union-find per cell, no
+    iterative join rounds (`cluster_cosine_components`). The 0.3 threshold
+    is calibrated to this synthetic testdata's similarity spread (real
+    embedding spaces use ~0.95); the dataflow is threshold-independent.
+    Oracled end-to-end by a DuckDB recursive CTE computing the same closure,
+    singletons included."""
+    from topk_spark.ops.similarity import cluster_cosine_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", _dbl("embedding").alias("e")).withColumn(
-        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
-    )
-    a = v.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
-        F.col("e").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
-        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, F.col("la") == F.col("lb"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= 0.3)
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(pairs)
-    return (
-        v.join(comp, v.vec_id == comp.id, "left")
-        .select(
-            "vec_id",
-            "label",
-            F.coalesce("component", "vec_id").cast("long").alias("component"),
-            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("keep"),
-        )
-    )
+    return cluster_cosine_components(
+        emb.select("vec_id", "label", "embedding"), threshold=0.3
+    ).select("vec_id", "label", "component", "keep")
 
 
 @register(
@@ -200,51 +178,31 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with corpus size so bucket width — and with it the candidate join —
     stays bounded; candidates shuffle as (table, sig) keys, never as a
     cartesian."""
-    from topk_spark.ops.similarity import lsh_signature
+    from topk_spark.ops.sig_kernels import bucket_pairs, hyperplane_signatures
 
     emb = load_table(spark, sf_dir, "embeddings")
+    sigs = hyperplane_signatures(
+        emb, "vec_id", "embedding", num_planes=4, num_tables=16
+    )
+    id_pairs = bucket_pairs(sigs, ["table_id", "sig"])
     v = emb.select("vec_id", "label", _dbl("embedding").alias("e")).withColumn(
         "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
     )
-    num_planes, num_tables = 4, 16
-    banded = v.select(
-        "vec_id",
-        "label",
-        "e",
-        "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        lsh_signature(F.col("e"), num_planes, t).alias("sig"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "label", "e", "nrm", "b.table_id", "b.sig")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vid_a"),
-            F.col("b.vec_id").alias("vid_b"),
-            F.col("a.label").alias("label_a"),
-            F.col("b.label").alias("label_b"),
-            F.col("a.e").alias("ea"),
-            F.col("b.e").alias("eb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
-        )
-        .dropDuplicates(["vid_a", "vid_b"])
+    cand = id_pairs.join(
+        v.select(
+            F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+            F.col("e").alias("ea"), F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        v.select(
+            F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+            F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+        ),
+        "id_b",
     )
+    # Exact verify stays in Catalyst with the sequential-fold dot, the same
+    # summation order as the DuckDB oracle's list_inner_product.
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.filter(sim >= 0.9)
