@@ -89,6 +89,22 @@ def bench_streaming_ingest(spark, sf: float) -> dict:
     n = max(20_000, int(2_000_000 * sf))
     work = tempfile.mkdtemp(prefix="topk_bench_stream_")
     try:
+        # Warm-up topology at small n: first-ever streaming query in a
+        # session pays one-time codegen/state-store/sink initialization that
+        # is not sustained-throughput (measured 2-4× swing on the timed run
+        # without this).
+        warm = os.path.join(work, "warm")
+        _synth_order_events(spark, os.path.join(warm, "input"), 20_000)
+        build_warm = build_dedup_stream(
+            read_json_file_stream(spark, os.path.join(warm, "input"), ORDER_EVENT)
+        )
+        start_raw_sink(
+            build_warm,
+            os.path.join(warm, "raw"),
+            os.path.join(warm, "ckpt_raw"),
+            available_now=True,
+        ).awaitTermination()
+
         src = os.path.join(work, "input")
         _synth_order_events(spark, src, n)
 

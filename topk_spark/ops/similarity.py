@@ -169,6 +169,76 @@ def lsh_ann_topk(
     return rank_topk(scored, [query_id_col], [F.desc("score"), F.asc("vec_id")], k)
 
 
+def _lloyd(X: "np.ndarray", k: int, seed: int, iters: int = 20) -> "np.ndarray":
+    """Deterministic k-means on a driver-side sample: k-means++ seeding from
+    a seeded RandomState, `iters` Lloyd rounds, empty cells keep their old
+    centroid. The sample bound (caller-side) keeps this O(sample·k·d) —
+    the quantizer-training cost FAISS-style IVF pays once, off the query
+    path."""
+    rs = np.random.RandomState(seed)
+    n = len(X)
+    centers = [X[rs.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(X[rs.choice(n, p=p)])
+    C = np.asarray(centers)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
+    return C
+
+
+def _assign_cells(v: DataFrame, C: "np.ndarray") -> DataFrame:
+    """(vec_id, vv, cell): nearest-centroid assignment in one map-side
+    Arrow-batched pass; the (small) centroid matrix ships inside the task
+    closure."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("vv", ArrayType(DoubleType()), False),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+    Cm = np.asarray(C, dtype=np.float64)
+    c2 = (Cm * Cm).sum(axis=1)
+
+    def run(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in batch["vv"]]
+            )
+            # argmin ||v-c||² = argmin (||c||² - 2 v·c) — one GEMM per batch.
+            cell = (c2[None, :] - 2.0 * (V @ Cm.T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(dtype=np.int64),
+                    "vv": list(V),
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    return v.select("vec_id", "vv").mapInPandas(run, schema)
+
+
 def cluster_cosine_components(
     df: DataFrame,
     threshold: float,
@@ -307,28 +377,31 @@ def ivf_topk(
 
     The second 100 TB path, complementary to `lsh_ann_topk`: k-means learns
     the corpus's actual density (better cell balance than data-oblivious
-    hyperplanes). Centroids are learned once (here: in-line fit; at scale:
-    fit on a sample, reuse across jobs), cell assignment is a single
-    JVM-side `model.transform` pass, and each query touches only
+    hyperplanes). The coarse quantizer is trained the way IVF indexes train
+    in practice: Lloyd iterations on a BOUNDED SAMPLE on the driver
+    (deterministic, seeded — the quantizer needs only the density sketch,
+    not the full corpus), then one Arrow-batched kernel pass assigns every
+    corpus vector to its nearest centroid. Each query then touches only
     `nprobe/nlist` of the corpus. At scale the assignment is materialized at
     write time with the corpus partitioned/bucketed BY CELL, so a probe is a
     partition-pruned scan — no shuffle of the corpus at query time; the only
     joins are broadcasts of (query × probed-cell) pairs and centroids.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     v = corpus.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")
-    ).withColumn("features", array_to_vector("vv"))
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(v.select("features"))
-    assigned = model.transform(v).select(
-        "vec_id", "vv", F.col("prediction").alias("cell")
     )
+    sample = np.asarray(
+        [r["vv"] for r in v.select("vv").limit(65536).collect()],
+        dtype=np.float64,
+    )
+    C = _lloyd(sample, nlist, seed)
+    assigned = _assign_cells(v, C)
 
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cell int, cv array<double>",
     )
     # nprobe nearest cells per query, by euclidean distance to centroid
