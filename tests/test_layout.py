@@ -118,3 +118,53 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS us_b")
+
+
+def test_zorder_scan_pushes_both_filters(spark, sf_dir):
+    """The rectangle query's predicates on BOTH clustered columns must reach
+    the parquet scan as PushedFilters — that's what the z-order layout makes
+    selective."""
+    df = REGISTRY["zorder_pruned_scan"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "user_id" in pushed and "value_cents" in pushed, (
+        f"both range predicates should push: [{pushed}]"
+    )
+
+
+def test_zorder_files_are_2d_boxes(spark, sf_dir):
+    """Each z-ordered file must cover a rectangle strictly smaller than the
+    full domain in BOTH dimensions (the multi-column clustering property a
+    single-column sort cannot give): the average per-file span in each
+    dimension is well under the whole domain."""
+    from topk_spark.workload.layout_queries import zordered_events
+
+    z = zordered_events(spark, sf_dir)
+    files = (
+        z.select(F.input_file_name().alias("f"), "user_id", "value_cents")
+        .groupBy("f")
+        .agg(
+            F.min("user_id").alias("ulo"),
+            F.max("user_id").alias("uhi"),
+            F.min("value_cents").alias("vlo"),
+            F.max("value_cents").alias("vhi"),
+        )
+        .collect()
+    )
+    assert len(files) > 4
+    u_dom = max(r["uhi"] for r in files) - min(r["ulo"] for r in files)
+    v_dom = max(r["vhi"] for r in files) - min(r["vlo"] for r in files)
+    u_span = sum(r["uhi"] - r["ulo"] for r in files) / len(files)
+    v_span = sum(r["vhi"] - r["vlo"] for r in files) / len(files)
+    assert u_span < 0.7 * u_dom, f"user_id not clustered: {u_span} vs {u_dom}"
+    assert v_span < 0.7 * v_dom, f"value_cents not clustered: {v_span} vs {v_dom}"
+
+
+def test_zorder_lossless(spark, sf_dir):
+    from topk_spark.workload.layout_queries import zordered_events
+
+    assert (
+        zordered_events(spark, sf_dir).count()
+        == load_table(spark, sf_dir, "events").count()
+    )

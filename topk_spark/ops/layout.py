@@ -78,6 +78,96 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+_Z_BITS = 8  # grid cells per dimension = 2^8; z fits in 16 bits
+
+
+def zorder_value(col_a, col_b, bits: int = _Z_BITS):
+    """Z-order (Morton) interleave of two non-negative integer columns:
+    bit i of `col_a` lands at position 2i, bit i of `col_b` at 2i+1. Pure
+    integer shift/mask arithmetic over built-in expressions → whole-stage
+    codegen, no UDF; the identical formula is SQL-expressible for the
+    DuckDB oracle (`zorder_sql`). Inputs must already be quantized to
+    `bits` bits (see `quantize_col`) — interleaving RAW columns of very
+    different magnitudes degenerates to a single-column sort, because the
+    wider column owns all the high bits."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder_sql(expr_a: str, expr_b: str, bits: int = _Z_BITS) -> str:
+    """The DuckDB-SQL twin of `zorder_value` — same interleave, term for
+    term, so oracle queries can recompute z-values exactly."""
+    mask = (1 << bits) - 1
+    a = f"(CAST({expr_a} AS BIGINT) & {mask})"
+    b = f"(CAST({expr_b} AS BIGINT) & {mask})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def quantize_col(col, lo, hi, bits: int = _Z_BITS):
+    """Linear quantization of `col` onto a 2^bits grid over [lo, hi]:
+    floor((col - lo) * 2^bits / (hi - lo + 1)) — both dimensions end up
+    with the SAME bit width regardless of raw magnitude, which is what
+    makes the interleave alternate meaningfully (Delta/Iceberg compute
+    per-column range-ids for the same reason). All-integer inputs through
+    an exactly-rounded double divide (values ≪ 2^53), so the identical
+    formula in DuckDB SQL produces identical cells."""
+    cells = 1 << bits
+    return F.floor(
+        (col - lo).cast("double") * float(cells) / (hi - lo + F.lit(1))
+    ).cast("long")
+
+
+def quantize_sql(expr: str, lo: str, hi: str, bits: int = _Z_BITS) -> str:
+    """DuckDB twin of `quantize_col` (same association order)."""
+    cells = 1 << bits
+    return (
+        f"CAST(FLOOR(({expr} - {lo}) * {cells}.0 / ({hi} - {lo} + 1)) AS BIGINT)"
+    )
+
+
+def compact_zorder(
+    df: DataFrame, col_a: str, col_b: str, n_files: int, bits: int = _Z_BITS
+) -> DataFrame:
+    """Z-order clustering: quantize both columns onto a common 2^bits grid
+    (one extra min/max pass, broadcast as a 1-row bound), interleave into a
+    z-value, then range-partition + sort on it — each output file covers a
+    compact RECTANGLE in (col_a, col_b) space, so parquet min/max stats on
+    BOTH columns are selective at once. The multi-dimensional
+    generalization of `compact_range_sorted`: a single-column sort gives
+    perfect pruning on one dimension and none on the other; z-order gives
+    ~sqrt-grade pruning on each. This is what Delta/Iceberg `OPTIMIZE
+    ZORDER BY` does, built here from built-in expressions +
+    repartitionByRange. The bounds pass is a scalar aggregate (same
+    pattern as topk_revenue_raw_24h's max-ts probe): scale-safe."""
+    a, b = F.col(col_a), F.col(col_b)
+    bounds = df.agg(
+        F.min(a).alias("__alo"),
+        F.max(a).alias("__ahi"),
+        F.min(b).alias("__blo"),
+        F.max(b).alias("__bhi"),
+    )
+    qa = quantize_col(a, F.col("__alo"), F.col("__ahi"), bits)
+    qb = quantize_col(b, F.col("__blo"), F.col("__bhi"), bits)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__z", zorder_value(qa, qb, bits))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__alo", "__ahi", "__blo", "__bhi")
+    )
+
+
 def materialize_once(path: str, build) -> str:
     """Write-once cache guard for layout side-outputs: `build(path)` runs
     only if `path` lacks a parquet _SUCCESS marker. Queries that demonstrate

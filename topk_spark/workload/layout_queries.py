@@ -14,13 +14,18 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.layout import (
     compact_range_sorted,
+    compact_zorder,
     materialize_once,
+    quantize_col,
+    quantize_sql,
     write_partitioned_daily,
+    zorder_sql,
+    zorder_value,
 )
 from topk_spark.workload import register
 
@@ -114,5 +119,138 @@ def sorted_scan_user_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
             .cast("long")
             .alias("sum_value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: two-dimensional pruning from one sort
+# ---------------------------------------------------------------------------
+
+_VC_EXPR = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_ZUID_LO, _ZUID_HI = 40, 79          # inside 0..149 at every SF
+_ZVC_LO, _ZVC_HI = 10_000, 19_999    # value_cents domain is 1..49002
+
+
+def _value_cents_col():
+    return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+
+def zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events, compacted into 16 files z-order-clustered on
+    (user_id, value_cents) — each file covers a compact rectangle in the
+    2-D key space."""
+    path = materialize_once(
+        _layout_root(sf_dir, "events_zorder"),
+        lambda p: compact_zorder(
+            load_table(spark, sf_dir, "events").withColumn(
+                "value_cents", _value_cents_col()
+            ),
+            "user_id",
+            "value_cents",
+            16,
+        ).write.mode("overwrite").parquet(p),
+    )
+    return spark.read.parquet(path)
+
+
+@register(
+    "zorder_cluster_stats",
+    tags=("layout", "zorder"),
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, {_VC_EXPR} AS value_cents, event_id FROM events
+),
+b AS (
+  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         min(value_cents) AS vlo, max(value_cents) AS vhi
+  FROM base
+),
+z AS (
+  SELECT user_id, value_cents, event_id,
+         {zorder_sql(quantize_sql("user_id", "ulo", "uhi"),
+                     quantize_sql("value_cents", "vlo", "vhi"))} AS zval
+  FROM base, b
+),
+t AS (
+  SELECT *, ntile(16) OVER (ORDER BY zval, event_id) AS tile FROM z
+)
+SELECT tile, count(*) AS n,
+       min(user_id) AS uid_lo, max(user_id) AS uid_hi,
+       min(value_cents) AS vc_lo, max(value_cents) AS vc_hi
+FROM t GROUP BY tile
+""",
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize (user_id, value_cents) onto a common 256-cell grid,
+    Morton-interleave into z-values, split the z-sorted order into 16
+    equal tiles (= the 16 files `compact_zorder` would write), and report
+    each tile's bounding box in BOTH dimensions. The boxes are narrow in
+    user_id AND value_cents simultaneously — the property that makes
+    parquet min/max stats selective on both columns after one clustering
+    pass. Quantization + interleave are pure built-in arithmetic
+    (whole-stage codegen), recomputed term-for-term by the DuckDB oracle.
+    The global ntile here is the oracle-checkable stand-in for
+    repartitionByRange(z): same cut points, driver-free at scale."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", _value_cents_col().alias("value_cents"), "event_id"
+    )
+    bounds = base.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("value_cents").alias("vlo"),
+        F.max("value_cents").alias("vhi"),
+    )
+    qa = quantize_col(F.col("user_id"), F.col("ulo"), F.col("uhi"))
+    qb = quantize_col(F.col("value_cents"), F.col("vlo"), F.col("vhi"))
+    z = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("zval", zorder_value(qa, qb))
+        .select("user_id", "value_cents", "event_id", "zval")
+    )
+    tile = F.ntile(16).over(Window.orderBy("zval", "event_id"))
+    return (
+        z.withColumn("tile", tile)
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("user_id").alias("uid_lo"),
+            F.max("user_id").alias("uid_hi"),
+            F.min("value_cents").alias("vc_lo"),
+            F.max("value_cents").alias("vc_hi"),
+        )
+    )
+
+
+@register(
+    "zorder_pruned_scan",
+    tags=("layout", "zorder", "pruning"),
+    oracle=f"""
+SELECT count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM({_VC_EXPR}) AS BIGINT) AS sum_value_cents
+FROM events
+WHERE user_id BETWEEN {_ZUID_LO} AND {_ZUID_HI}
+  AND {_VC_EXPR} BETWEEN {_ZVC_LO} AND {_ZVC_HI}
+""",
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle query (user-range AND value-range) against the z-ordered
+    layout: both predicates reach parquet as PushedFilters, and because
+    every file is a compact 2-D box, files outside the rectangle are
+    skipped on min/max stats in EITHER dimension — ~sqrt-grade pruning per
+    column where a single-column sort prunes only one. Oracle recomputes
+    from the unclustered source, proving the z-order round-trip is
+    lossless."""
+    zdf = zordered_events(spark, sf_dir)
+    return (
+        zdf.filter(
+            F.col("user_id").between(_ZUID_LO, _ZUID_HI)
+            & F.col("value_cents").between(_ZVC_LO, _ZVC_HI)
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("value_cents").cast("long").alias("sum_value_cents"),
         )
     )
