@@ -303,3 +303,79 @@ def canonical_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram spans: exact-substring dedup signal (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the
+# suffix-array substring-dedup shape, approximated at n-gram granularity,
+# which is how it distributes: grams shard by hash, suffix arrays don't)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {_SPAN_N - 2})) AS r(i)
+  WHERE len(t) >= {_SPAN_N}
+),
+shared AS (
+  SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+       round(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS dup_frac
+FROM grams g JOIN shared s USING (gram)
+GROUP BY g.doc_id
+HAVING sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register("dup_ngram_spans", tags=("DD-substring",), oracle=_DUP_SPANS_ORACLE)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span ratio: the fraction of a doc's distinct
+    8-grams that also occur in at least one OTHER document — the
+    distributed approximation of exact-substring training-data dedup
+    (grams stand in for suffix-array matches of length >= n). Shape at
+    100 TB: tokenize + gram (map, higher-order array fns, zero Python) →
+    explode distinct grams → ONE shuffle on xxhash-distributed gram
+    strings to count distinct docs per gram → broadcast-free join back on
+    the same gram key (co-partitioned: Catalyst reuses the exchange) →
+    per-doc aggregate. Gram cardinality ~ corpus tokens, so the shuffle
+    carries (gram, doc_id) pairs, never documents; skew is bounded because
+    DISTINCT doc-gram pairs cap any gram's row count at n_docs. Emits only
+    docs with at least one shared span (the dedup candidates)."""
+    from topk_spark.ops.fuzzy_dedup import tokenize, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams = (
+        d.filter(F.size(tokenize(F.col("text"))) >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(word_shingles(toks, _SPAN_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    shared = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        grams.join(shared, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_grams"),
+            F.round(
+                F.sum((F.col("nd") > 1).cast("double")) / F.count("*"), 4
+            ).alias("dup_frac"),
+        )
+        .filter(F.col("n_dup_grams") > 0)
+    )

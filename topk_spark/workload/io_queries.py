@@ -1,0 +1,124 @@
+"""Source/sink format breadth: CSV and ORC round-trips through the same
+layout-cache pattern as layout_queries.py (write once per (tmp, sf), read
+many). The reference ingests JSON-over-Kafka and serves from Pinot
+segments; a Spark engine replacing it must also read/write the warehouse
+interchange formats losslessly. JSON is covered by `json_roundtrip`;
+parquet is the native path everywhere else.
+
+Schema discipline: CSV is read with an EXPLICIT schema (inference is a
+full extra pass over 100 TB and non-deterministic under promotion), ORC
+carries its own types. Timestamps round-trip through ISO-8601 text in CSV
+— the query proves microsecond fidelity by aggregating on the parsed
+value.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.ops.layout import materialize_once
+from topk_spark.workload import register
+from topk_spark.workload.layout_queries import _layout_root
+
+
+def _csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV (header, ISO timestamps) → read back with explicit
+    schema. props (free text with commas) is quoted by the writer."""
+    path = materialize_once(
+        _layout_root(sf_dir, "events_csv"),
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(p),
+    )
+    return spark.read.csv(
+        path,
+        header=True,
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+        timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+
+
+def _orc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = materialize_once(
+        _layout_root(sf_dir, "lineitem_orc"),
+        lambda p: load_table(spark, sf_dir, "lineitem")
+        .repartition(8)
+        .write.mode("overwrite")
+        .orc(p),
+    )
+    return spark.read.orc(path)
+
+
+@register(
+    "csv_roundtrip_agg",
+    tags=("io", "format"),
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_value_cents,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+""",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate per event_type from the CSV copy of events; the oracle
+    recomputes from the parquet source, so a hash match proves the CSV
+    round-trip preserves every type exactly — bigints, doubles, quoted
+    free text, and microsecond timestamps (min/max ts are in the output
+    on purpose). Explicit read schema keeps the scan single-pass."""
+    c = _csv_events(spark, sf_dir)
+    return c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "orc_roundtrip_agg",
+    tags=("io", "format"),
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS sum_qty_cents,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary-shaped aggregate from the ORC copy of lineitem
+    (columnar like parquet: projection pushdown and predicate stats
+    apply the same way — `.explain` shows the same PushedFilters
+    machinery). Oracle recomputes from parquet; a hash match proves the
+    ORC round-trip is lossless."""
+    o = _orc_lineitem(spark, sf_dir)
+    return o.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_qty_cents"),
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("sum_price_cents"),
+    )
