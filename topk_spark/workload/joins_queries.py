@@ -258,3 +258,56 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_last", "n_events", "session_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-filtering: fixed-size join pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_prefilter_join",
+    tags=("join", "runtime-filter"),
+    oracle="""
+SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue of URGENT orders, with the lineitem probe side
+    pre-filtered through a DataFrame-built Bloom bitset of the urgent
+    order keys (ops/bloom.py) BEFORE the join: non-matching lineitems are
+    dropped map-side by an 8 KiB broadcast + codegen bit test, so they
+    never enter the join's exchange. False positives only re-add shuffle
+    rows; the real equi-join afterwards makes the result exact — the
+    oracle is the plain join. At 100 TB this is the hand-rolled form of
+    Spark's runtime bloom-filter rewrite, with the bitset size FIXED no
+    matter how many build keys (a broadcast semi-join's key set is not)."""
+    from topk_spark.ops.bloom import bloom_build, bloom_prefilter
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey")
+    li_pruned = bloom_prefilter(li, "l_orderkey", bloom)
+    return (
+        li_pruned.join(o, li_pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.trunc("o_orderdate", "month").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
