@@ -69,6 +69,7 @@ def load_all() -> dict[str, Query]:
     CORRECTNESS row registers before the already-verified ones (the driver
     checks in registration order under a cap; see _R1_VERIFIED)."""
     from topk_spark.workload import (  # noqa: F401
+        cdc_queries,
         er_queries,
         io_queries,
         layout_queries,

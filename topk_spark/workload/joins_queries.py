@@ -311,3 +311,65 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join: explicit hot-key mitigation as an operator
+# ---------------------------------------------------------------------------
+
+_SALT = 8
+
+
+@register(
+    "salted_skew_join",
+    tags=("join", "skew"),
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit form of skew-join mitigation (AQE's skewJoin does this
+    adaptively; salting is the deterministic version you reach for when a
+    known-hot key — the one celebrity user, the null bucket — melts a
+    task): fact rows get a salt in 0..S-1 derived from non-key columns,
+    the dim side is replicated S× with every salt value, and the join key
+    becomes (key, salt) — the hot key's rows now spread over S tasks
+    instead of one. Replication cost is S× the SMALL side only. Oracle is
+    the plain unsalted join: identical result, by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    salted_fact = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT)).cast(
+            "int"
+        ),
+    )
+    salted_dim = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            (salted_fact["l_orderkey"] == salted_dim["o_orderkey"])
+            & (salted_fact["salt"] == salted_dim["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

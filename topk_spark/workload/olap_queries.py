@@ -439,3 +439,51 @@ def value_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(k, F.col("value")), 6).alias("covar_k_value"),
         F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: bounded within-group self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_pairs",
+    tags=("analytics", "pairs"),
+    oracle="""
+SELECT a.l_partkey AS part_a,
+       b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= 2
+""",
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently co-purchased part pairs: self-join WITHIN each order
+    (equi-join on l_orderkey + a.part < b.part), then count pair
+    occurrences across orders. The join is bounded by items-per-order
+    (~O(7²) rows per order, independent of corpus size), so unlike a
+    global pair join it scales linearly with order count — the same
+    within-group-only pair expansion discipline as the LSH bucket joins
+    in ops/fuzzy_dedup. Distinct (order, part) first so quantity-split
+    line items don't double-count a pair."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
