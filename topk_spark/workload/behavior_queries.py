@@ -360,3 +360,56 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_us").cast("long").alias("max_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frames: trailing 7 calendar days, not 7 rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7d_revenue",
+    tags=("window", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, event_date, day_cents,
+       SUM(day_cents) OVER (
+         PARTITION BY event_type ORDER BY event_date
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS rolling_7d_cents
+FROM daily
+""",
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-calendar-day revenue per event_type: a time-RANGE frame
+    (`rangeBetween` over epoch days), which keeps the window correct when
+    days are MISSING from the series — a 7-ROW frame would silently
+    stretch across gaps. Two-level shape: the daily pre-aggregate shrinks
+    events to O(types × days) rows BEFORE the window, so the window sort
+    is over the tiny rollup, partitioned by event_type (no global sort).
+    This is the rollup-ladder discipline applied to sliding analytics."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("event_date"))
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("day_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("event_date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "event_date",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("rolling_7d_cents"),
+    )

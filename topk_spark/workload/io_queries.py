@@ -122,3 +122,83 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_price_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema across generations of a table
+# ---------------------------------------------------------------------------
+
+_EVO_CUTOVER = "2024-01-16"
+
+
+def _evolved_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two generations of the events table on disk: v1 (before the
+    cutover) lacks `event_type`; v2 carries it. Read back as one table
+    with mergeSchema — the layout every long-lived 100 TB table ends up
+    with after a column is added mid-life."""
+    def build(p: str) -> None:
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.filter(F.to_date("ts") < F.lit(_EVO_CUTOVER))
+            .select("event_id", "ts", "user_id", "value")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(os.path.join(p, "gen=1"))
+        )
+        (
+            e.filter(F.to_date("ts") >= F.lit(_EVO_CUTOVER))
+            .select("event_id", "ts", "user_id", "value", "event_type")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(os.path.join(p, "gen=2"))
+        )
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    path = materialize_once(_layout_root(sf_dir, "events_evolved"), build)
+    return spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+
+
+@register(
+    "schema_evolution_read",
+    tags=("io", "schema"),
+    oracle=f"""
+SELECT CASE WHEN CAST(ts AS DATE) < DATE '{_EVO_CUTOVER}'
+            THEN '__legacy__' ELSE event_type END AS event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY 1
+""",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate across both generations of the evolved layout:
+    `mergeSchema` unifies the footers, rows from the pre-cutover
+    generation surface `event_type` as NULL (mapped to '__legacy__'), and
+    every other column keeps full fidelity — the oracle recomputes from
+    the single-generation source with a CASE on the cutover date, so a
+    hash match proves old files stay readable and correctly typed after
+    the column add. At 100 TB, footer merging is a planning-time cost —
+    cap generations by rewriting old partitions lazily, not by a big-bang
+    migration."""
+    ev = _evolved_events(spark, sf_dir)
+    return (
+        ev.select(
+            F.coalesce(F.col("event_type"), F.lit("__legacy__")).alias(
+                "event_type"
+            ),
+            "user_id",
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+    )
