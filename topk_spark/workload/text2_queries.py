@@ -251,3 +251,65 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "format")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level multimodal: real resize and video frame sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_resize_half",
+    tags=("MM-resize",),
+    oracle="""
+SELECT doc_id,
+       'png' AS format,
+       CAST((16 + doc_id % 32 + 1) // 2 AS INT) AS width,
+       CAST((16 + (doc_id // 3) % 32 + 1) // 2 AS INT) AS height
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def multimodal_resize_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE pixel-level 2× downsample over real PNG payloads: decode the
+    zlib pixel stream, subsample rows/cols, re-encode a valid PNG,
+    re-parse ITS header — the emitted dims come out of the re-encoded
+    bytes, so the whole decode→transform→encode→decode cycle must be
+    correct for the arithmetic oracle (ceil(dim/2) of the id-derived
+    input dims) to hash-match. Arrow-batched mapInPandas; pixels never
+    leave the task (ops/multimodal.py:resize_images_half)."""
+    from topk_spark.ops.multimodal import make_image_payload, resize_images_half
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return resize_images_half(make_image_payload(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    tags=("MM-video",),
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, 4 + doc_id % 5 AS n_frames
+  FROM documents WHERE doc_id % 9 = 0
+)
+SELECT v.doc_id,
+       CAST(v.n_frames AS INT) AS n_frames,
+       CAST(count(*) AS INT) AS n_sampled,
+       SUM(16 + (v.doc_id + s.f) % 32) AS sum_width,
+       SUM(12 + (v.doc_id + 2 * s.f) % 24) AS sum_height
+FROM vids v, generate_series(0, 8) AS s(f)
+WHERE s.f < v.n_frames AND s.f % 2 = 0
+GROUP BY v.doc_id, v.n_frames
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over a real length-prefixed PNG-frame
+    container: seek over skipped frames via their length prefix (never
+    decode what you drop — the keyframe-read discipline), struct-parse
+    each kept frame's header, aggregate per doc. The oracle recomputes
+    every kept frame's dims by the shared arithmetic contract
+    (ops/multimodal.py:video_frame_dims), so container walking, frame
+    boundaries, and header parses must all be byte-exact."""
+    from topk_spark.ops.multimodal import make_video_payload, sample_video_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    return sample_video_frames(make_video_payload(d), every=2)
