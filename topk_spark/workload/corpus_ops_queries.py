@@ -356,11 +356,22 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
+    # Shuffle 8-byte gram HASHES, not ~50-char gram strings: xxhash64
+    # collisions over a corpus-scale gram set are ~n²/2⁶⁴ (vanishing), and
+    # every downstream step (distinct, doc-count, join-back) only needs
+    # gram identity, never its text — this is what makes the shuffle
+    # payload constant-width at 100 TB.
     grams = (
-        d.filter(F.size(tokenize(F.col("text"))) >= _SPAN_N)
+        d.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= _SPAN_N)
         .select(
             "doc_id",
-            F.explode(word_shingles(toks, _SPAN_N)).alias("gram"),
+            F.explode(
+                F.transform(
+                    word_shingles(F.col("__toks"), _SPAN_N),
+                    lambda g: F.xxhash64(g),
+                )
+            ).alias("gram"),
         )
         .distinct()
     )
