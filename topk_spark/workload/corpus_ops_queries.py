@@ -338,7 +338,8 @@ HAVING sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) > 0
 """
 
 
-@register("dup_ngram_spans", tags=("DD-substring",), oracle=_DUP_SPANS_ORACLE)
+@register("dup_ngram_spans", tags=("DD-substring",), oracle=_DUP_SPANS_ORACLE,
+          headline=True)  # bench: corpus-wide gram shuffle + exchange-reuse join-back
 def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span ratio: the fraction of a doc's distinct
     8-grams that also occur in at least one OTHER document — the

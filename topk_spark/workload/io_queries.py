@@ -202,3 +202,37 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_cents"),
         )
     )
+
+
+@register(
+    "props_json_extract",
+    tags=("io", "json"),
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY 1
+""",
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured mid-pipeline extraction: the free-form `props` JSON
+    column is parsed with an explicit schema (`from_json` — JVM-side,
+    no Python; schema-on-read, not inference) and the extracted field
+    drives the aggregation. At 100 TB the discipline is the same as CSV:
+    declare the fields you need, let the parser skip the rest, keep the
+    raw string column prunable. Oracle extracts the same path with
+    DuckDB's JSON functions."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+    )

@@ -268,6 +268,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bloom_prefilter_join",
     tags=("join", "runtime-filter"),
+    headline=True,  # bench: runtime-filter probe pruning ahead of the join shuffle
     oracle="""
 SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
        count(*) AS n_items,
