@@ -1,0 +1,95 @@
+"""Edge-case behavior of the round-2 operator batch: bloom prefilter,
+z-order quantization, CDC replay, salted join, CMS sketch."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from topk_spark.io.sources import load_table
+from topk_spark.ops.bloom import bloom_build, bloom_prefilter
+from topk_spark.ops.layout import compact_zorder, quantize_col, zorder_value
+from topk_spark.workload import load_all
+
+REGISTRY = load_all()
+
+
+def test_bloom_empty_build_side_drops_everything(spark, sf_dir):
+    """An empty key set has an empty bitset: nothing can match, the
+    prefilter must keep zero rows (conservative in the right direction —
+    the join after it would also produce nothing)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.lit(False))
+    li = load_table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey")
+    assert bloom_prefilter(li, "l_orderkey", bloom).count() == 0
+
+
+def test_zorder_constant_dimension_degrades_gracefully(spark):
+    """hi == lo on one dimension: quantize maps everything to cell 0 and
+    the z-order collapses to a plain sort on the varying column — no
+    div-by-zero, no row loss."""
+    df = spark.range(1000).select(
+        F.lit(7).alias("a"), F.col("id").alias("b")
+    )
+    z = compact_zorder(df, "a", "b", 4)
+    assert z.count() == 1000
+    cells = df.select(
+        quantize_col(F.col("a"), F.lit(7), F.lit(7)).alias("qa")
+    ).distinct()
+    assert [r["qa"] for r in cells.collect()] == [0]
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """zorder_value(1, 0) = 1 (bit 0 of a at position 0);
+    zorder_value(0, 1) = 2 (bit 0 of b at position 1);
+    zorder_value(3, 3) = 15."""
+    row = spark.range(1).select(
+        zorder_value(F.lit(1), F.lit(0)).alias("a"),
+        zorder_value(F.lit(0), F.lit(1)).alias("b"),
+        zorder_value(F.lit(3), F.lit(3)).alias("c"),
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (1, 2, 15)
+
+
+def test_cdc_user_ending_in_delete_is_absent(spark, sf_dir):
+    """Any user whose LAST op is a delete must not appear in the final
+    state, regardless of earlier upserts."""
+    out = REGISTRY["cdc_latest_state"].fn(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    last_op = (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("t")
+        )
+    )
+    deleted = {r["user_id"] for r in last_op.filter(F.col("t") == "error").collect()}
+    surviving = {r["user_id"] for r in out.collect()}
+    assert deleted.isdisjoint(surviving)
+    assert surviving, "CDC produced an empty snapshot"
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    salted = REGISTRY["salted_skew_join"].fn(spark, sf_dir)
+    want = {(r["o_orderpriority"], r["count"]) for r in plain.collect()}
+    got = {(r["o_orderpriority"], r["n_items"]) for r in salted.collect()}
+    assert got == want
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    out = REGISTRY["cms_frequent_items"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["cms_est"] >= r["exact_cnt"], (
+            f"CMS undercounted {r['l_partkey']}: {r['cms_est']} < {r['exact_cnt']}"
+        )
+        assert r["never_undercounts"]
