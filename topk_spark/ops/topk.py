@@ -74,3 +74,24 @@ def topn(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFrame:
     """Plain ORDER BY ... LIMIT n (K4/K5/K6): Catalyst's TakeOrderedAndProject
     is the distributed bounded min-heap the generator oracle hand-rolls."""
     return df.orderBy(*order_by).limit(n)
+
+
+def rank_topk_with_ties(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Per-key top-k KEEPING ties (K2 variant — `RANK() <= k`, the
+    WITH TIES semantics Pinot/SQL offer alongside row_number): rows equal
+    under `order_by` share a rank, so everything tied into the top k
+    survives and the output is deterministic WITHOUT a tiebreak column —
+    the correct choice when the metric is coarse (counts, integer grades)
+    and arbitrarily dropping tied rows would misreport. Same single
+    shuffle as `rank_topk`."""
+    w = Window.partitionBy(*partition_keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.rank().over(w).cast("int"))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -487,3 +487,39 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "topk_with_ties",
+    tags=("K2", "topk"),
+    oracle="""
+WITH freq AS (
+  SELECT l_returnflag, l_quantity, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, RANK() OVER (PARTITION BY l_returnflag
+                         ORDER BY cnt DESC) AS rnk
+  FROM freq
+)
+SELECT l_returnflag, l_quantity, cnt, rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order quantities per return flag, top-3 WITH TIES
+    (`rank() <= k`): tied frequencies share a rank and all survive, so no
+    arbitrary tiebreak ever drops a row that is genuinely top-k — the
+    deterministic way to top-k a coarse integer metric
+    (ops/topk.py:rank_topk_with_ties). Pre-aggregation shrinks the fact
+    to (flag, quantity) groups before the window, so the rank pass sees
+    O(flags × quantities) rows."""
+    from topk_spark.ops.topk import rank_topk_with_ties
+
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    return rank_topk_with_ties(
+        freq, ["l_returnflag"], [F.desc("cnt")], 3
+    ).select("l_returnflag", "l_quantity", "cnt", "rnk")
