@@ -278,12 +278,18 @@ def main() -> None:
         q.fn(spark, sf_dir).count()
     print("# warm-up pass done; timing steady-state runs", file=sys.stderr)
 
+    # Two timed runs per query, report the min: GC pauses and JIT
+    # recompiles land on one run or the other, not both, so min-of-2 is a
+    # far steadier estimate of steady-state latency than a single shot
+    # (observed up to 3× swing on single-shot runs of the same plan).
     timings: dict[str, float] = {}
     for name, q in headline.items():
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = q.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     streaming = bench_streaming_ingest(spark, float(sf))

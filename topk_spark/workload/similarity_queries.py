@@ -209,3 +209,48 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "embedding_norm_stats",
+    tags=("similarity", "profiling"),
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       CAST(SUM(CAST(round(sqrt(list_inner_product(
+                embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+              AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+       round(min(round(sqrt(list_inner_product(
+                embedding::DOUBLE[], embedding::DOUBLE[])), 6)), 6)
+         AS min_norm,
+       round(max(round(sqrt(list_inner_product(
+                embedding::DOUBLE[], embedding::DOUBLE[])), 6)), 6)
+         AS max_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus (the sanity gate
+    every vector pipeline runs before trusting cosine math: norm ~ 0 or
+    wildly varying norms mean a broken encoder). Norms fold sequentially
+    in double (same order as DuckDB's list_inner_product), are rounded,
+    then SUMMED AS DECIMAL — cross-row double addition is order-dependent
+    under distributed aggregation, decimal addition is not, so the group
+    totals are deterministic at any partitioning. Map-only per row + one
+    partial+final agg; the vectors never shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _dbl(F.col("embedding"))
+    norm = F.round(F.sqrt(dot(v, v)), 6)
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("norm").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
