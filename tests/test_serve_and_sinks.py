@@ -157,3 +157,11 @@ def test_partition_pruning_on_date(spark, tmp_path):
     rd2 = spark.read.parquet(path).filter(F.col("event_id") == "E7")
     plan2 = rd2._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(event_id), EqualTo(event_id,E7)]" in plan2
+
+
+def test_health(spark):
+    from topk_spark.serve.api import health
+
+    out = health(spark)
+    assert out["status"] == "healthy"
+    assert out["spark_version"]

@@ -143,3 +143,13 @@ def topk_by_revenue(
         "order_count", "total_quantity", "total_revenue_in_cents",
         "window_start", "window_end",
     )
+
+
+def health(spark) -> dict:
+    """`GET /health` analog (TopKController.kt:25-27): cheap liveness — the
+    session answers a trivial action and reports its version. No table
+    scan: serving liveness must not depend on data availability."""
+    return {
+        "status": "healthy" if spark.range(1).count() == 1 else "unhealthy",
+        "spark_version": spark.version,
+    }
