@@ -16,7 +16,7 @@ Scale rules embodied here:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.packing import pack_chunked, pack_greedy, shuffle_shards
@@ -243,4 +243,49 @@ def robust_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("med", 6).alias("med"),
             F.round("mad", 6).alias("mad"),
         )
+    )
+
+
+@register(
+    "stratified_exact_split",
+    tags=("pipeline", "sampling"),
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked
+WHERE rn <= CAST(ceil(0.2 * n_lang) AS BIGINT)
+""",
+)
+def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-fraction stratified sample: exactly ceil(20% × n) docs per
+    language, membership decided by rank in md5-hash order within the
+    stratum — deterministic, engine-portable (md5 hex collates
+    identically everywhere), and unbiased w.r.t. any natural ordering of
+    the corpus. Complements `mixture_sample` (hash-threshold, shuffle-free
+    but only EXPECTED fractions): when the contract is "exactly 20% of
+    every language", you pay one shuffle on the stratum key and a
+    window rank; both window functions share the same partitioning (one
+    sort). At extreme per-stratum cardinality, swap row_number for a
+    pre-computed hash-rank percentile cutoff to avoid the single-stratum
+    sort tail."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")).cast("long"))
+        .select("doc_id", "lang")
     )
