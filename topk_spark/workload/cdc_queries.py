@@ -83,3 +83,94 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("last_op") != "D")
         .select("user_id", "last_value_cents", "n_upserts", "n_deletes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation: digest-based table diff
+# ---------------------------------------------------------------------------
+
+_DIGEST_COLS = "event_id, user_id, event_type, value_cents"
+
+
+@register(
+    "snapshot_hash_diff",
+    tags=("cdc", "reconciliation"),
+    oracle="""
+WITH a AS (
+  SELECT event_id, user_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+  FROM events
+),
+b AS (  -- the drifted replica: 1-in-97 rows got +1 cent, 1-in-501 dropped
+  SELECT event_id, user_id, event_type,
+         value_cents + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+           AS value_cents
+  FROM a WHERE event_id % 501 <> 0
+),
+da AS (SELECT event_id,
+              md5(concat_ws('|', event_id, user_id, event_type, value_cents))
+                AS dg FROM a),
+db AS (SELECT event_id,
+              md5(concat_ws('|', event_id, user_id, event_type, value_cents))
+                AS dg FROM b)
+SELECT CASE WHEN db.event_id IS NULL THEN 'removed'
+            WHEN da.dg <> db.dg THEN 'changed' END AS diff_type,
+       count(*) AS n
+FROM da FULL OUTER JOIN db ON da.event_id = db.event_id
+WHERE db.event_id IS NULL OR da.event_id IS NULL OR da.dg <> db.dg
+GROUP BY 1
+""",
+)
+def snapshot_hash_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot reconciliation by row digest: both sides reduce to
+    (key, md5(canonical row serialization)) — constant-width regardless of
+    row width — then ONE full-outer join on the key classifies every drift
+    as removed / added / changed without ever comparing full rows across
+    the wire. The drifted replica here is synthesized in-plan (+1 cent on
+    1-in-97 rows, 1-in-501 rows dropped) so the oracle can rebuild it
+    exactly. At 100 TB this is how replica validation actually runs:
+    digests shuffle, payloads don't; columns fold into the digest
+    canonically (ints + cents, no float/ts formatting drift)."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+    b = a.filter(F.col("event_id") % 501 != 0).withColumn(
+        "value_cents",
+        F.col("value_cents")
+        + (F.col("event_id") % 97 == 0).cast("long"),
+    )
+
+    def dig(df):
+        return df.select(
+            "event_id",
+            F.md5(
+                F.concat_ws(
+                    "|", "event_id", "user_id", "event_type", "value_cents"
+                )
+            ).alias("dg"),
+        )
+
+    da, db = dig(a), dig(b.select(a.columns))
+    j = da.alias("a").join(
+        db.alias("b"), F.col("a.event_id") == F.col("b.event_id"), "full_outer"
+    )
+    return (
+        j.filter(
+            F.col("b.event_id").isNull()
+            | F.col("a.event_id").isNull()
+            | (F.col("a.dg") != F.col("b.dg"))
+        )
+        .select(
+            F.when(F.col("b.event_id").isNull(), F.lit("removed"))
+            .when(F.col("a.dg") != F.col("b.dg"), F.lit("changed"))
+            .alias("diff_type")
+        )
+        .groupBy("diff_type")
+        .agg(F.count("*").alias("n"))
+    )
