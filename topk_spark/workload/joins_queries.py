@@ -374,3 +374,59 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "interval_join_views_before_purchase",
+    tags=("join", "interval"),
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+""",
+)
+def interval_join_views_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval join: EVERY view within the hour before each purchase by
+    the same user (the batch twin of Structured Streaming's stream-stream
+    interval join, where the same two predicates — equi-key + bounded
+    time range — are exactly what lets the engine expire state). Executes
+    as an equi-join on user_id with the range condition as a join
+    residual: candidate pairs are bounded per user per hour, never
+    user_events², and at stream scale the 1 h bound IS the state
+    retention. Differs from `asof_view_attribution` (latest view only):
+    attribution windows want the full fan-out."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (p["user_id"] == v["user_id"])
+            & (v["v_ts"] <= p["p_ts"])
+            & (v["v_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            p["user_id"],
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        )
+    )
