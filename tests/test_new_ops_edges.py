@@ -93,3 +93,20 @@ def test_cms_never_undercounts(spark, sf_dir):
             f"CMS undercounted {r['l_partkey']}: {r['cms_est']} < {r['exact_cnt']}"
         )
         assert r["never_undercounts"]
+
+
+def test_zorder_interleave_is_bijective(spark):
+    """Every (a, b) in the 8-bit grid maps to a distinct z-value whose
+    bit de-interleave recovers (a, b) exactly — sampled over a
+    deterministic pseudo-random subset of the 256×256 grid."""
+    df = spark.range(2000).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(256)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(256)).alias("b"),
+    )
+    rows = df.withColumn("z", zorder_value(F.col("a"), F.col("b"))).collect()
+    for r in rows:
+        a = b = 0
+        for i in range(8):
+            a |= ((r["z"] >> (2 * i)) & 1) << i
+            b |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r["a"], r["b"]), (r["z"], a, b, r["a"], r["b"])
