@@ -325,3 +325,80 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value_cents").alias("sum_value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite: surgical backfill of one day
+# ---------------------------------------------------------------------------
+
+_BF_DAY = "2024-01-10"
+
+
+def _backfilled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A daily-partitioned events copy where ONE day was later backfilled
+    (values doubled — the 'corrected upstream data' scenario) using
+    spark.sql.sources.partitionOverwriteMode=dynamic: the second write
+    names no partitions explicitly and still replaces ONLY the day it
+    contains, leaving every other day's files untouched."""
+
+    def build(p: str) -> None:
+        e = load_table(spark, sf_dir, "events")
+        write_partitioned_daily(e, p)
+        corrected = (
+            e.filter(F.to_date("ts") == F.lit(_BF_DAY))
+            .withColumn("value", F.col("value") * 2)
+            .withColumn("event_date", F.to_date("ts"))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                corrected.repartition(F.col("event_date"))
+                .write.mode("overwrite")
+                .partitionBy("event_date")
+                .parquet(p)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    path = materialize_once(_layout_root(sf_dir, "events_backfill"), build)
+    return spark.read.parquet(path)
+
+
+@register(
+    "dynamic_partition_backfill",
+    tags=("layout", "backfill"),
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))
+                * CASE WHEN CAST(ts AS DATE) = DATE '{_BF_DAY}'
+                       THEN 200 ELSE 100 END) AS BIGINT) AS sum_value_cents
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_BF_DAY}' - 1 AND DATE '{_BF_DAY}' + 1
+GROUP BY 1
+""",
+)
+def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the three days around a surgically backfilled partition: the
+    corrected day carries doubled values, its neighbors are bit-identical
+    to the original write — proving partitionOverwriteMode=dynamic
+    replaced exactly one directory. This is how 100 TB tables take
+    corrections: a backfill job writes only the affected days and the
+    overwrite scope is derived from the DATA, not from a hand-maintained
+    partition list (mode=overwrite without dynamic would truncate the
+    whole table). Oracle recomputes from the source with the correction
+    applied as a CASE."""
+    p = _backfilled_events(spark, sf_dir)
+    lo = F.date_sub(F.lit(_BF_DAY).cast("date"), 1)
+    hi = F.date_add(F.lit(_BF_DAY).cast("date"), 1)
+    return (
+        p.filter(F.col("event_date").between(lo, hi))
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+    )
