@@ -70,6 +70,7 @@ def load_all() -> dict[str, Query]:
     checks in registration order under a cap; see _R1_VERIFIED)."""
     from topk_spark.workload import (  # noqa: F401
         cdc_queries,
+        graph_queries,
         sketch3_queries,
         er_queries,
         io_queries,
