@@ -413,3 +413,86 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         F.sum("day_cents").over(w).alias("rolling_7d_cents"),
     )
+
+
+@register(
+    "equi_depth_histogram",
+    tags=("profiling", "histogram"),
+    oracle="""
+WITH t AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT), event_id) AS bucket
+  FROM events
+)
+SELECT event_type, bucket, count(*) AS n,
+       min(vc) AS lo_cents, max(vc) AS hi_cents
+FROM t GROUP BY 1, 2
+""",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count per event
+    type, boundaries wherever the data puts them) — the histogram a cost
+    optimizer or drift monitor wants, vs `value_histogram`'s fixed-width
+    bins which go empty/overfull under skew. ntile per event_type = one
+    shuffle + per-partition sort; ties broken by event_id so bucket
+    assignment is deterministic. At extreme per-key cardinality swap
+    ntile for approx-quantile cut points; the equal-depth contract then
+    becomes approximate, which is the standard trade."""
+    e = load_table(spark, sf_dir, "events")
+    vc = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy(F.col("vc"), F.col("event_id"))
+    return (
+        e.select("event_type", vc.alias("vc"), "event_id")
+        .withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("vc").alias("lo_cents"),
+            F.max("vc").alias("hi_cents"),
+        )
+    )
+
+
+@register(
+    "trending_daily_topk",
+    tags=("topk", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_cents
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_date
+                               ORDER BY rev_cents DESC, event_type) AS rnk
+  FROM daily
+)
+SELECT event_date, event_type, rev_cents, rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def trending_daily_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per day by revenue — top-k WITHIN each time
+    bucket (the 'trending now' query every Pinot deployment serves).
+    Aggregate-then-rank: the fact collapses to O(days × types) rows
+    before the window, and Spark's WindowGroupLimit pushes the rank<=3
+    cut below the final shuffle. Ties broken lexically for determinism."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("event_date").orderBy(
+        F.desc("rev_cents"), F.asc("event_type")
+    )
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
