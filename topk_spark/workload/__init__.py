@@ -94,6 +94,10 @@ def load_all() -> dict[str, Query]:
         fuzzy_queries,
         text2_queries,
         joins_queries,
+        search_queries,
+        timeseries_queries,
+        text3_queries,
+        graph2_queries,
     )
 
     ordered = sorted(REGISTRY, key=lambda n: (n in _R1_VERIFIED,))

@@ -1,0 +1,258 @@
+"""Time-series repair / analytics operators: day-spine forward-fill,
+cumulative distinct users, week-over-week deltas, and an A/B proportion
+z-test — the reporting layer a trending-topk store feeds (SURVEY.md §2
+A4/A5/P8 family, query-time analytics over the rollup ladder).
+
+Determinism discipline: money stays integer cents end-to-end; the only
+float operations are SINGLE divisions / sqrt of already-agreed scalars
+(IEEE 754 ±,×,÷,sqrt are correctly rounded, so identical expression trees
+produce identical bits in Spark and DuckDB — no float SUMs anywhere).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents_col():
+    return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+
+_FFILL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, SUM({_CENTS}) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT t.event_type, dy.d FROM types t CROSS JOIN days dy)
+SELECT s.event_type, s.d,
+       last_value(daily.cents IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_cents,
+       (daily.cents IS NULL) AS was_gap
+FROM spine s
+LEFT JOIN daily ON daily.event_type = s.event_type AND daily.d = s.d
+ORDER BY s.event_type, s.d
+"""
+
+
+@register("forward_fill_daily", tags=("timeseries", "repair"), oracle=_FFILL_ORACLE)
+def forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair by forward-fill: a (event_type × day) spine left-joined
+    to the daily rollup, missing days carrying the last observed value
+    forward (last_value IGNORE NULLS). The spine is a broadcast-able
+    cross of two tiny distinct sets; the window partitions by series key,
+    so at 100 TB each series fills independently — no global sort. Leading
+    gaps before a series' first observation stay NULL by design."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"), _cents_col().alias("cents"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(days)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+            F.col("cents").isNull().alias("was_gap"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_CUMDIST_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+per_day AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+SELECT d, new_users,
+       SUM(new_users) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_distinct_users
+FROM per_day ORDER BY d
+"""
+
+
+@register(
+    "cumulative_distinct_users", tags=("timeseries", "A6"), oracle=_CUMDIST_ORACLE
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user count without a rolling DISTINCT: reduce each
+    user to their first-seen day (one shuffle on user_id), count per day,
+    then a running SUM over the tiny per-day series. This is the standard
+    trick that turns an O(days × users) windowed distinct into two cheap
+    aggregations — the cumulative window runs over ~hundreds of rows no
+    matter the corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            "d",
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_distinct_users"),
+        )
+        .orderBy("d")
+    )
+
+
+_WOW_ORACLE = f"""
+WITH weekly AS (
+  SELECT event_type,
+         CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+         SUM({_CENTS}) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, wk, cents,
+       lag(cents) OVER (PARTITION BY event_type ORDER BY wk) AS prev_cents,
+       cents - lag(cents) OVER (PARTITION BY event_type ORDER BY wk) AS delta_cents,
+       CASE WHEN lag(cents) OVER (PARTITION BY event_type ORDER BY wk) > 0
+            THEN round(
+              CAST(cents - lag(cents) OVER (PARTITION BY event_type ORDER BY wk)
+                   AS DOUBLE)
+              / CAST(lag(cents) OVER (PARTITION BY event_type ORDER BY wk) AS DOUBLE),
+              6)
+       END AS wow_ratio
+FROM weekly ORDER BY event_type, wk
+"""
+
+
+@register("wow_revenue_change", tags=("timeseries", "A5"), oracle=_WOW_ORACLE)
+def wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movement per series: weekly integer-cents rollup,
+    lag(1) delta, and a ratio that is ONE double division of two agreed
+    BIGINTs (correctly rounded ⇒ engine-identical), rounded to 6 dp. The
+    lag window partitions by series key — per-key state, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "event_type",
+            F.trunc(F.to_date("ts"), "week").alias("wk"),
+            _cents_col().alias("cents"),
+        )
+        .groupBy("event_type", "wk")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        "event_type",
+        "wk",
+        "cents",
+        prev.alias("prev_cents"),
+        (F.col("cents") - prev).alias("delta_cents"),
+        F.when(
+            prev > 0,
+            F.round(
+                (F.col("cents") - prev).cast("double") / prev.cast("double"), 6
+            ),
+        ).alias("wow_ratio"),
+    ).orderBy("event_type", "wk")
+
+
+_ABTEST_ORACLE = """
+WITH assign AS (
+  SELECT user_id,
+         user_id % 2 AS bucket,
+         max(CASE WHEN event_type = 'purchase' AND value >= 80
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT bucket, count(*) AS n_users, SUM(converted) AS n_converted
+  FROM assign GROUP BY bucket
+),
+wide AS (
+  SELECT
+    max(CASE WHEN bucket = 0 THEN n_users END) AS n_a,
+    max(CASE WHEN bucket = 0 THEN n_converted END) AS c_a,
+    max(CASE WHEN bucket = 1 THEN n_users END) AS n_b,
+    max(CASE WHEN bucket = 1 THEN n_converted END) AS c_b
+  FROM arms
+)
+SELECT n_a, c_a, n_b, c_b,
+       round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+         round(
+           (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(
+               (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+             ),
+           6)
+       END AS z_score
+FROM wide
+"""
+
+
+@register("ab_test_proportions", tags=("stats", "A4"), oracle=_ABTEST_ORACLE)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic hash split (user_id
+    parity = arm): per-user conversion flag, per-arm counts, pooled z.
+    All aggregation is integer; the float work is a fixed scalar
+    expression tree over four BIGINTs — IEEE ÷ and sqrt are correctly
+    rounded, so Spark and DuckDB agree to the last bit. Pivot to one wide
+    row via max-case (2 groups), the standard small-cardinality pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 80), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(F.pmod("user_id", F.lit(2)).alias("bucket"), "converted")
+    )
+    arms = assign.groupBy("bucket").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("bucket") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    ca, na = F.col("c_a").cast("double"), F.col("n_a").cast("double")
+    cb, nb = F.col("c_b").cast("double"), F.col("n_b").cast("double")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ca / na - cb / nb) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    conv = F.col("c_a") + F.col("c_b")
+    tot = F.col("n_a") + F.col("n_b")
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        # degenerate pooled rate (0 or 1) ⇒ zero variance ⇒ z undefined;
+        # the CASE guard also keeps ANSI mode from evaluating the division
+        F.when((conv > 0) & (conv < tot), F.round(z, 6)).alias("z_score"),
+    )
