@@ -98,6 +98,7 @@ def load_all() -> dict[str, Query]:
         timeseries_queries,
         text3_queries,
         graph2_queries,
+        governance_queries,
     )
 
     ordered = sorted(REGISTRY, key=lambda n: (n in _R1_VERIFIED,))

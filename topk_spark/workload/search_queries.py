@@ -105,19 +105,23 @@ ORDER BY d.doc_id
 
 @register("posting_search_and_not", tags=("SEARCH", "boolean"), oracle=_SEARCH_ORACLE)
 def posting_search_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean text search as posting-set algebra: docs matching
-    vector AND stream AND NOT slow. Each term is a filtered slice of the
-    posting relation; AND = hash semi-join, NOT = anti-join — the plan a
-    text index would produce, expressed as joins so it scales as
-    |postings|, not |corpus| × query re-scans. The token relation is
-    computed once and reused for all three terms."""
-    tok = _doc_tokens(spark, sf_dir).cache()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    has = lambda t: tok.filter(F.col("token") == t).select("doc_id")  # noqa: E731
+    """Boolean text search — vector AND stream AND NOT slow — in ONE
+    corpus pass: tokenize in-projection and evaluate all three term
+    memberships as map-side array_contains predicates (no explode, no
+    shuffle, no join; whole-stage codegen end to end). This is the
+    index-free plan; once the posting-list table from
+    inverted_index_postings is materialized (bucketed by token), the same
+    query becomes three partition-pruned posting joins — that switch is a
+    storage decision, not a semantic one."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), _TOKEN_RE)
     return (
-        docs.join(has("vector"), "doc_id", "semi")
-        .join(has("stream"), "doc_id", "semi")
-        .join(has("slow"), "doc_id", "anti")
+        docs.filter(
+            F.array_contains(toks, "vector")
+            & F.array_contains(toks, "stream")
+            & ~F.array_contains(toks, "slow")
+        )
+        .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
 
