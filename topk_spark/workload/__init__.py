@@ -99,6 +99,7 @@ def load_all() -> dict[str, Query]:
         text3_queries,
         graph2_queries,
         governance_queries,
+        quant_queries,
     )
 
     ordered = sorted(REGISTRY, key=lambda n: (n in _R1_VERIFIED,))

@@ -1,0 +1,141 @@
+"""Vector quantization operators: int8 symmetric quantization of the
+embedding column and integer-dot-product top-k — the memory/bandwidth
+lever real ANN stacks pull before anything else (4× smaller vectors,
+SIMD-friendly integer math), expressed so the WHOLE pipeline is
+hash-oracleable.
+
+Why this is deterministic when float cosine is not: quantization uses only
+correctly-rounded IEEE ops on values both engines hold bit-identically
+(float→double widening is exact; ÷ and × are correctly rounded; floor is
+exact), and from there every dot product is BIGINT arithmetic — no float
+accumulation order anywhere. The float path (cosine_topk) needs a
+Kahan-style fold to be comparable; the int8 path is exact by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_N_QUERIES = 5
+_TOPK = 5
+
+# per-vector symmetric int8: scale = 127 / max|x|, q_i = floor(x_i * scale)
+_Q_SQL_DUCK = """
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(
+                  CAST(x AS DOUBLE)
+                  * (127.0 / list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE)))))
+                ) AS BIGINT)) AS q
+  FROM embeddings
+"""
+
+_INT8_ORACLE = f"""
+WITH quant AS ({_Q_SQL_DUCK}),
+qs AS (SELECT vec_id AS query_id, q AS qa FROM quant WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT qs.query_id, c.vec_id,
+         list_sum(list_transform(qs.qa, (x, i) -> x * c.q[i])) AS int_dot
+  FROM qs JOIN quant c ON c.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, int_dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY int_dot DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, int_dot, rnk
+FROM ranked WHERE rnk <= {_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("int8_quantized_topk", tags=("ANN-quant", "similarity"), oracle=_INT8_ORACLE)
+def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized similarity top-k: symmetric per-vector quantization
+    (scale = 127/max|x|, floor — every step correctly-rounded IEEE, hence
+    engine-identical), then BIGINT dot products and a per-query top-5.
+    Plan shape = cosine_topk's broadcast-queries × corpus map scan — no
+    corpus shuffle — but each vector is 4× smaller and the hot loop is
+    integer multiply-add; at 100 TB that is the difference between a
+    bandwidth-bound and compute-bound scan. Rank window runs per query id
+    over bounded candidate sets."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    quant = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor("
+            "   cast(x as double)"
+            "   * (cast(127.0 as double) / array_max(transform(embedding,"
+            "        y -> abs(cast(y as double)))))"
+            " ) as bigint))"
+        ).alias("q"),
+    )
+    qs = (
+        quant.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
+    )
+    scored = (
+        quant.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qa, q, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("int_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("int_dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .orderBy("query_id", "rnk")
+    )
+
+
+_JOINEST_ORACLE = """
+WITH ok AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+lk AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+predicted AS (SELECT SUM(ok.c * lk.c) AS predicted_rows
+              FROM ok JOIN lk ON ok.k = lk.k),
+actual AS (SELECT count(*) AS actual_rows
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+SELECT predicted.predicted_rows, actual.actual_rows,
+       (predicted.predicted_rows = actual.actual_rows) AS exact_match
+FROM predicted, actual
+"""
+
+
+@register("join_size_estimate", tags=("planner", "stats"), oracle=_JOINEST_ORACLE)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality math as a query: |A ⋈ B| = Σ_k c_A(k)·c_B(k),
+    computed from the two per-key count histograms and checked against
+    the executed join's count — the formula a cost-based optimizer uses
+    from sampled histograms, here exact. The histogram join moves one
+    count-row per key instead of full payloads; the output hash pins
+    predicted == actual."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("c_o"))
+    lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("c_l"))
+    predicted = (
+        ok.join(lk, "k")
+        .agg(F.sum(F.col("c_o") * F.col("c_l")).alias("predicted_rows"))
+    )
+    actual = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return predicted.crossJoin(actual).select(
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias("exact_match"),
+    )
