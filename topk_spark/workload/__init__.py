@@ -100,6 +100,7 @@ def load_all() -> dict[str, Query]:
         graph2_queries,
         governance_queries,
         quant_queries,
+        skyline_queries,
     )
 
     ordered = sorted(REGISTRY, key=lambda n: (n in _R1_VERIFIED,))

@@ -1,0 +1,164 @@
+"""Skyline / contribution analytics: Pareto frontier (2-D skyline) and
+ABC classification — the 'which keys matter' layer over the rollup
+ladder.
+
+The skyline shows the asymptotic win this engine keeps choosing: the
+textbook NOT-EXISTS-dominator formulation is O(n²) (and is kept as the
+DuckDB oracle, where n is small); the Spark plan is the sort +
+running-max sweep — O(n log n), one shuffle — that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_PARETO_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END)
+           AS revenue_cents,
+         count(*) AS activity
+  FROM events GROUP BY user_id
+)
+SELECT p.user_id, p.revenue_cents, p.activity
+FROM per_user p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_user q
+  WHERE (q.revenue_cents > p.revenue_cents AND q.activity >= p.activity)
+     OR (q.revenue_cents >= p.revenue_cents AND q.activity > p.activity)
+)
+ORDER BY p.revenue_cents DESC, p.user_id ASC
+"""
+
+
+@register("pareto_front_users", tags=("skyline", "analytics"), oracle=_PARETO_ORACLE)
+def pareto_front_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): users not dominated on (revenue,
+    activity). The quadratic NOT-EXISTS self-join stays in the oracle;
+    the Spark plan is the scalable two-phase sweep:
+
+    1. BAND PRUNE — bucket revenue into 1024 contiguous ranges, take max
+       activity per band (≤1024 rows, broadcast), prefix-max over strictly
+       higher bands; any user whose activity is ≤ that prefix is
+       provably dominated (someone in a strictly-higher band has ≥ their
+       activity) and is dropped map-side. Lossless: if a pruned user
+       dominated someone, its own dominator — kept or transitively so up
+       the (finite, strictly increasing) band chain — dominates them too,
+       so running maxima computed over survivors equal those over all
+       users.
+    2. EXACT SWEEP over the (small) survivor set — running max of
+       activity over strictly-higher revenue (range frame excludes ties)
+       plus the tie group's own max: survive iff you beat the former and
+       match the latter.
+
+    The only global-order window runs over band stats (≤1024 rows) and
+    survivors — never the full per-user table."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("revenue_cents"),
+        F.count("*").alias("activity"),
+    )
+    mx = per_user.agg(F.max("revenue_cents").alias("mx"))
+    banded = per_user.crossJoin(F.broadcast(mx)).withColumn(
+        "band", F.expr("(revenue_cents * 1024) div (mx + 1)")
+    )
+    band_stats = banded.groupBy("band").agg(F.max("activity").alias("band_max_act"))
+    w_band = (
+        Window.orderBy(F.desc("band")).rangeBetween(Window.unboundedPreceding, -1)
+    )
+    band_prefix = band_stats.select(
+        "band", F.max("band_max_act").over(w_band).alias("higher_band_max_act")
+    )
+    kept = (
+        banded.join(F.broadcast(band_prefix), "band")
+        .filter(
+            F.col("higher_band_max_act").isNull()
+            | (F.col("activity") > F.col("higher_band_max_act"))
+        )
+        .select("user_id", "revenue_cents", "activity")
+    )
+    w_higher = (
+        Window.orderBy(F.desc("revenue_cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_ties = Window.partitionBy("revenue_cents")
+    survives = (
+        kept.withColumn("max_act_higher", F.max("activity").over(w_higher))
+        .withColumn("max_act_tie", F.max("activity").over(w_ties))
+        .filter(
+            (
+                F.col("max_act_higher").isNull()
+                | (F.col("activity") > F.col("max_act_higher"))
+            )
+            & (F.col("activity") == F.col("max_act_tie"))
+        )
+    )
+    return survives.select("user_id", "revenue_cents", "activity").orderBy(
+        F.desc("revenue_cents"), F.asc("user_id")
+    )
+
+
+_ABC_ORACLE = f"""
+WITH per_type AS (
+  SELECT event_type, SUM({_CENTS}) AS cents
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT SUM(cents) AS n FROM per_type),
+ranked AS (
+  SELECT event_type, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, event_type ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM per_type
+)
+SELECT event_type, cents, cum_cents,
+       CASE WHEN cum_cents * 100 <= tot.n * 80 THEN 'A'
+            WHEN cum_cents * 100 <= tot.n * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked, tot
+ORDER BY cents DESC, event_type ASC
+"""
+
+
+@register("abc_classification", tags=("analytics", "contribution"), oracle=_ABC_ORACLE)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / 80-20 analysis: rank keys by revenue, cumulative share
+    thresholds at 80% (A) and 95% (B) evaluated as exact integer
+    cross-multiplication (cum·100 ≤ total·p) — no float division, no
+    rounding ambiguity at the class boundaries. The cumulative window runs
+    over the aggregated key table (bounded), never raw events; the total
+    is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    tot = per_type.agg(F.sum("cents").alias("n"))
+    w = Window.orderBy(F.desc("cents"), F.asc("event_type")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_type.withColumn("cum_cents", F.sum("cents").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "cents",
+            "cum_cents",
+            F.when(F.col("cum_cents") * 100 <= F.col("n") * 80, "A")
+            .when(F.col("cum_cents") * 100 <= F.col("n") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("cents"), F.asc("event_type"))
+    )
