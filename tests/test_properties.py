@@ -143,3 +143,33 @@ def test_rollup_reaggregation_law(spark, rows):
         .collect()
     }
     assert reagg == direct
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        # tiny x-domain forces band collisions and x-ties; y ties likely
+        st.tuples(st.integers(0, 7), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    ),
+    bands=st.sampled_from([1, 2, 4, 1024]),
+)
+def test_pareto_front_band_prune_law(spark, rows, bands):
+    """Band-pruned skyline == brute-force dominance filter, at every band
+    count (bands=1 disables pruning entirely; small band counts force
+    cross-band ties — the cases the losslessness induction must cover)."""
+    from topk_spark.ops.skyline import pareto_front_2d
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted(
+        (r["x"], r["y"]) for r in pareto_front_2d(df, "x", "y", bands=bands).collect()
+    )
+    want = sorted(
+        (x, y)
+        for (x, y) in rows
+        if not any(
+            (qx >= x and qy > y) or (qx > x and qy >= y) for (qx, qy) in rows
+        )
+    )
+    assert got == want

@@ -55,7 +55,12 @@ ORDER BY query_id, rnk
 """
 
 
-@register("int8_quantized_topk", tags=("ANN-quant", "similarity"), oracle=_INT8_ORACLE)
+@register(
+    "int8_quantized_topk",
+    tags=("ANN-quant", "similarity"),
+    headline=True,
+    oracle=_INT8_ORACLE,
+)
 def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized similarity top-k: symmetric per-vector quantization
     (scale = 127/max|x|, floor — every step correctly-rounded IEEE, hence

@@ -143,7 +143,9 @@ ORDER BY decayed_cents DESC, event_type ASC
 """
 
 
-@register("trending_decayed_topk", tags=("topk", "decay"), oracle=_DECAY_ORACLE)
+@register(
+    "trending_decayed_topk", tags=("topk", "decay"), headline=True, oracle=_DECAY_ORACLE
+)
 def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed trending score (exponential time decay with a
     1-day half-life): score = Σ cents DIV 2^age_days. Decay by power-of-two

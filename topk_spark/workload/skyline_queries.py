@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
+from topk_spark.ops.skyline import pareto_front_2d
 from topk_spark.workload import register
 
 _CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -69,43 +70,10 @@ def pareto_front_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_cents"),
         F.count("*").alias("activity"),
     )
-    mx = per_user.agg(F.max("revenue_cents").alias("mx"))
-    banded = per_user.crossJoin(F.broadcast(mx)).withColumn(
-        "band", F.expr("(revenue_cents * 1024) div (mx + 1)")
-    )
-    band_stats = banded.groupBy("band").agg(F.max("activity").alias("band_max_act"))
-    w_band = (
-        Window.orderBy(F.desc("band")).rangeBetween(Window.unboundedPreceding, -1)
-    )
-    band_prefix = band_stats.select(
-        "band", F.max("band_max_act").over(w_band).alias("higher_band_max_act")
-    )
-    kept = (
-        banded.join(F.broadcast(band_prefix), "band")
-        .filter(
-            F.col("higher_band_max_act").isNull()
-            | (F.col("activity") > F.col("higher_band_max_act"))
-        )
+    return (
+        pareto_front_2d(per_user, "revenue_cents", "activity")
         .select("user_id", "revenue_cents", "activity")
-    )
-    w_higher = (
-        Window.orderBy(F.desc("revenue_cents"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_ties = Window.partitionBy("revenue_cents")
-    survives = (
-        kept.withColumn("max_act_higher", F.max("activity").over(w_higher))
-        .withColumn("max_act_tie", F.max("activity").over(w_ties))
-        .filter(
-            (
-                F.col("max_act_higher").isNull()
-                | (F.col("activity") > F.col("max_act_higher"))
-            )
-            & (F.col("activity") == F.col("max_act_tie"))
-        )
-    )
-    return survives.select("user_id", "revenue_cents", "activity").orderBy(
-        F.desc("revenue_cents"), F.asc("user_id")
+        .orderBy(F.desc("revenue_cents"), F.asc("user_id"))
     )
 
 
