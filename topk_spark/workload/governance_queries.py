@@ -158,13 +158,18 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum construction: score every doc (token-diversity ppm —
     distinct/total tokens, exact integer), bin into quality deciles, then
     order easy-first with a deterministic md5 shuffle WITHIN each decile
-    (so batches mix sources while the difficulty ramp holds). ntile here
-    is the oracle-checkable exact form; at 100 TB the decile boundaries
-    come from approx quantiles and binning is a map-side comparison —
-    same output contract, no global window. First 100 rows of the
-    curriculum."""
+    (so batches mix sources while the difficulty ramp holds).
+
+    The decile is EXACT ntile(10) computed WITHOUT a global-order window:
+    (1) per-score counts (score domain is bounded by the ppm scale, so
+    this aggregate is small), (2) prefix-sum over the score table gives
+    each score's global rank offset, (3) row_number PARTITIONED by score
+    (distributed — ties break by doc_id) gives the within-score offset,
+    (4) ntile's group-of-position formula (first n%10 groups get one
+    extra row) is pure integer arithmetic on pos and the broadcast total.
+    Hash-matching DuckDB's ntile() proves the decomposition exact. First
+    100 rows of the curriculum via bounded-heap TakeOrdered."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
     scored = docs.select(
         "doc_id",
         F.expr(
@@ -172,8 +177,32 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(size(filter(split(lower(text), '[^a-z]+'), x -> x <> '')), 1)"
         ).alias("diversity_ppm"),
     )
-    w = Window.orderBy(F.desc("diversity_ppm"), F.asc("doc_id"))
-    binned = scored.withColumn("decile", F.ntile(10).over(w))
+    per_score = scored.groupBy("diversity_ppm").agg(F.count("*").alias("cnt"))
+    w_prefix = Window.orderBy(F.desc("diversity_ppm")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = per_score.select(
+        "diversity_ppm",
+        F.coalesce(F.sum("cnt").over(w_prefix), F.lit(0)).alias("before"),
+    )
+    tot = scored.agg(F.count("*").alias("n"))
+    w_in_score = Window.partitionBy("diversity_ppm").orderBy(F.asc("doc_id"))
+    positioned = (
+        scored.withColumn("in_score", F.row_number().over(w_in_score))
+        .join(F.broadcast(prefix), "diversity_ppm")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("pos", F.col("before") + F.col("in_score"))
+    )
+    # ntile(k): base = n div k, rem = n mod k; groups 1..rem hold base+1 rows
+    binned = positioned.withColumn(
+        "decile",
+        F.expr(
+            "CASE WHEN pos <= (n % 10) * ((n div 10) + 1)"
+            " THEN (pos - 1) div ((n div 10) + 1) + 1"
+            " ELSE (n % 10) + (pos - (n % 10) * ((n div 10) + 1) - 1) div (n div 10) + 1"
+            " END"
+        ).cast("int"),
+    )
     return (
         binned.select("doc_id", "diversity_ppm", "decile")
         .orderBy(
