@@ -101,6 +101,7 @@ def load_all() -> dict[str, Query]:
         governance_queries,
         quant_queries,
         skyline_queries,
+        setstats_queries,
     )
 
     ordered = sorted(REGISTRY, key=lambda n: (n in _R1_VERIFIED,))

@@ -1,0 +1,102 @@
+"""Set-cardinality algebra and mode aggregates — the exact batch analogs
+of Pinot's theta-sketch set operations (DISTINCT_COUNT_THETA_SKETCH with
+union/intersection filters) and MODE aggregation.
+
+The intersection trick: reduce each user to per-predicate boolean flags
+in ONE pass (max-of-case), then count flag combinations — |A∩B|, |A∪B|
+and Jaccard fall out of a single aggregation, no self-join of the two
+sets. Jaccard is exact ppm by integer floor-divide.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_INTERSECT_ORACLE = """
+WITH flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS in_b
+  FROM events GROUP BY user_id
+)
+SELECT SUM(in_a) AS card_a,
+       SUM(in_b) AS card_b,
+       SUM(in_a * in_b) AS card_intersect,
+       SUM(CASE WHEN in_a + in_b > 0 THEN 1 ELSE 0 END) AS card_union,
+       (SUM(in_a * in_b) * 1000000)
+         // SUM(CASE WHEN in_a + in_b > 0 THEN 1 ELSE 0 END) AS jaccard_ppm
+FROM flags
+"""
+
+
+@register(
+    "distinct_set_algebra", tags=("SET", "A6"), oracle=_INTERSECT_ORACLE
+)
+def distinct_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|purchasers ∩ erroring users|, union and exact Jaccard in ppm —
+    theta-sketch set algebra made exact: one shuffle on user_id reduces
+    each user to two flags, one final aggregate does all four set
+    cardinalities. No join between the two sets ever materializes; at
+    100 TB this is two passes of partial+final aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "in_a"
+        ),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("in_b"),
+    )
+    return flags.agg(
+        F.sum("in_a").alias("card_a"),
+        F.sum("in_b").alias("card_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("card_intersect"),
+        F.sum(
+            F.when(F.col("in_a") + F.col("in_b") > 0, 1).otherwise(0)
+        ).alias("card_union"),
+        F.expr(
+            "(sum(in_a * in_b) * 1000000)"
+            " div sum(case when in_a + in_b > 0 then 1 else 0 end)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+best AS (
+  SELECT user_id, max(c) AS mode_count FROM counts GROUP BY user_id
+)
+SELECT b.user_id,
+       min(c2.event_type) AS mode_type,
+       b.mode_count
+FROM best b
+JOIN counts c2 ON c2.user_id = b.user_id AND c2.c = b.mode_count
+GROUP BY b.user_id, b.mode_count
+ORDER BY b.user_id
+"""
+
+
+@register("mode_per_user", tags=("A4", "mode"), oracle=_MODE_ORACLE)
+def mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (ties broken to the alphabetically first
+    type, so the answer is deterministic): per-(user, type) counts, then
+    ONE more aggregate using max_by over the (count DESC, type ASC) order
+    encoded as a struct — no window, no re-join in the Spark plan; the
+    oracle keeps the join-back formulation DuckDB expresses naturally."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    # min_by over struct(-c, event_type): smallest -c = biggest count,
+    # then lexicographically smallest type
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.expr("min_by(event_type, struct(-c, event_type))").alias("mode_type"),
+            F.max("c").alias("mode_count"),
+        )
+        .orderBy("user_id")
+    )
