@@ -100,3 +100,40 @@ def mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_LANGTEMP_ORACLE = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+         AS sqrt_weight_e6
+FROM per_lang
+ORDER BY n_docs DESC, lang ASC
+"""
+
+
+@register(
+    "lang_temperature_weights", tags=("PIPE-mixture", "multilingual"),
+    oracle=_LANGTEMP_ORACLE,
+)
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature-resampling weights at α = 0.5: weight ∝
+    count^α. α = 0.5 is the one temperature with an exactly-reproducible
+    float path — IEEE sqrt is correctly rounded (general pow is not), and
+    floor(·×10⁶) freezes the result into a BIGINT. One tiny per-language
+    aggregate; the consumer (mixture_sample's hash-threshold sampler)
+    normalizes against the weight sum it actually uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (
+        per_lang.select(
+            "lang",
+            "n_docs",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000)
+            .cast("long")
+            .alias("sqrt_weight_e6"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+    )
