@@ -256,3 +256,71 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the CASE guard also keeps ANSI mode from evaluating the division
         F.when((conv > 0) & (conv < tot), F.round(z, 6)).alias("z_score"),
     )
+
+
+_ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, SUM({_CENTS}) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, count(*) AS n, SUM(cents) AS sx, SUM(cents * cents) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.d, d.cents,
+       CASE WHEN stats.n >= 2
+             AND stats.n * stats.sxx - stats.sx * stats.sx > 0 THEN
+         CAST(floor(
+           (CAST(d.cents AS DOUBLE) - CAST(stats.sx AS DOUBLE) / CAST(stats.n AS DOUBLE))
+           / sqrt(
+               (CAST(stats.n AS DOUBLE) * CAST(stats.sxx AS DOUBLE)
+                - CAST(stats.sx AS DOUBLE) * CAST(stats.sx AS DOUBLE))
+               / (CAST(stats.n AS DOUBLE) * CAST(stats.n - 1 AS DOUBLE))
+             )
+           * 1000000) AS BIGINT)
+       END AS z_e6
+FROM daily d JOIN stats ON stats.event_type = d.event_type
+ORDER BY d.event_type, d.d
+"""
+
+
+@register("anomaly_zscore_days", tags=("timeseries", "anomaly"), oracle=_ANOMALY_ORACLE)
+def anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily anomaly scores per series: z = (x - mean)/stddev with mean
+    and sample variance reconstructed from BIGINT power sums (n, Σx, Σx²)
+    — the aggregation is pure integer, and the float finish is a fixed
+    scalar tree of correctly-rounded IEEE ops (÷, ×, sqrt) over agreed
+    BIGINTs, frozen to e6 by floor — so an intrinsically float statistic
+    hash-matches across engines. Per-series stats broadcast back onto the
+    daily rollup; degenerate series (n<2 or zero variance) yield NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"), _cents_col().alias("cents"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+    z = F.expr(
+        "cast(floor("
+        " (cast(cents as double) - cast(sx as double) / cast(n as double))"
+        " / sqrt("
+        "     (cast(n as double) * cast(sxx as double)"
+        "      - cast(sx as double) * cast(sx as double))"
+        "     / (cast(n as double) * cast(n - 1 as double))"
+        "   )"
+        " * 1000000) as bigint)"
+    )
+    return (
+        joined.select(
+            "event_type",
+            "d",
+            "cents",
+            F.when((F.col("n") >= 2) & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0), z).alias("z_e6"),
+        )
+        .orderBy("event_type", "d")
+    )
