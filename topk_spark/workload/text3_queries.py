@@ -135,3 +135,92 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+_CDC_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, t,
+         list_filter(range(1, len(t) + 1), i -> md5(t[i]) < '2') AS bidx
+  FROM toks WHERE len(t) > 0
+),
+spans AS (
+  SELECT doc_id,
+         list_concat([1], bidx) AS starts,
+         list_concat(bidx, [len(t) + 1]) AS ends,
+         t
+  FROM bounds
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(range(1, len(starts) + 1),
+             k -> CASE WHEN ends[k] > starts[k]
+                       THEN array_to_string(t[starts[k]:ends[k] - 1], ' ')
+                  END),
+           c -> c IS NOT NULL)) AS chunk
+  FROM spans
+)
+SELECT md5(chunk) AS chunk_md5,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM chunks
+GROUP BY md5(chunk)
+HAVING count(*) >= 3
+ORDER BY n_occurrences DESC, chunk_md5 ASC
+LIMIT 20
+"""
+
+
+@register("cdc_chunk_dedup", tags=("DD-cdc", "chunking"), oracle=_CDC_ORACLE)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where a token's
+    md5 hex sorts below '2' (a 1/8-rate boundary rule both engines
+    evaluate identically as a STRING compare — no engine-specific hash),
+    so identical passages chunk identically regardless of their offset in
+    the doc — the property fixed-window chunking lacks and the reason
+    storage dedup uses CDC. Chunk construction is pure array expressions
+    in one projection (boundary indices → start/end span zip → joined
+    token spans); the only shuffle is the chunk-signature count. Output:
+    chunk signatures occurring ≥3 times."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = (
+        docs.withColumn(
+            "t", F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+        )
+        .withColumn(
+            # 0-based boundary positions; guard: sequence(0,-1) descends
+            "bidx",
+            F.expr(
+                "case when size(t) = 0 then array()"
+                " else filter(sequence(0, size(t) - 1), i -> md5(t[i]) < '2') end"
+            ),
+        )
+        .withColumn("starts", F.expr("concat(array(0), bidx)"))
+        .withColumn("ends", F.expr("concat(bidx, array(size(t)))"))
+    )
+    chunks = staged.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter("
+                " zip_with(starts, ends,"
+                "   (s, e) -> if(e > s, array_join(slice(t, s + 1, e - s), ' '), null)),"
+                " c -> c is not null)"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 3)
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_md5"))
+        .limit(20)
+    )
