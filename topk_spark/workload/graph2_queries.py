@@ -183,3 +183,66 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    steps = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+k{r} AS (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING count(*) >= {k}
+),
+e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{r} a ON a.node = e.src
+  JOIN k{r} b ON b.node = e.dst
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH {_EDGES_SQL},
+e0 AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),{",".join(steps)}
+SELECT src AS l_partkey, count(*) AS core_degree
+FROM {prev}
+GROUP BY src
+ORDER BY core_degree DESC, l_partkey ASC
+LIMIT 50
+"""
+
+
+@register(
+    "kcore_membership", tags=("graph", "iterative"), oracle=_kcore_oracle(3, 4)
+)
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, 4 rounds): repeatedly delete vertices of
+    degree < 3 and the edges they carry — the iterative-DELETION graph
+    shape (vs pagerank's value iteration): each round is one degree
+    count + two semi-joins that shrink the edge set monotonically, so
+    round cost decreases as the core tightens. Fixed round count unrolls
+    into chained oracle CTEs; all counts BIGINT — hash-exact. Output:
+    surviving vertices with their in-core degrees."""
+    edges0 = _pairs(spark, sf_dir)
+    edges = edges0.unionAll(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    for _ in range(4):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(
+                keep.withColumnRenamed("node", "dst"), "dst", "semi"
+            )
+            .select("src", "dst")
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .orderBy(F.desc("core_degree"), F.asc("src"))
+        .limit(50)
+        .select(F.col("src").alias("l_partkey"), "core_degree")
+    )
