@@ -137,3 +137,85 @@ def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_docs"), F.asc("lang"))
     )
+
+
+_RFM_ORACLE = """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)), ANY_VALUE(mx.md)) AS recency_days,
+         count(*) AS frequency,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS monetary_cents
+  FROM events CROSS JOIN mx
+  GROUP BY user_id
+),
+scored AS (
+  SELECT CASE WHEN recency_days <= 2 THEN 3
+              WHEN recency_days <= 7 THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN frequency >= 100 THEN 3
+              WHEN frequency >= 50 THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN monetary_cents >= 500000 THEN 3
+              WHEN monetary_cents >= 100000 THEN 2 ELSE 1 END AS m_score,
+         monetary_cents
+  FROM per_user
+)
+SELECT r_score || '-' || f_score || '-' || m_score AS segment,
+       count(*) AS n_users,
+       SUM(monetary_cents) AS segment_cents
+FROM scored
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+@register("rfm_segments", tags=("analytics", "segmentation"), oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency / frequency / monetary reduced
+    in ONE aggregation pass (the max-date anchor is a 1-row broadcast),
+    scored into fixed 3×3×3 bands map-side, then a bounded 27-row segment
+    rollup. Fixed thresholds keep the banding a pure projection; the
+    quantile-banded variant reuses curriculum_order's exact distributed
+    ntile when data-driven cuts are wanted."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("md"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("md"), F.max(F.to_date("ts"))).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("monetary_cents"),
+        )
+    )
+    scored = per_user.select(
+        F.when(F.col("recency_days") <= 2, 3)
+        .when(F.col("recency_days") <= 7, 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("frequency") >= 100, 3)
+        .when(F.col("frequency") >= 50, 2)
+        .otherwise(1)
+        .alias("f_score"),
+        F.when(F.col("monetary_cents") >= 500000, 3)
+        .when(F.col("monetary_cents") >= 100000, 2)
+        .otherwise(1)
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("segment")
+    )
