@@ -11,7 +11,7 @@ sets. Jaccard is exact ppm by integer floor-divide.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.workload import register
@@ -218,4 +218,87 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary_cents").alias("segment_cents"),
         )
         .orderBy("segment")
+    )
+
+
+_BOUNCE_ORACLE = """
+WITH marks AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+         ts
+  FROM marks
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         CAST(min(ts) AS DATE) AS d,
+         count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT d,
+       count(*) AS n_sessions,
+       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       (SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+         // count(*) AS bounce_ppm
+FROM per_session
+GROUP BY d
+ORDER BY d
+"""
+
+
+@register("session_bounce_rate", tags=("T-session", "analytics"), oracle=_BOUNCE_ORACLE)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over 30-min-gap sessions: the lag/cumsum
+    sessionization (both windows partition by user — per-key state, no
+    global sort), per-session event counts, then single-event sessions
+    over total per day in exact ppm. Sessions are attributed to the day
+    they START (min ts), so day boundaries never split the metric."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marks.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    per_session = sessions.groupBy("user_id", "session_seq").agg(
+        F.to_date(F.min("ts")).alias("d"), F.count("*").alias("n_events")
+    )
+    return (
+        per_session.groupBy("d")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        )
+        .select(
+            "d",
+            "n_sessions",
+            "n_bounces",
+            F.expr("(n_bounces * 1000000) div n_sessions").alias("bounce_ppm"),
+        )
+        .orderBy("d")
     )
