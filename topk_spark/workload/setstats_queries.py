@@ -302,3 +302,61 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+_NEWRET_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id
+)
+SELECT CAST(e.ts AS DATE) AS d,
+       SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_d
+                THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS new_user_cents,
+       SUM(CASE WHEN CAST(e.ts AS DATE) > f.first_d
+                THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS returning_cents,
+       count(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.first_d
+                           THEN e.user_id END) AS new_users,
+       count(DISTINCT CASE WHEN CAST(e.ts AS DATE) > f.first_d
+                           THEN e.user_id END) AS returning_users
+FROM events e JOIN first_seen f ON f.user_id = e.user_id
+WHERE e.event_type = 'purchase'
+GROUP BY CAST(e.ts AS DATE)
+ORDER BY d
+"""
+
+
+@register(
+    "new_vs_returning_revenue", tags=("analytics", "cohort"), oracle=_NEWRET_ORACLE
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue split by new vs returning users: each
+    user's first-seen day (one reduction) joins back onto purchases —
+    co-partitioned on user_id, so the join adds no extra shuffle beyond
+    the reduction's — and the split is a map-side comparison feeding one
+    conditional aggregate. Distinct-user counts ride the same pass."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_d"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d"), cents.alias("cents")
+    )
+    joined = purchases.join(first_seen, "user_id")
+    is_new = F.col("d") == F.col("first_d")
+    is_ret = F.col("d") > F.col("first_d")
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.sum(F.when(is_new, F.col("cents")).otherwise(F.lit(0).cast("long"))).alias(
+                "new_user_cents"
+            ),
+            F.sum(F.when(is_ret, F.col("cents")).otherwise(F.lit(0).cast("long"))).alias(
+                "returning_cents"
+            ),
+            F.countDistinct(F.when(is_new, F.col("user_id"))).alias("new_users"),
+            F.countDistinct(F.when(is_ret, F.col("user_id"))).alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("d")
+    )
