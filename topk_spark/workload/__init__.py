@@ -78,6 +78,8 @@ def load_all() -> dict[str, Query]:
         sketch2_queries,
         corpus_ops_queries,
         recall_queries,
+        text4_queries,
+        forecast_queries,
         tpch2_queries,
         tpch3_queries,
         behavior_queries,
