@@ -22,7 +22,10 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
+    DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -432,3 +435,151 @@ def ivf_topk(
         )
     )
     return rank_topk(scored, [query_id_col], [F.desc("score"), F.asc("vec_id")], k)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 11,
+    rerank_factor: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., 2011) with asymmetric
+    distance computation (ADC) — the third 100 TB path next to LSH and IVF,
+    and the one real billion-vector stacks (FAISS IVF-PQ) lean on, because
+    it attacks MEMORY BANDWIDTH: each d-dim float vector compresses to m
+    sub-codes (here 8 codes x 4 bits = 4 bytes vs 256 bytes float32/64-dim,
+    a 64x reduction), so the scan reads codes, not vectors.
+
+    Pipeline, all deterministic (seeded Lloyd per subspace on a bounded
+    driver-side sample, mirroring `ivf_topk`'s quantizer-training shape):
+
+    1. L2-normalize vectors (inner product over normalized vectors ==
+       cosine, so ADC scores approximate the cosine ranking directly).
+    2. Train 2**nbits centroids per subspace on the sample.
+    3. Encode: one Arrow-batched map pass -> (vec_id, codes uint8[m]).
+       At scale this is the write-time step; codes are the stored column.
+    4. ADC scan: per query, the m x 2**nbits dot-product table is computed
+       once on the driver (O(m * 2**nbits * d/m) = O(d * 2**nbits) work)
+       and shipped in the task closure; each Arrow batch scores candidates
+       with numpy table-gathers and emits only its per-query top-k (a
+       per-partition bounded heap — the same partial-topk contract
+       TakeOrderedAndProject gives the exact operators), then one final
+       per-query rank pass merges partials. No corpus shuffle anywhere.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")
+    )
+    sample = np.asarray(
+        [r["vv"] for r in v.select("vv").limit(65536).collect()], dtype=np.float64
+    )
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    d = sample.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    ksub = 1 << nbits
+    books = np.stack(
+        [
+            _lloyd(sample[:, j * sub : (j + 1) * sub], ksub, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, ksub, sub)
+
+    code_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("codes", ArrayType(IntegerType()), False),
+        ]
+    )
+    b2 = (books * books).sum(axis=2)  # (m, ksub)
+
+    def encode(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            V = np.asarray([np.asarray(x, dtype=np.float64) for x in batch["vv"]])
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                # argmin ||v-c||^2 = argmin (||c||^2 - 2 v.c): one GEMM/subspace
+                codes[:, j] = (b2[j][None, :] - 2.0 * (Vj @ books[j].T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = v.mapInPandas(encode, code_schema)
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[query_vec_col] for r in qrows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # ADC tables: dt[q, j, c] = q_sub_j . books[j, c]
+    dt = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("score", DoubleType(), False),
+        ]
+    )
+
+    shortlist = max(k, rerank_factor * k)
+
+    def adc_scan(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.asarray(list(batch["codes"]), dtype=np.int64)  # (B, m)
+            # scores[q, b] = sum_j dt[q, j, codes[b, j]]
+            scores = np.zeros((len(qids), len(ids)))
+            for j in range(m):
+                scores += dt[:, j, :][:, codes[:, j]]
+            kk = min(shortlist, len(ids))
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(qids, kk)
+            bi = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qi,
+                    "vec_id": ids[bi],
+                    "score": scores[np.repeat(np.arange(len(qids)), kk), bi],
+                }
+            )
+
+    partials = encoded.mapInPandas(adc_scan, out_schema).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if not rerank_factor:
+        return rank_topk(partials, ["query_id"], [F.desc("score"), F.asc("vec_id")], k)
+    # SDC->exact re-rank tier (FAISS's refine step): the ADC scan only
+    # nominates `rerank_factor*k` candidates per query; the exact cosine
+    # runs on that bounded shortlist against the ORIGINAL vectors (at
+    # scale: a pointed fetch of shortlist rows by id, not a corpus scan).
+    cand = rank_topk(
+        partials, ["query_id"], [F.desc("score"), F.asc("vec_id")], shortlist
+    ).select("query_id", "vec_id")
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    rer = (
+        cand.join(v, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("vv")), 6).alias("score"),
+        )
+    )
+    return rank_topk(rer, ["query_id"], [F.desc("score"), F.asc("vec_id")], k)
