@@ -402,3 +402,63 @@ def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (next-fit bin packing as a window expr)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 150  # rows per output file (stand-in for 128 MB)
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT CAST(ts AS DATE) AS d, date_part('hour', ts) AS h,
+         count(*) AS rows_in_file
+  FROM events GROUP BY 1, 2
+),
+packed AS (
+  SELECT d, h, rows_in_file,
+         CAST(COALESCE(SUM(rows_in_file) OVER (
+             PARTITION BY d ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {_COMPACT_TARGET} AS BIGINT) AS out_file
+  FROM files
+)
+SELECT d, out_file,
+       CAST(count(*) AS BIGINT) AS n_input_files,
+       CAST(SUM(rows_in_file) AS BIGINT) AS out_rows
+FROM packed GROUP BY d, out_file
+"""
+
+
+@register("compaction_next_fit_plan", tags=("LAYOUT-compact",), oracle=_COMPACT_ORACLE)
+def compaction_next_fit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING as a deterministic window expression:
+    treat each (day, hour) slice as an input file, walk files in hour order
+    per day, and assign output-file ids by next-fit — out_file =
+    floor(preceding-cumulative-rows / target). No driver-side greedy loop:
+    the whole plan is one partitioned running sum, so planning compaction
+    for a 100 TB table's million-file listing is itself a distributed
+    query (the real-world shape: file metadata comes from the transaction
+    log / listing, partitions plan independently and in parallel). The
+    plan output feeds a repartitionByRange write downstream."""
+    e = load_table(spark, sf_dir, "events")
+    files = e.groupBy(
+        F.col("ts").cast("date").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("rows_in_file"))
+    w = (
+        Window.partitionBy("d")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "out_file",
+        F.floor(
+            F.coalesce(F.sum("rows_in_file").over(w), F.lit(0))
+            / F.lit(_COMPACT_TARGET)
+        ),
+    )
+    return packed.groupBy("d", "out_file").agg(
+        F.count("*").alias("n_input_files"),
+        F.sum("rows_in_file").alias("out_rows"),
+    )
