@@ -369,6 +369,13 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
+    # Round-1's headline set was these 7; the set has since widened, so the
+    # stable cross-round trend signal is this subset total, not `value`.
+    _R01_SET = (
+        "topk_revenue_raw_24h", "rollup_1m", "topk_per_key", "pricing_summary",
+        "top_customers", "cosine_topk", "q9_profit_by_nation_year",
+    )
+    r01_subset = round(sum(timings.get(n, 0.0) for n in _R01_SET), 4)
     print(
         json.dumps(
             {
@@ -376,6 +383,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r01_subset_total": r01_subset,
                 "sf": float(sf),
                 "streaming_ingest": streaming,
                 "e2e_latency": latency,

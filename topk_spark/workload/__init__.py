@@ -80,6 +80,7 @@ def load_all() -> dict[str, Query]:
         recall_queries,
         text4_queries,
         forecast_queries,
+        mining_queries,
         tpch2_queries,
         tpch3_queries,
         behavior_queries,
