@@ -427,3 +427,118 @@ def sample_video_frames(with_payload: DataFrame, every: int = 2) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         run, FRAME_SAMPLE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (PCM WAV): real RIFF encode + struct-level parse + sample analysis
+# ---------------------------------------------------------------------------
+
+def wav_params(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic id -> (sample_rate, n_samples, amplitude) contract
+    shared by the fixture encoder and the DuckDB oracle (arithmetic-only,
+    like `payload_dims` for images). n_samples is a multiple of 8 so the
+    triangle wave below completes whole periods (closed-form energy)."""
+    sample_rate = 8000 + (doc_id % 4) * 4000
+    n_samples = 256 + (doc_id % 7) * 64
+    amp = 1000 + (doc_id % 10) * 500
+    return sample_rate, n_samples, amp
+
+
+def _wav_samples(n_samples: int, amp: int) -> "np.ndarray":
+    """Period-8 integer triangle wave: [0, a, 2a, a, 0, -a, -2a, -a] — pure
+    integer, so per-period energy is exactly 12*a^2 and total sum-of-squares
+    is (n/8)*12*a^2 (the oracle's closed form)."""
+    pattern = np.asarray([0, 1, 2, 1, 0, -1, -2, -1], dtype=np.int32) * amp
+    return np.tile(pattern, n_samples // 8).astype("<i2")
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Fully valid PCM16 mono WAV — canonical 44-byte RIFF/fmt/data layout,
+    playable by any reader — with deterministic triangle-wave content."""
+    sr, n, amp = wav_params(doc_id)
+    data = _wav_samples(n, amp).tobytes()
+    byte_rate = sr * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, byte_rate, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def parse_wav(b: bytes) -> tuple[int, int, int, int] | None:
+    """REAL struct-level WAV parse: returns (sample_rate, n_channels,
+    bits_per_sample, n_samples) from the RIFF/fmt/data chunks, or None if
+    not a canonical PCM WAV."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE" or b[12:16] != b"fmt ":
+        return None
+    fmt_len, audio_fmt, n_ch, sr = struct.unpack("<IHHI", b[16:28])
+    bits = struct.unpack("<H", b[34:36])[0]
+    if audio_fmt != 1 or b[36:40] != b"data":
+        return None
+    data_len = struct.unpack("<I", b[40:44])[0]
+    return sr, n_ch, bits, data_len // (n_ch * bits // 8)
+
+
+def make_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real PCM WAV byte stream per row (mapInPandas, map-side —
+    blobs never shuffle), mirroring `make_image_payload`."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [encode_wav(int(i)) for i in ids]}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema
+    )
+
+
+def audio_meta(with_payload: DataFrame) -> DataFrame:
+    """Parse each WAV payload's header AND its int16 samples: emits typed
+    metadata plus the exact BIGINT sum-of-squares and floor-RMS — an honest
+    encode->parse->analyze round trip over real bytes. Arrow-batched,
+    map-side; only scalars leave the scan."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("sum_squares", LongType(), True),
+            StructField("rms_floor", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "n_samples", "duration_ms",
+                    "sum_squares", "rms_floor")}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                parsed = parse_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                if parsed is None:
+                    for k in ("sample_rate", "n_samples", "duration_ms",
+                              "sum_squares", "rms_floor"):
+                        out[k].append(None)
+                    continue
+                sr, n_ch, bits, n = parsed
+                samples = np.frombuffer(bytes(payload)[44:44 + 2 * n], "<i2")
+                ss = int((samples.astype(np.int64) ** 2).sum())
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // sr)
+                out["sum_squares"].append(ss)
+                out["rms_floor"].append(int(np.floor(np.sqrt(ss / n))))
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema)

@@ -313,3 +313,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
     return sample_video_frames(make_video_payload(d), every=2)
+
+
+_AUDIO_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 4) * 4000 AS sample_rate,
+         256 + (doc_id % 7) * 64 AS n,
+         1000 + (doc_id % 10) * 500 AS a
+  FROM documents WHERE doc_id % 11 = 5
+)
+SELECT doc_id,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST((n // 8) * 12 * a * a AS BIGINT) AS sum_squares,
+       CAST(floor(sqrt(CAST((n // 8) * 12 * a * a AS DOUBLE) / n)) AS BIGINT)
+         AS rms_floor
+FROM p
+"""
+
+
+@register("audio_wav_meta", tags=("MM-audio",), oracle=_AUDIO_ORACLE)
+def audio_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio round trip, the WAV sibling of
+    `multimodal_decode_roundtrip`: encode a REAL playable PCM16 WAV per doc
+    (canonical RIFF/fmt/data layout, triangle-wave samples whose energy has
+    a closed form — ops/multimodal.py:encode_wav), struct-parse the actual
+    header bytes back, run the int16 samples through an exact BIGINT
+    sum-of-squares, and let the oracle predict every field by arithmetic on
+    doc_id. A broken encoder, parser, OR sample analysis breaks the hash.
+    Blobs stay map-side (mapInPandas); only typed scalars leave the scan."""
+    from topk_spark.ops.multimodal import audio_meta, make_audio_payload
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 5)
+    return audio_meta(make_audio_payload(d))
