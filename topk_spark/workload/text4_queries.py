@@ -212,6 +212,12 @@ def zipf_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
+        # Both the head and the totals consume freq; without this the two
+        # branches each re-run the corpus explode scan (Catalyst won't
+        # reuse an exchange capped by TakeOrderedAndProject). freq is
+        # vocab-sized — Heaps-bounded, sublinear in corpus — so pinning it
+        # trades a tiny cache for a second 100 TB scan.
+        .localCheckpoint(eager=False)
     )
     tot = freq.agg(F.sum("cnt").alias("total"), F.max("cnt").alias("top_cnt"))
     head = global_topk(
