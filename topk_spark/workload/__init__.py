@@ -81,6 +81,7 @@ def load_all() -> dict[str, Query]:
         text4_queries,
         forecast_queries,
         mining_queries,
+        curation_queries,
         tpch2_queries,
         tpch3_queries,
         behavior_queries,
