@@ -82,6 +82,7 @@ def load_all() -> dict[str, Query]:
         forecast_queries,
         mining_queries,
         curation_queries,
+        spectrum_queries,
         tpch2_queries,
         tpch3_queries,
         behavior_queries,
