@@ -83,6 +83,7 @@ def load_all() -> dict[str, Query]:
         mining_queries,
         curation_queries,
         spectrum_queries,
+        augment_queries,
         tpch2_queries,
         tpch3_queries,
         behavior_queries,
