@@ -84,6 +84,7 @@ def load_all() -> dict[str, Query]:
         curation_queries,
         spectrum_queries,
         augment_queries,
+        mmr_queries,
         tpch2_queries,
         tpch3_queries,
         behavior_queries,
