@@ -263,3 +263,120 @@ def topk_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_gain"), F.asc("user_id"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (rational-idf variant, deterministic fold)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "window", "fast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('join', 'window', 'fast') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+per_term AS (
+  SELECT tf.doc_id, tf.tok,
+         ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * ({_BM25_K1} + 1))
+         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+            + {_BM25_B} * dl.dl / stats.avgdl)) AS s
+  FROM tf
+  JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list(s ORDER BY tok)),
+                           (a, b) -> a + b), 6) AS bm25,
+         count(*) AS n_terms
+  FROM per_term GROUP BY doc_id
+),
+rk AS (
+  SELECT doc_id, bm25, CAST(n_terms AS BIGINT) AS n_terms,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rnk
+  FROM agg
+)
+SELECT doc_id, bm25, n_terms, rnk FROM rk WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
+@register("bm25_topdocs", tags=("SEARCH", "bm25"), oracle=_BM25_ORACLE)
+def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for a fixed 3-term query (rational idf — the log
+    dropped the same way tfidf_top_terms does, keeping per-term ranking
+    monotone while avoiding libm ln differences between engines). Floats
+    are safe by construction: tf/df/dl are exact integers, avgdl is one
+    division, each per-term score is a fixed correctly-rounded expression
+    tree, and the per-doc sum folds in TERM-SORTED order with an explicit
+    0.0 seed — the same left fold DuckDB's list_reduce(list_prepend(0.0))
+    runs, so the sum is bit-identical. Shape at scale: matched-term rows
+    only (posting-list sized, not corpus), df/avgdl broadcast back, final
+    top-10 is a bounded heap."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    per_term = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    agg = (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(tok, s))),"
+                        " p -> p.s)"
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                6,
+            ).alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    from topk_spark.ops.topk import global_topk
+
+    return global_topk(
+        agg, [F.desc("bm25"), F.asc("doc_id")], 10, sentinel_col=None, rank_col="rnk"
+    ).select("doc_id", "bm25", "n_terms", F.col("rnk").cast("int").alias("rnk"))
