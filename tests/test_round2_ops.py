@@ -110,3 +110,31 @@ def test_ewma_level_between_min_and_max_daily_mean(spark, sf_dir):
     for r in REGISTRY["ewma_level_forecast"].fn(spark, sf_dir).collect():
         lo, hi = env[r["event_type"]]
         assert lo - 1e-6 <= r["ewma_level"] <= hi + 1e-6
+
+
+def test_ivf_cell_probe_is_partition_pruned(spark, sf_dir):
+    """The stored-corpus probe scan must prune by cell directory: the
+    physical plan's FileScan carries the cell predicate in
+    PartitionFilters (not a post-scan Filter), proving query-time IO is
+    nprobe/nlist of the corpus."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from topk_spark.ops.layout import materialize_once
+    from topk_spark.ops.similarity import ivf_cell_layout
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = materialize_once(
+        os.path.join(tempfile.gettempdir(), "topk_spark_layout", sf, "ivf_cells"),
+        lambda p: ivf_cell_layout(emb, p, nlist=16, seed=7),
+    )
+    stored = spark.read.parquet(path)
+    pruned = stored.filter(F.col("cell").isin([1, 3, 5]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:80]
+    n_cells = stored.select("cell").distinct().count()
+    assert pruned.select("cell").distinct().count() <= 3 < n_cells

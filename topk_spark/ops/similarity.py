@@ -583,3 +583,72 @@ def pq_topk(
         )
     )
     return rank_topk(rer, ["query_id"], [F.desc("score"), F.asc("vec_id")], k)
+
+
+def ivf_cell_layout(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """WRITE-TIME half of the IVF story the query-path docstrings promise:
+    train the coarse quantizer (same bounded-sample seeded Lloyd as
+    `ivf_topk`, so cells are identical), assign every vector, and write the
+    corpus PARTITIONED BY CELL. A probe is then a partition-pruned read —
+    `cell IN (...)` lands in PartitionFilters and Spark lists only nprobe
+    directories, so query-time IO is nprobe/nlist of the corpus with ZERO
+    corpus shuffle ever (the shuffle happened once, at write time)."""
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")
+    )
+    sample = np.asarray(
+        [r["vv"] for r in v.select("vv").limit(65536).collect()], dtype=np.float64
+    )
+    C = _lloyd(sample, nlist, seed)
+    assigned = _assign_cells(v, C)
+    # one file per cell directory: the probe read should open O(nprobe)
+    # files, not O(nprobe * shuffle_partitions)
+    assigned.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """(query_id, qv, cell) probe assignments — retrains the deterministic
+    quantizer (bounded sample, seeded: bit-identical centroids to the ones
+    the layout was written with) and picks each query's nprobe nearest
+    cells. Centroid training is the only corpus touch and is O(sample)."""
+    v = corpus.select(as_double_array("embedding").alias("vv"))
+    sample = np.asarray(
+        [r["vv"] for r in v.limit(65536).collect()], dtype=np.float64
+    )
+    C = _lloyd(sample, nlist, seed)
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "cell int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col(query_vec_col), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return rank_topk(
+        queries.crossJoin(F.broadcast(cent)).select(
+            query_id_col, query_vec_col, "cell", d2.alias("d2")
+        ),
+        [query_id_col],
+        [F.asc("d2"), F.asc("cell")],
+        nprobe,
+        rank_col="cell_rank",
+    ).select(query_id_col, query_vec_col, "cell")

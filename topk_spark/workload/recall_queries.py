@@ -342,3 +342,65 @@ def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     return _ann_recall_metrics(exact, approx, 0.9, 0.8)
+
+
+_IVF_LAYOUT_METRICS = ["n_queries_eq_5", "recall_avg_ge_0.6", "recall_min_ge_0.4"]
+
+
+@register(
+    "ivf_pruned_probe_recall",
+    tags=("ANN-ivf", "layout"),
+    oracle=_bounds_oracle(_IVF_LAYOUT_METRICS),
+)
+def ivf_pruned_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-TIME IVF layout, demonstrated: the corpus is materialized
+    once PARTITIONED BY CELL (ops/similarity.py:ivf_cell_layout — same
+    seeded quantizer as ivf_topk, one file per cell), and the probe is a
+    partition-pruned read: `cell IN (probed)` lands in the scan's
+    PartitionFilters (pinned in tests/test_round2_ops.py), so Spark lists
+    only the probed directories — query-time IO is nprobe/nlist of the
+    corpus and the corpus never shuffles at query time. Recall floors are
+    ivf_ann_recall's (identical cells ⇒ identical candidate sets)."""
+    import os
+    import tempfile
+
+    from topk_spark.ops.layout import materialize_once
+    from topk_spark.ops.similarity import ivf_cell_layout, ivf_probe_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = materialize_once(
+        os.path.join(tempfile.gettempdir(), "topk_spark_layout", sf, "ivf_cells"),
+        lambda p: ivf_cell_layout(emb, p, nlist=16, seed=7),
+    )
+    stored = spark.read.parquet(path)
+    q = _ann_queries(emb)
+    probes = ivf_probe_cells(q, emb, nlist=16, nprobe=6, seed=7)
+    probed_cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
+    scored = (
+        stored.filter(F.col("cell").isin(probed_cells))  # -> PartitionFilters
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, vv, (x, y) -> x * y), cast(0.0 as"
+                    " double), (a, v) -> a + v)"
+                    " / (sqrt(aggregate(transform(qv, x -> x * x), cast(0.0 as"
+                    " double), (a, v) -> a + v))"
+                    " * sqrt(aggregate(transform(vv, x -> x * x), cast(0.0 as"
+                    " double), (a, v) -> a + v)))"
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    from topk_spark.ops.topk import rank_topk
+
+    ann = rank_topk(scored, ["query_id"], [F.desc("score"), F.asc("vec_id")], 10)
+    exact = brute_force_topk(emb, _ann_queries(emb), k=10)
+    return _ann_recall_metrics(exact, ann, 0.6, 0.4)
