@@ -16,7 +16,7 @@ source-overlap matrix are aggregations over that already-tiny table.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.workload import register
@@ -99,3 +99,77 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_digests"))
         .orderBy("source_a", "source_b")
     )
+
+
+_ALLOC_BUDGET = 10000
+
+_ALLOC_ORACLE = f"""
+WITH n AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total, count(*) AS n_sources FROM n),
+q AS (
+  SELECT n.source, n.n_docs,
+         CAST(n.n_docs * {_ALLOC_BUDGET} // tot.n_total AS BIGINT) AS base_alloc,
+         CAST(n.n_docs * {_ALLOC_BUDGET} % tot.n_total AS BIGINT) AS rem,
+         tot.n_total
+  FROM n, tot
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rem_rank,
+         {_ALLOC_BUDGET} - SUM(base_alloc) OVER () AS leftover
+  FROM q
+)
+SELECT source, n_docs, base_alloc,
+       CAST(CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS final_alloc
+FROM r
+ORDER BY source
+"""
+
+
+@register(
+    "largest_remainder_allocation", tags=("MIX-alloc",), oracle=_ALLOC_ORACLE
+)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamilton (largest-remainder) apportionment of a 10k-sample
+    batch budget across sources proportional to document counts — the
+    integer-exact way to turn mixture WEIGHTS into per-source COUNTS that
+    sum to the budget exactly (naive floor leaves a deficit; float
+    rounding breaks the sum). Pure integer arithmetic: quotas as
+    (n_s·B div N, n_s·B mod N), leftovers to the largest remainders with
+    a stable tiebreak. The window runs over the per-source table
+    (|sources| rows) — trivially bounded at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = n.agg(F.sum("n_docs").alias("n_total"))
+    q = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("n_docs") * _ALLOC_BUDGET / F.col("n_total")).alias(
+            "base_alloc"
+        ),
+        F.pmod(F.col("n_docs") * _ALLOC_BUDGET, F.col("n_total")).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("source"))
+    w_all = Window.partitionBy()
+    r = q.select(
+        "source",
+        "n_docs",
+        "base_alloc",
+        F.row_number().over(w_rank).alias("rem_rank"),
+        (F.lit(_ALLOC_BUDGET) - F.sum("base_alloc").over(w_all)).alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "base_alloc",
+        (F.col("rem_rank") <= F.col("leftover")).cast("long").alias("extra"),
+        (
+            F.col("base_alloc")
+            + (F.col("rem_rank") <= F.col("leftover")).cast("long")
+        ).alias("final_alloc"),
+    ).orderBy("source")
