@@ -173,3 +173,87 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("rem_rank") <= F.col("leftover")).cast("long")
         ).alias("final_alloc"),
     ).orderBy("source")
+
+
+_QNORM_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+),
+pooled AS (
+  SELECT n_chars AS v,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS p
+  FROM documents
+),
+n AS (SELECT count(*) AS n_total FROM documents),
+t AS (
+  SELECT ranked.*, CAST(ceil(CAST(r AS DOUBLE) * n.n_total / n_s) AS BIGINT)
+           AS target_p
+  FROM ranked, n
+)
+SELECT t.doc_id, t.source, t.n_chars,
+       CAST(pooled.v AS BIGINT) AS norm_chars
+FROM t JOIN pooled ON pooled.p = t.target_p
+WHERE t.doc_id % 7 = 3
+ORDER BY t.doc_id
+"""
+
+
+@register("quantile_normalize_scores", tags=("MIX-qnorm",), oracle=_QNORM_ORACLE)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-doc score (n_chars):
+    each document's score is replaced by the POOLED distribution's value at
+    the same quantile — the calibration step before comparing quality
+    scores produced by different sources/heuristics. Scale-safe pooled
+    lookup: instead of a global row_number sort (one-partition funnel),
+    the pooled CDF is built per VALUE (count + running end position over
+    the bounded score domain) and broadcast; a position p maps to its
+    value by range containment. The only per-row window partitions by
+    source. Exact integers throughout except one correctly-rounded ceil
+    division.
+
+    NOTE on ties: pooled positions within equal values share that value,
+    so value-level CDF containment is exactly the row-level answer."""
+    d = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_s"),
+    )
+    cdf = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "v",
+            "cnt",
+            F.sum("cnt").over(Window.orderBy("v")).alias("cum_end"),
+        )
+        .select(
+            "v", (F.col("cum_end") - F.col("cnt") + 1).alias("cum_start"), "cum_end"
+        )
+    )
+    n_total = d.agg(F.count("*").alias("n_total"))
+    t = ranked.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ceil(F.col("r").cast("double") * F.col("n_total") / F.col("n_s"))
+        .cast("long")
+        .alias("target_p"),
+    )
+    return (
+        t.join(
+            F.broadcast(cdf),
+            (F.col("target_p") >= F.col("cum_start"))
+            & (F.col("target_p") <= F.col("cum_end")),
+        )
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "source", "n_chars", F.col("v").alias("norm_chars"))
+        .orderBy("doc_id")
+    )
