@@ -85,6 +85,7 @@ def load_all() -> dict[str, Query]:
         spectrum_queries,
         augment_queries,
         mmr_queries,
+        drift_queries,
         tpch2_queries,
         tpch3_queries,
         behavior_queries,

@@ -1,0 +1,127 @@
+"""Distribution-drift monitoring (round 2): the two-sample
+Kolmogorov-Smirnov distance, computed EXACTLY — the statistic a data-quality
+gate runs between yesterday's and today's feature distribution before
+letting a pipeline promote new data.
+
+Exactness: KS = max_v |F1(v) − F2(v)| compares empirical CDFs; instead of
+float CDFs, compare cross-multiplied integer counts — |cum1·n2 − cum2·n1| —
+so the max is over exact integers and only the final ppm is one floor
+division. DECIMAL(38,0) carries the products (at 100 TB day volumes the
+cross product exceeds int64).
+
+Scale shape: per-(day, value) counts partial-aggregate map-side; the CDF
+windows partition by day-pair over the bounded value domain; output is one
+row per adjacent-day pair.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_KS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, {_CENTS} AS cents, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT d FROM daily),
+pairs AS (
+  SELECT a.d AS d1, b.d AS d2 FROM days a JOIN days b
+  ON b.d = a.d + INTERVAL 1 DAY
+),
+sided AS (
+  SELECT p.d1, daily.cents,
+         CASE WHEN daily.d = p.d1 THEN daily.c ELSE 0 END AS c1,
+         CASE WHEN daily.d = p.d2 THEN daily.c ELSE 0 END AS c2
+  FROM pairs p JOIN daily ON daily.d IN (p.d1, p.d2)
+),
+merged AS (
+  SELECT d1, cents, SUM(c1) AS c1, SUM(c2) AS c2
+  FROM sided GROUP BY d1, cents
+),
+cum AS (
+  SELECT d1, cents,
+         SUM(c1) OVER (PARTITION BY d1 ORDER BY cents) AS cum1,
+         SUM(c2) OVER (PARTITION BY d1 ORDER BY cents) AS cum2,
+         SUM(c1) OVER (PARTITION BY d1) AS n1,
+         SUM(c2) OVER (PARTITION BY d1) AS n2
+  FROM merged
+)
+SELECT d1 AS day,
+       CAST(max(n1) AS BIGINT) AS n_day,
+       CAST(max(n2) AS BIGINT) AS n_next,
+       CAST(max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+            * 1000000 // (CAST(max(n1) AS HUGEINT) * max(n2)) AS BIGINT)
+         AS ks_ppm
+FROM cum GROUP BY d1
+ORDER BY day
+"""
+
+
+@register("ks_drift_daily", tags=("DRIFT-ks",), oracle=_KS_ORACLE)
+def ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance between each day's event-value
+    distribution and the next day's — the drift gate, in ppm. Adjacent-day
+    pairing replicates each day's value counts into its (day−1) pair via
+    one union (each daily row lands in ≤2 pairs — bounded fan-out, no
+    theta join); CDFs are running sums over the value domain per pair;
+    the statistic compares exact cross-multiplied DECIMAL counts."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).agg(F.count("*").alias("c"))
+    # day d contributes as side-1 of pair d and side-2 of pair d-1
+    side1 = daily.select(F.col("d").alias("d1"), "cents", F.col("c").alias("c1"),
+                         F.lit(0).alias("c2"))
+    side2 = daily.select(
+        F.date_sub("d", 1).alias("d1"), "cents", F.lit(0).alias("c1"),
+        F.col("c").alias("c2"),
+    )
+    merged = (
+        side1.unionByName(side2)
+        .groupBy("d1", "cents")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    w_cum = Window.partitionBy("d1").orderBy("cents")
+    w_all = Window.partitionBy("d1")
+    cum = merged.select(
+        "d1",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    agg = (
+        cum.groupBy("d1")
+        .agg(
+            F.max("n1").alias("n_day"),
+            F.max("n2").alias("n_next"),
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+                )
+            ).alias("ks_num"),
+        )
+        # drop the edge pairs where one side is empty (first day has no
+        # predecessor contribution, last pair has no successor)
+        .filter((F.col("n_day") > 0) & (F.col("n_next") > 0))
+    )
+    return agg.select(
+        F.col("d1").alias("day"),
+        "n_day",
+        "n_next",
+        F.floor(
+            F.col("ks_num")
+            * 1000000
+            / (F.col("n_day").cast("decimal(19,0)") * F.col("n_next"))
+        )
+        .cast("long")
+        .alias("ks_ppm"),
+    ).orderBy("day")
