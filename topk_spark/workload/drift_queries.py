@@ -125,3 +125,74 @@ def ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ks_ppm"),
     ).orderBy("day")
+
+
+_GINI_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+freq AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c, tok) AS i
+  FROM freq
+),
+agg AS (
+  SELECT source, count(*) AS n, SUM(c) AS total, SUM(i * c) AS iwsum
+  FROM ranked GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_tokens_distinct,
+       CAST(total AS BIGINT) AS n_tokens,
+       CAST((2 * CAST(iwsum AS HUGEINT) - (n + 1) * CAST(total AS HUGEINT))
+            * 1000000 // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_ppm
+FROM agg
+ORDER BY source
+"""
+
+
+@register("token_gini_ppm", tags=("DRIFT-gini",), oracle=_GINI_ORACLE)
+def token_gini_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of each source's token-frequency distribution in
+    exact ppm — the concentration diagnostic (a source whose tokens are
+    dominated by a few strings is boilerplate-heavy; a too-uniform one is
+    likely synthetic). Rank-weighted form G = (2·Σi·c_i − (n+1)·Σc)/(n·Σc)
+    over counts sorted ascending: every term is an exact integer, one
+    floor division at the end. The rank window partitions by source over
+    the (vocab-sized) frequency table."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = freq.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("c", "tok"))
+        .alias("i"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("i").cast("decimal(20,0)") * F.col("c")).alias("iwsum"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").alias("n_tokens_distinct"),
+        F.col("total").alias("n_tokens"),
+        F.floor(
+            (
+                2 * F.col("iwsum").cast("decimal(30,0)")
+                - (F.col("n") + 1) * F.col("total").cast("decimal(30,0)")
+            )
+            * 1000000
+            / (F.col("n").cast("decimal(19,0)") * F.col("total"))
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    ).orderBy("source")
