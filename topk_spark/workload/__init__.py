@@ -38,11 +38,30 @@ def register(
     return deco
 
 
-# Query names with a green driver CORRECTNESS row in round 1 (the keys of
-# CORRECTNESS_r01.json). The driver verifies in registration order under a
-# cap (round 1 checked exactly the first 50), so load_all() registers every
-# name NOT in this set first — one round of driver runs closes VERDICT gap #1
-# without re-spending the cap on already-hash-verified queries.
+# The driver verifies queries in registration order under a cap (round 1
+# checked exactly the first 50), so load_all() orders the registry to spend
+# each round's cap on queries that still lack a driver CORRECTNESS row:
+#
+#   tier 0 — never-driver-checked queries from the batches VERDICT.md named
+#            as gap #1 (TPC-H Q2–Q22, behavior, hygiene, pipeline utilities)
+#            plus the recall/error oracles that replace round-1's no_oracle
+#            rows (gap #2) — exactly 50 names as of round 2;
+#   tier 1 — every other never-driver-checked query;
+#   tier 2 — queries already hash-verified (or rows-only-checked) in a prior
+#            round, read dynamically from CORRECTNESS_r*.json at repo root so
+#            the ordering self-updates every round with no code change.
+#
+# _R1_VERIFIED is the static fallback when no CORRECTNESS files are readable
+# (e.g. the repo checked out elsewhere): the keys of CORRECTNESS_r01.json.
+_PRIORITY_MODULES: tuple[str, ...] = (
+    "recall_queries",
+    "tpch2_queries",
+    "tpch3_queries",
+    "behavior_queries",
+    "hygiene_queries",
+    "pipeline2_queries",
+)
+
 _R1_VERIFIED: frozenset[str] = frozenset({
     "topk_revenue_raw_24h", "rollup_1m", "merge_rollup_1h",
     "reagg_rollup_total", "topk_per_key", "topk_global",
@@ -63,11 +82,30 @@ _R1_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+def _driver_verified() -> frozenset[str]:
+    """Names with any driver CORRECTNESS row so far (hash-verified or
+    rows-only): every key of every CORRECTNESS_r*.json at the repo root.
+    Falls back to the static round-1 snapshot when none are readable."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return frozenset(seen) if seen else _R1_VERIFIED
+
+
 def load_all() -> dict[str, Query]:
     """Import all workload modules (side-effect: registration) and return the
-    registry, re-ordered so that every query WITHOUT a round-1 driver
-    CORRECTNESS row registers before the already-verified ones (the driver
-    checks in registration order under a cap; see _R1_VERIFIED)."""
+    registry, re-ordered so the driver's capped, in-registration-order
+    CORRECTNESS pass lands on queries that still lack a row (tiers documented
+    at _PRIORITY_MODULES above)."""
     from topk_spark.workload import (  # noqa: F401
         cdc_queries,
         graph_queries,
@@ -112,5 +150,14 @@ def load_all() -> dict[str, Query]:
         setstats_queries,
     )
 
-    ordered = sorted(REGISTRY, key=lambda n: (n in _R1_VERIFIED,))
+    verified = _driver_verified()
+    prio = {m: i for i, m in enumerate(_PRIORITY_MODULES)}
+
+    def tier(name: str) -> tuple[int, int]:
+        if name in verified:
+            return (2, 0)
+        mod = REGISTRY[name].fn.__module__.rsplit(".", 1)[-1]
+        return (0, prio[mod]) if mod in prio else (1, 0)
+
+    ordered = sorted(REGISTRY, key=tier)  # stable: in-module order preserved
     return {n: REGISTRY[n] for n in ordered}
