@@ -117,6 +117,7 @@ def load_all() -> dict[str, Query]:
         corpus_ops_queries,
         recall_queries,
         text4_queries,
+        text5_queries,
         forecast_queries,
         mining_queries,
         curation_queries,
