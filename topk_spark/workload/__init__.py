@@ -118,6 +118,9 @@ def load_all() -> dict[str, Query]:
         recall_queries,
         text4_queries,
         text5_queries,
+        changepoint_queries,
+        sampling_queries,
+        multimodal2_queries,
         forecast_queries,
         mining_queries,
         curation_queries,

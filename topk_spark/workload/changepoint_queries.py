@@ -1,0 +1,120 @@
+"""Change-point detection over the daily revenue series — round-2c
+addition to the time-series analytics surface.
+
+``cusum_changepoint`` implements the classic one-sided CUSUM control chart
+(Page 1954): S_t = max(0, S_{t-1} + (x_t − μ)). The textbook form is a
+sequential recursion — useless as-is on a distributed engine — but it has
+an EXACT parallel-prefix rewrite:
+
+    S_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} (x_i − μ)
+
+(the running max-drawdown identity), which is two window functions over the
+per-series partition: a prefix SUM and a prefix MIN. That turns an
+inherently sequential detector into a shuffle-once, scan-parallel plan —
+the same rewrite trick the engine uses for sessionization and running
+totals, and the pattern to reach for whenever a "stateful scan" looks like
+it needs applyInPandas.
+
+Determinism discipline: money stays integer cents; μ = total/n is kept
+RATIONAL by scaling every deviation by n (d_t = n·x_t − total), so P, S and
+the alarm comparison (S > 1.5·total ⇔ 2·S > 3·total·? — in scaled units
+2·S_scaled > 3·total·1 with S_scaled in n·cents) are pure BIGINT — the
+whole chart value-hashes against DuckDB with zero float operations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents_col():
+    return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+
+# Alarm when S_true > 1.5 * mean_daily. In scaled units S_scaled = n*S_true
+# and mean_daily = total/n, so: S_scaled/n > 1.5*total/n  ⇔  2*S_scaled > 3*total.
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, SUM({_CENTS}) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cents) AS total
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT daily.event_type, d, daily.cents,
+         stats.n * daily.cents - stats.total AS dt,
+         stats.total AS total
+  FROM daily JOIN stats USING (event_type)
+),
+pre AS (
+  SELECT event_type, d, cents, total,
+         SUM(dt) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM dev
+),
+s AS (
+  SELECT event_type, d, cents, total,
+         p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS cusum_scaled
+  FROM pre
+)
+SELECT event_type, d, CAST(cents AS BIGINT) AS cents,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       (2 * cusum_scaled > 3 * total) AS alarm
+FROM s
+ORDER BY event_type, d
+"""
+
+
+@register("cusum_changepoint", tags=("timeseries", "anomaly"), oracle=_CUSUM_ORACLE)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM upward-shift detector per event_type over daily
+    revenue, alarm threshold 1.5× the series' mean daily revenue.
+
+    100 TB posture: the sequential recursion is rewritten exactly as
+    prefix-sum minus clamped prefix-min (see module docstring), so the plan
+    is one shuffle on the series key followed by two in-partition window
+    scans — series process independently, no global order, no Python. The
+    per-series day count is bounded (one row per day), so window state is
+    trivially memory-safe even when the raw event volume is not."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"), _cents_col().alias("cents"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "cents",
+        "total",
+        (F.col("n") * F.col("cents") - F.col("total")).alias("dt"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.withColumn("p", F.sum("dt").over(w))
+    s = pre.withColumn(
+        "cusum_scaled", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    return s.select(
+        "event_type",
+        "d",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        (2 * F.col("cusum_scaled") > 3 * F.col("total")).alias("alarm"),
+    ).orderBy("event_type", "d")
