@@ -43,7 +43,7 @@ def bloom_build(
             for i in range(k)
         ]
     )
-    return (
+    sparse = (
         keys.select(F.explode(pos_arr).alias("pos"))
         .select(
             F.shiftright("pos", 6).alias("word_idx"),
@@ -54,8 +54,22 @@ def bloom_build(
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("word_idx", "word"))
-            ).alias("__bloom")
+            ).alias("__bloom_map")
         )
+    )
+    # Densify the one-row map into an array<long> indexed by word_idx:
+    # Spark's element_at on a MAP is a LINEAR scan of the entries (m/64
+    # comparisons per lookup — measured 1.6 s of pure probe time at sf0.1),
+    # while element_at on an ARRAY is O(1). The conversion runs once on a
+    # single row; every probe-row lookup thereafter is constant-time.
+    n_words = m_bits // 64
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at("__bloom_map", i), F.lit(0).cast("long")
+            ),
+        ).alias("__bloom")
     )
 
 
@@ -71,10 +85,16 @@ def bloom_prefilter(
     via a 1-row broadcast crossJoin (the scalar-broadcast pattern used
     across this engine); the k membership tests are one AND-ed codegen
     expression, evaluated map-side before any downstream shuffle."""
+    # Flat k-way AND of codegen bit tests. Each conjunct names its
+    # xxhash64 twice (word index + bit offset) but that still beats a
+    # forall(transform(...)) single-eval form, which allocates a position
+    # array per row (measured 1.43 s vs 0.91 s probe at sf0.1). element_at
+    # on the ARRAY bitset is O(1); the earlier MAP bitset was an O(m/64)
+    # per-lookup linear scan and dominated the probe (1.6 s alone).
     tests = []
     for i in range(k):
         p = f"pmod(xxhash64(`{key_col}`, {i}), {m_bits}L)"
-        word = f"coalesce(element_at(__bloom, shiftright({p}, 6)), 0L)"
+        word = f"element_at(__bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
         tests.append(
             f"((shiftright({word}, CAST({p} % 64 AS INT)) & 1L) = 1L)"
         )
