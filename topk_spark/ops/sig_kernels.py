@@ -81,6 +81,49 @@ def _hash_array(strings: list[str]) -> np.ndarray:
     return np.fromiter((_h64(s) for s in strings), dtype=np.uint64, count=len(strings))
 
 
+def _token_hashes(tokens: list[str], memo: dict[str, int]) -> np.ndarray:
+    """Per-token 64-bit hashes with a batch-lifetime memo: corpus
+    vocabularies are small relative to token streams, so memoization turns
+    ~|tokens| Python-side blake2b calls per doc into ~|new vocab| per
+    batch (the former dominated the whole LSH pipeline's runtime)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    get = memo.get
+    for j, t in enumerate(tokens):
+        h = get(t)
+        if h is None:
+            h = _h64(t)
+            memo[t] = h
+        out[j] = h
+    return out
+
+
+_ROLL_K = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ bijective multiplier mod 2^64
+
+
+def _shingle_hash_u64(tokens: list[str], n: int, memo: dict[str, int]) -> np.ndarray:
+    """DISTINCT 64-bit hashes of the n-token shingles, vectorized: hash
+    each token once (memoized), then combine windows with the rolling
+    polynomial h = ((t₀·K + t₁)·K + t₂)… in uint64 wraparound — numpy array
+    ops over shifted views instead of a Python string-join + blake2b per
+    shingle. Same windowing semantics as `_shingles`/word_shingles
+    (indices 0..max(len−n,0), short docs collapse to one truncated
+    window); hash VALUES differ from the old per-string blake2b, but every
+    consumer only relies on set identity (Jaccard, banding, prefix order),
+    which any injective-up-to-2⁻⁶⁴ hash provides."""
+    th = _token_hashes(tokens, memo)
+    if len(tokens) <= n:
+        acc = th[:1].copy()
+        for j in range(1, len(tokens)):
+            acc = acc * _ROLL_K + th[j : j + 1]
+        return acc
+    w = len(tokens) - n + 1
+    acc = th[:w].copy()
+    for j in range(1, n):
+        acc *= _ROLL_K
+        acc += th[j : j + w]
+    return np.unique(acc)
+
+
 def _u64_to_i64(a: np.ndarray) -> np.ndarray:
     return a.astype(np.uint64).view(np.int64)
 
@@ -134,15 +177,16 @@ def minhash_band_rows(
     A, C = _perm_constants(num_perm)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
         for batch in batches:
             out_id: list[int] = []
             out_band: list[int] = []
             out_hash: list[int] = []
             for i, text in zip(batch[id_col], batch[text_col]):
-                sh = _shingles(_tokens(text), shingle_n)
-                if not sh or sh == [""]:
+                toks = _tokens(text)
+                if toks == [""]:
                     continue
-                H = _hash_array(sh)
+                H = _shingle_hash_u64(toks, shingle_n, memo)
                 # P×S affine then min over shingles → P signature minima.
                 sig = (A[:, None] * H[None, :] + C[:, None]).min(axis=1)
                 sb = sig.astype(">u8").tobytes()
@@ -182,15 +226,18 @@ def hashed_shingles(
     ~8 bytes/shingle, so the verify join moves hashes, never text."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
         for batch in batches:
             ids: list[int] = []
             arrs: list[np.ndarray] = []
             for i, text in zip(batch[id_col], batch[text_col]):
-                sh = _shingles(_tokens(text), shingle_n)
-                if not sh or sh == [""]:
+                toks = _tokens(text)
+                if toks == [""]:
                     continue
                 ids.append(int(i))
-                arrs.append(np.sort(_u64_to_i64(_hash_array(sh))))
+                arrs.append(
+                    np.sort(_u64_to_i64(_shingle_hash_u64(toks, shingle_n, memo)))
+                )
             yield pd.DataFrame(
                 {"id": pd.Series(ids, dtype="int64"), "hsh": arrs}
             )
@@ -215,12 +262,13 @@ def simhash_table(
     ±1 vote per bit position, sign of the vote sets the bit."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
         for batch in batches:
             ids: list[int] = []
             sims: list[int] = []
             for i, text in zip(batch[id_col], batch[text_col]):
                 toks = _tokens(text)
-                H = _hash_array(toks)
+                H = _token_hashes(toks, memo)
                 bits = ((H[:, None] >> _BIT_COLS[None, :]) & np.uint64(1)).astype(
                     np.int64
                 )
