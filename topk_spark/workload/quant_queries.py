@@ -71,15 +71,22 @@ def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bandwidth-bound and compute-bound scan. Rank window runs per query id
     over bounded candidate sets."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Hoist the per-vector scale into its own projection: higher-order
+    # lambdas are interpreted (not codegen), so leaving array_max inside
+    # the per-element transform re-evaluated an O(d) reduction d times per
+    # row — measured ~2× of this query's scan time at sf0.1.
     quant = emb.select(
         "vec_id",
+        "embedding",
         F.expr(
-            "transform(embedding,"
-            " x -> cast(floor("
-            "   cast(x as double)"
-            "   * (cast(127.0 as double) / array_max(transform(embedding,"
-            "        y -> abs(cast(y as double)))))"
-            " ) as bigint))"
+            "cast(127.0 as double) / array_max(transform(embedding,"
+            " y -> abs(cast(y as double))))"
+        ).alias("scale"),
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * scale)"
+            " as bigint))"
         ).alias("q"),
     )
     qs = (

@@ -305,14 +305,20 @@ def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
     quant = emb.select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double)"
-            " * (cast(127.0 as double) / array_max(transform(embedding,"
-            " y -> abs(cast(y as double)))))) as bigint))"
-        ).alias("q"),
+        "embedding",
+        # hoisted once per row: interpreted lambdas re-evaluate any inner
+        # array_max per element (see int8_quantized_topk)
         F.expr(
             "array_max(transform(embedding, y -> abs(cast(y as double))))"
-            " / sqrt(aggregate(transform(embedding,"
+        ).alias("mx"),
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * (cast(127.0 as double) / mx)) as bigint))"
+        ).alias("q"),
+        F.expr(
+            "mx / sqrt(aggregate(transform(embedding,"
             " y -> cast(y as double) * cast(y as double)),"
             " cast(0.0 as double), (a, v) -> a + v))"
         ).alias("corr"),
