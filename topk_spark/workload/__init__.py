@@ -121,6 +121,8 @@ def load_all() -> dict[str, Query]:
         changepoint_queries,
         sampling_queries,
         multimodal2_queries,
+        graph3_queries,
+        containment_queries,
         forecast_queries,
         mining_queries,
         curation_queries,

@@ -1,0 +1,113 @@
+"""Third graph-analytics batch: link prediction over the co-purchase graph.
+
+``link_prediction_jaccard`` scores NON-edges by neighborhood overlap — the
+classic common-neighbors / Jaccard link predictor (Liben-Nowell & Kleinberg
+2003): candidates are two-hop pairs (a −n− b with a<b), score =
+|N(a)∩N(b)| / |N(a)∪N(b)| in exact ppm, existing edges excluded. This is
+the "recommend related products" query a co-purchase store serves.
+
+Graph semantics shared with pagerank/triangles (graph2_queries._EDGES_SQL:
+parts co-purchased in ≥2 orders, undirected). Scores are integer ppm, so
+the ranking hash-matches DuckDB at any parallelism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.ops.topk import topn
+from topk_spark.workload import register
+from topk_spark.workload.graph2_queries import _EDGES_SQL, _pairs
+
+_TOP = 20
+
+_LINKPRED_ORACLE = f"""
+WITH {_EDGES_SQL},
+sym AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+two_hop AS (
+  SELECT e1.dst AS a, e2.dst AS b, count(*) AS common
+  FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT t.a, t.b, t.common
+  FROM two_hop t
+  ANTI JOIN pairs p ON p.src = t.a AND p.dst = t.b
+  WHERE t.common >= 2
+)
+SELECT a AS node_a, b AS node_b, CAST(common AS BIGINT) AS common_neighbors,
+       CAST(common * 1000000 // (da.deg + db.deg - common) AS BIGINT)
+         AS jaccard_ppm
+FROM cand
+JOIN deg da ON da.node = cand.a
+JOIN deg db ON db.node = cand.b
+ORDER BY jaccard_ppm DESC, common DESC, node_a, node_b
+LIMIT {_TOP}
+"""
+
+
+@register("link_prediction_jaccard", tags=("graph", "linkpred"), oracle=_LINKPRED_ORACLE)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links by neighborhood-Jaccard (ppm), common ≥ 2,
+    existing edges anti-joined out.
+
+    100 TB posture: candidates come from the two-hop equi-join on the
+    shared middle vertex (one hash shuffle on node id; fan-out bounded by
+    degree², the inherent cost of common-neighbor scoring — hub nodes are
+    capped upstream by the ≥2-co-orders edge definition), the edge
+    anti-join and the two degree joins are plain equi-joins on node id,
+    and the final top-20 is a bounded heap. No cartesian anywhere."""
+    edges = _pairs(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    e1 = sym.select(F.col("src").alias("n"), F.col("dst").alias("a"))
+    e2 = sym.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+    two_hop = (
+        e1.join(e2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    cand = two_hop.join(
+        edges,
+        (two_hop["a"] == edges["src"]) & (two_hop["b"] == edges["dst"]),
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.withColumnRenamed("deg", "da"), F.col("a") == F.col("node"))
+        .drop("node")
+        .join(deg.withColumnRenamed("deg", "db"), F.col("b") == F.col("node"))
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.floor(
+                F.col("common")
+                * F.lit(1000000)
+                / (F.col("da") + F.col("db") - F.col("common"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return topn(
+        scored,
+        [
+            F.desc("jaccard_ppm"),
+            F.desc("common_neighbors"),
+            F.asc("node_a"),
+            F.asc("node_b"),
+        ],
+        _TOP,
+    )
