@@ -123,6 +123,7 @@ def load_all() -> dict[str, Query]:
         multimodal2_queries,
         graph3_queries,
         containment_queries,
+        stats2_queries,
         forecast_queries,
         mining_queries,
         curation_queries,

@@ -1,0 +1,173 @@
+"""Statistical data-quality audits — round-2c additions: a chi-square
+independence test and a Benford leading-digit audit, both DIVISION-FREE
+exact-integer formulations so the verdicts value-hash across engines.
+
+- ``chi_square_independence``: is event_type independent of ISO weekday?
+  Per-cell χ² contribution is (O·N − R·C)² / (R·C·N); instead of computing
+  that float, the significance check cross-multiplies against the
+  χ²(df=1)=3.841 critical value — 1000·(O·N−R·C)² ≥ 3841·R·C·N — in
+  DECIMAL(38,0)/HUGEINT arithmetic (the square reaches ~10²³ at sf0.1,
+  past BIGINT), and the reported expectation is exact milli-units
+  (R·C·1000 // N, which does fit BIGINT). No float ever exists, so the
+  per-cell verdict is bit-deterministic at any parallelism.
+- ``benford_leading_digit``: first-significant-digit distribution of the
+  revenue cents vs Benford's law. The leading digit comes from the DECIMAL
+  STRING head — no log10, no float; expected shares are the standard
+  Benford ppm constants; deviations are integer ppm.
+
+Reference parity context: the reference has no statistics surface; these
+are the audit queries an ingest pipeline runs to catch schedule skew and
+fabricated-value anomalies.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.ops.timeparts import iso_dayofweek
+from topk_spark.workload import register
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents_col():
+    return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+
+# χ²(df=1) critical value at α=0.05 is 3.841: per-cell significance ⇔
+# dev²/(R·C·N) ≥ 3.841 ⇔ 1000·dev² ≥ 3841·R·C·N (exact integers).
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type, isodow(ts) AS dow, count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, dow, o,
+         SUM(o) OVER (PARTITION BY event_type) AS r,
+         SUM(o) OVER (PARTITION BY dow) AS c,
+         SUM(o) OVER () AS n
+  FROM cells
+)
+SELECT event_type, CAST(dow AS INT) AS dow, o,
+       CAST(r * c * 1000 // n AS BIGINT) AS expected_milli,
+       (1000 * ((o * n - r * c)::HUGEINT * (o * n - r * c)::HUGEINT)
+          >= 3841 * (r::HUGEINT * c::HUGEINT * n::HUGEINT)) AS significant
+FROM m
+ORDER BY event_type, dow
+"""
+
+
+@register("chi_square_independence", tags=("stats", "audit"), oracle=_CHI2_ORACLE)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type × ISO-weekday contingency audit: observed count, exact
+    milli expectation under independence, and a division-free χ²(df=1)
+    per-cell significance flag (module docstring).
+
+    100 TB posture: one partial+final count aggregate on the (type, dow)
+    pair — 35 cells — then three window sums over those 35 rows; the
+    margins never touch raw events again. All arithmetic integer/decimal;
+    whole-stage codegen end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select("event_type", iso_dayofweek("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("o"))
+    )
+    from pyspark.sql import Window
+
+    m = (
+        cells.withColumn("r", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("c", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    dev = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("decimal(38,0)")
+    rcn = (
+        F.col("r").cast("decimal(38,0)")
+        * F.col("c").cast("decimal(38,0)")
+        * F.col("n").cast("decimal(38,0)")
+    )
+    return m.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "o",
+        F.floor(F.col("r") * F.col("c") * 1000 / F.col("n"))
+        .cast("long")
+        .alias("expected_milli"),
+        (F.lit(1000).cast("decimal(38,0)") * dev * dev >= F.lit(3841).cast(
+            "decimal(38,0)"
+        ) * rcn).alias("significant"),
+    ).orderBy("event_type", "dow")
+
+
+# Benford expected ppm for digits 1..9: floor(log10(1+1/d) * 1e6)
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())
+
+_BENFORD_ORACLE = f"""
+WITH v AS (
+  SELECT substr(CAST({_CENTS} AS VARCHAR), 1, 1)::INT AS d
+  FROM events WHERE {_CENTS} > 0
+),
+obs AS (
+  SELECT d, count(*)::BIGINT AS cnt FROM v GROUP BY d
+),
+tot AS (SELECT SUM(cnt) AS n FROM obs)
+SELECT b.d AS digit,
+       COALESCE(obs.cnt, 0)::BIGINT AS cnt,
+       CAST(COALESCE(obs.cnt, 0) * 1000000 // tot.n AS BIGINT) AS observed_ppm,
+       CAST(b.ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(COALESCE(obs.cnt, 0) * 1000000 // tot.n - b.ppm) AS BIGINT)
+         AS deviation_ppm
+FROM (VALUES {_BENFORD_VALUES}) AS b(d, ppm)
+LEFT JOIN obs ON obs.d = b.d
+CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+@register("benford_leading_digit", tags=("stats", "audit"), oracle=_BENFORD_ORACLE)
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of positive revenue cents vs Benford's
+    law, deviations in exact ppm. The first significant digit is read off
+    the integer's decimal string — no log10, no float — and every share is
+    a BIGINT floor, so the audit value-hashes.
+
+    100 TB posture: map-side digit extraction → 9-group partial+final
+    count; the Benford reference is a 9-row literal joined at the end."""
+    e = load_table(spark, sf_dir, "events")
+    cents = _cents_col()
+    obs = (
+        e.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ref = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()], "digit int, benford_ppm long"
+    )
+    tot = obs.agg(F.sum("cnt").alias("n"))
+    joined = (
+        ref.join(obs, ref.digit == obs.d, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+            F.floor(F.coalesce("cnt", F.lit(0)) * F.lit(1000000) / F.col("n"))
+            .cast("long")
+            .alias("observed_ppm"),
+            F.col("benford_ppm").cast("long").alias("benford_ppm"),
+        )
+    )
+    return joined.select(
+        "digit",
+        "cnt",
+        "observed_ppm",
+        "benford_ppm",
+        F.abs(F.col("observed_ppm") - F.col("benford_ppm")).alias("deviation_ppm"),
+    ).orderBy("digit")
