@@ -452,18 +452,23 @@ def _wav_samples(n_samples: int, amp: int) -> "np.ndarray":
     return np.tile(pattern, n_samples // 8).astype("<i2")
 
 
-def encode_wav(doc_id: int) -> bytes:
-    """Fully valid PCM16 mono WAV — canonical 44-byte RIFF/fmt/data layout,
-    playable by any reader — with deterministic triangle-wave content."""
-    sr, n, amp = wav_params(doc_id)
-    data = _wav_samples(n, amp).tobytes()
-    byte_rate = sr * 2
+def encode_wav_pcm(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Fully valid PCM16 mono WAV (canonical 44-byte RIFF/fmt/data layout,
+    playable by any reader) around the given int16 sample array."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
     hdr = (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, byte_rate, 2, 16)
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
         + b"data" + struct.pack("<I", len(data))
     )
     return hdr + data
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Deterministic triangle-wave WAV for doc_id (see wav_params)."""
+    sr, n, amp = wav_params(doc_id)
+    return encode_wav_pcm(sr, _wav_samples(n, amp))
 
 
 def parse_wav(b: bytes) -> tuple[int, int, int, int] | None:

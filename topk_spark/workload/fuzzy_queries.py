@@ -207,3 +207,95 @@ def neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
     comp = connected_components(pairs)
     return comp.withColumn("keep", F.col("id") == F.col("component"))
+
+
+_GOLDEN_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_PERT_OFFSET} AS doc_id,
+         array_to_string(l[1:len(l)-1], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM base)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)-1),
+            i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+),
+wt AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS w FROM corpus
+),
+ranked AS (
+  SELECT comp.id, comp.component, wt.w,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY wt.w DESC, comp.id ASC) AS rn
+  FROM comp JOIN wt ON wt.doc_id = comp.id
+)
+SELECT r.id, CAST(r.component AS BIGINT) AS component,
+       CAST(e.id AS BIGINT) AS elected,
+       (r.id = e.id) AS keep
+FROM ranked r
+JOIN (SELECT component, id FROM ranked WHERE rn = 1) e USING (component)
+ORDER BY r.id
+"""
+
+
+@register("golden_record_election", tags=("er", "DD-canonical"), oracle=_GOLDEN_ORACLE)
+def golden_record_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after near-dup clustering: within each connected
+    component, elect the RICHEST record (most tokens, ties to the lowest
+    id) as the golden copy — the merge rule an entity-resolution pipeline
+    applies after matching, upgraded from neardup_cluster_dedup's min-id
+    convention to a quality-based election.
+
+    100 TB posture: the election is a single partial+final `max_by(id,
+    (w, -id))` aggregate per component — no window over rows, no sort;
+    component labels come from the same iterative min-label propagation
+    as neardup_cluster_dedup (lineage-truncated per round)."""
+    from topk_spark.ops.fuzzy_dedup import connected_components, tokenize
+
+    corpus = perturbed_corpus(spark, sf_dir, modulo=5)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    comp = connected_components(pairs)
+    wt = corpus.select(
+        F.col("doc_id").alias("id"), F.size(tokenize(F.col("text"))).alias("w")
+    )
+    joined = comp.join(wt, "id")
+    elected = joined.groupBy("component").agg(
+        F.expr("max_by(id, struct(w, -id))").alias("elected")
+    )
+    return (
+        joined.join(elected, "component")
+        .select(
+            "id",
+            F.col("component").cast("long").alias("component"),
+            F.col("elected").cast("long").alias("elected"),
+            (F.col("id") == F.col("elected")).alias("keep"),
+        )
+        .orderBy("id")
+    )

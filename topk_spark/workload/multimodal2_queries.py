@@ -29,7 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from topk_spark.io.sources import load_table
 from topk_spark.workload import register
@@ -118,3 +118,87 @@ def image_patchify_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, _PATCH_SCHEMA
     )
     return patches.orderBy("doc_id", "patch_row", "patch_col")
+
+
+# ---------------------------------------------------------------------------
+# Audio 2× downsample round trip — the audio sibling of resize_images_half
+# ---------------------------------------------------------------------------
+
+# Source wave is the period-8 triangle [0,a,2a,a,0,-a,-2a,-a] (wav_params /
+# _wav_samples). Keeping even indices leaves [0,2a,0,-2a] per period:
+# sum-of-squares per kept period = 8a², periods = n/8 ⇒ total = n·a².
+_RESAMPLE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 4) * 4000 AS sr,
+         256 + (doc_id % 7) * 64 AS n,
+         1000 + (doc_id % 10) * 500 AS a
+  FROM documents WHERE doc_id % 11 = 5
+)
+SELECT doc_id,
+       CAST(sr // 2 AS INT) AS sample_rate2,
+       CAST(n // 2 AS BIGINT) AS n_samples2,
+       CAST(n * a * a AS BIGINT) AS sum_squares2
+FROM p
+ORDER BY doc_id
+"""
+
+_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate2", IntegerType(), True),
+        StructField("n_samples2", LongType(), True),
+        StructField("sum_squares2", LongType(), True),
+    ]
+)
+
+
+@register("audio_resample_half", tags=("MM-audio",), oracle=_RESAMPLE_ORACLE)
+def audio_resample_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True sample-level 2× audio downsample: decode the WAV's actual int16
+    samples, stride-2 subsample, RE-ENCODE a valid half-rate WAV, parse it
+    back, and analyze the re-decoded samples — a full
+    decode→transform→encode→decode cycle whose every field the oracle
+    predicts in closed form from the triangle-wave energy identity
+    (header arithmetic alone cannot fake sum_squares2 = n·a²). Blobs stay
+    inside one map stage; only scalars leave."""
+    from topk_spark.ops.multimodal import (
+        encode_wav_pcm,
+        make_audio_payload,
+        parse_wav,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 5)
+    with_payload = make_audio_payload(d)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = {"doc_id": [], "sample_rate2": [], "n_samples2": [], "sum_squares2": []}
+            for i, b in zip(batch["doc_id"], batch["payload"]):
+                raw = bytes(b)
+                parsed = parse_wav(raw)
+                out["doc_id"].append(int(i))
+                if parsed is None:
+                    out["sample_rate2"].append(None)
+                    out["n_samples2"].append(None)
+                    out["sum_squares2"].append(None)
+                    continue
+                sr, _ch, _bits, n = parsed
+                samples = np.frombuffer(raw[44 : 44 + 2 * n], "<i2")
+                half = encode_wav_pcm(sr // 2, samples[::2].copy())
+                sr2, _c2, _b2, n2 = parse_wav(half)
+                s2 = np.frombuffer(half[44 : 44 + 2 * n2], "<i2")
+                out["sample_rate2"].append(int(sr2))
+                out["n_samples2"].append(int(n2))
+                out["sum_squares2"].append(int((s2.astype(np.int64) ** 2).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        with_payload.select("doc_id", "payload")
+        .mapInPandas(run, _RESAMPLE_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -171,3 +171,113 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "benford_ppm",
         F.abs(F.col("observed_ppm") - F.col("benford_ppm")).alias("deviation_ppm"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum), exact integers via doubled midranks
+# ---------------------------------------------------------------------------
+
+_MWU_A, _MWU_B = "purchase", "click"
+
+# Doubled midrank of a tied value group occupying ranks [L+1, L+c] is
+# 2L + c + 1 (an integer even when the midrank is x.5), so the doubled
+# rank sum R2 and doubled statistic U2 = R2 − nA(nA+1) stay in BIGINT.
+# Significance: z² ≥ 3.8416 with μ=nAnB/2, σ²=nAnB(N+1)/12 (tie correction
+# omitted — omission INFLATES σ, so the flag is conservative):
+#   (U2−nAnB)²/4 ≥ 3.8416·nAnB(N+1)/12  ⇔  30000·(U2−nAnB)² ≥ 38416·nAnB·(N+1)
+# cross-multiplied in HUGEINT/DECIMAL(38,0) — (U2−nAnB)² passes BIGINT at scale.
+_MWU_ORACLE = f"""
+WITH v AS (
+  SELECT event_type, {_CENTS} AS cents FROM events
+  WHERE event_type IN ('{_MWU_A}', '{_MWU_B}')
+),
+per_val AS (
+  SELECT cents,
+         count(*) AS c,
+         count(*) FILTER (WHERE event_type = '{_MWU_A}') AS ca
+  FROM v GROUP BY cents
+),
+ranked AS (
+  SELECT cents, c, ca,
+         COALESCE(SUM(c) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+  FROM per_val
+),
+agg AS (
+  SELECT SUM(ca * (2 * l + c + 1)) AS r2a,
+         SUM(ca) AS na,
+         SUM(c - ca) AS nb,
+         SUM(c) AS n
+  FROM ranked
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+       CAST((r2a - na * (na + 1)) * 1000000 // (2 * na * nb) AS BIGINT)
+         AS effect_ppm,
+       (30000 * ((r2a - na * (na + 1) - na * nb)::HUGEINT
+                 * (r2a - na * (na + 1) - na * nb)::HUGEINT)
+          >= 38416 * (na::HUGEINT * nb::HUGEINT * (n::HUGEINT + 1)))
+         AS significant
+FROM agg
+"""
+
+
+@register("mannwhitney_u", tags=("stats", "abtest"), oracle=_MWU_ORACLE)
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: does 'purchase' revenue stochastically
+    dominate 'click'? Doubled midranks keep tied ranks integer; the doubled
+    statistic U2, the common-language effect size (P(A>B) in ppm,
+    = U2 / 2·nA·nB), and a conservative cross-multiplied z² flag are all
+    exact — no float ranks anywhere.
+
+    100 TB posture: ranks are NEVER assigned per row — the reduction goes
+    straight to per-distinct-value counts (one hash aggregate), then a
+    window prefix-sum over the DISTINCT VALUES only (bounded cardinality,
+    not row count), then a one-row aggregate. The classic rank-sum over
+    a global row sort would single-task; this shape never materializes a
+    global order over rows."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MWU_A, _MWU_B)
+    )
+    per_val = (
+        e.select("event_type", _cents_col().alias("cents"))
+        .groupBy("cents")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum((F.col("event_type") == _MWU_A).cast("long")).alias("ca"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "l", F.coalesce(F.sum("c").over(w), F.lit(0).cast("long"))
+    )
+    agg = ranked.agg(
+        F.sum(F.col("ca") * (2 * F.col("l") + F.col("c") + 1)).alias("r2a"),
+        F.sum("ca").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).alias("nb"),
+        F.sum("c").alias("n"),
+    )
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    dev = (u2 - F.col("na") * F.col("nb")).cast("decimal(38,0)")
+    var_term = (
+        F.col("na").cast("decimal(38,0)")
+        * F.col("nb").cast("decimal(38,0)")
+        * (F.col("n").cast("decimal(38,0)") + 1)
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        # integral div keeps the ppm exact at any scale (a double-division
+        # floor would sit within rounding error of the 1/(2nAnB) gap)
+        F.expr(
+            "CAST((r2a - na * (na + 1)) * 1000000 div (2 * na * nb) AS BIGINT)"
+        ).alias("effect_ppm"),
+        (
+            F.lit(30000).cast("decimal(38,0)") * dev * dev
+            >= F.lit(38416).cast("decimal(38,0)") * var_term
+        ).alias("significant"),
+    )
