@@ -124,6 +124,7 @@ def load_all() -> dict[str, Query]:
         graph3_queries,
         containment_queries,
         stats2_queries,
+        layout2_queries,
         forecast_queries,
         mining_queries,
         curation_queries,

@@ -1,0 +1,148 @@
+"""Storage-encoding audits — round-2d layout batch: the queries a
+columnar-store operator runs to SIZE encodings before committing a layout
+(the Pinot/parquet question "will delta + RLE pay off on this sort
+order?"), answered as distributed queries over the data itself.
+
+- ``delta_bitwidth_stats``: per-user timestamp deltas under the
+  (user_id, ts) sort order → bit-width histogram (length of the binary
+  string — no float log2) plus the projected delta-encoding savings vs
+  raw 64-bit storage, in exact ppm.
+- ``rle_run_stats``: run-length statistics of event_type under the same
+  sort order: runs, rows, mean run length (milli), RLE ratio (ppm) per
+  type. A column whose runs/rows ppm is low is an RLE win.
+
+Both reduce after ONE shuffle on the sort key prefix (user_id): the
+windows are in-partition, and only (bitwidth | type)-level aggregates
+leave the second stage. All metrics integer (bin-string lengths, BIGINT
+floors) — hash-exact against DuckDB, whose bin() matches Spark's
+(bin(0)='0', no leading zeros).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_DELTA_ORACLE = """
+WITH s AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events
+),
+d AS (
+  SELECT length(bin(ms - prev)) AS bitwidth FROM s WHERE prev IS NOT NULL
+),
+h AS (
+  SELECT bitwidth, count(*)::BIGINT AS cnt FROM d GROUP BY bitwidth
+),
+tot AS (
+  SELECT SUM(cnt) AS n, SUM(bitwidth * cnt) AS delta_bits FROM h
+)
+SELECT h.bitwidth::INT AS bitwidth, h.cnt,
+       CAST(h.cnt * 1000000 // tot.n AS BIGINT) AS share_ppm,
+       CAST((64 * tot.n - tot.delta_bits) * 1000000 // (64 * tot.n) AS BIGINT)
+         AS total_savings_ppm
+FROM h CROSS JOIN tot
+ORDER BY bitwidth
+"""
+
+
+@register("delta_bitwidth_stats", tags=("LAYOUT-encode",), oracle=_DELTA_ORACLE)
+def delta_bitwidth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-width histogram of per-user timestamp deltas (the delta-encoding
+    sizing audit). Bit width = length of the binary string — integer both
+    engines, no float log2. total_savings_ppm repeats on every row (the
+    single-number verdict riding along the histogram).
+
+    100 TB posture: one shuffle on user_id, in-partition lag, then a
+    ≤64-group aggregate; the cross-joined total is a broadcast scalar."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = e.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+    ).withColumn("prev", F.lag(F.col("ms")).over(w))
+    d = s.filter(F.col("prev").isNotNull()).select(
+        F.length(F.bin(F.col("ms") - F.col("prev"))).alias("bitwidth")
+    )
+    h = d.groupBy("bitwidth").agg(F.count("*").alias("cnt"))
+    tot = h.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("bitwidth") * F.col("cnt")).alias("delta_bits"),
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bitwidth").cast("int").alias("bitwidth"),
+            "cnt",
+            F.floor(F.col("cnt") * F.lit(1000000) / F.col("n"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(
+                (F.lit(64) * F.col("n") - F.col("delta_bits"))
+                * F.lit(1000000)
+                / (F.lit(64) * F.col("n"))
+            )
+            .cast("long")
+            .alias("total_savings_ppm"),
+        )
+        .orderBy("bitwidth")
+    )
+
+
+_RLE_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         count(*)::BIGINT AS rows_,
+         SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0
+             END)::BIGINT AS runs
+  FROM s GROUP BY event_type
+)
+SELECT event_type, rows_ AS n_rows, runs AS n_runs,
+       CAST(rows_ * 1000 // runs AS BIGINT) AS mean_run_milli,
+       CAST(runs * 1000000 // rows_ AS BIGINT) AS rle_ratio_ppm
+FROM m
+ORDER BY event_type
+"""
+
+
+@register("rle_run_stats", tags=("LAYOUT-encode",), oracle=_RLE_ORACLE)
+def rle_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length statistics of event_type under the (user_id, ts) sort
+    order — the RLE sizing audit: runs/rows ppm is the encoded-to-raw
+    ratio. A run starts at a partition head or a value change (lag-based,
+    in-partition after the one user_id shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = e.select("user_id", "event_type", F.unix_millis("ts").alias("ms"), "event_id")
+    s = s.withColumn("prev", F.lag("event_type").over(w))
+    m = s.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (
+                F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+            ).cast("long")
+        ).alias("n_runs"),
+    )
+    return m.select(
+        "event_type",
+        "n_rows",
+        "n_runs",
+        F.floor(F.col("n_rows") * F.lit(1000) / F.col("n_runs"))
+        .cast("long")
+        .alias("mean_run_milli"),
+        F.floor(F.col("n_runs") * F.lit(1000000) / F.col("n_rows"))
+        .cast("long")
+        .alias("rle_ratio_ppm"),
+    ).orderBy("event_type")
