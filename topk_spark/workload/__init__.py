@@ -125,6 +125,7 @@ def load_all() -> dict[str, Query]:
         containment_queries,
         stats2_queries,
         layout2_queries,
+        forecast2_queries,
         forecast_queries,
         mining_queries,
         curation_queries,
