@@ -155,6 +155,95 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_VALIDITY_METRICS = [
+    "docs_packed_exactly_once",
+    "no_pack_overflow",
+    "pack_ids_contiguous",
+    "first_fit_bin_bound",
+]
+_PACK_VALIDITY_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{m}', true)" for m in _PACK_VALIDITY_METRICS
+) + ") AS t(metric, ok)"
+
+
+@register(
+    "pack_greedy_validity", tags=("PIPE-pack",), oracle=_PACK_VALIDITY_ORACLE
+)
+def pack_greedy_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-signal companion for `pack_sequences_greedy` (whose sequential
+    state is not SQL-expressible): the packing's DEFINING invariants,
+    checked distributedly and emitted as (metric, ok) rows against a
+    constant-true oracle — the same bound-style contract as the ANN recall
+    queries. Violating any invariant (a doc dropped/duplicated, a pack
+    over budget with >1 doc, a pack_id gap, or more bins than first-fit's
+    2·⌈total/budget⌉+1 guarantee) flips a row and fails the driver hash."""
+    budget = 8192
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_docs = docs.count()
+    packed = pack_greedy(docs, "doc_id", "n_chars", budget, 16)
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_chars").alias("total"), F.count("*").alias("n_in_pack")
+    )
+    w = Window.partitionBy("shard").orderBy("pos")
+    steps = packed.select(
+        "shard",
+        "pos",
+        (F.col("pack_id") - F.lag("pack_id", 1, 0).over(w)).alias("step"),
+    )
+    per_shard = per_pack.groupBy("shard").agg(
+        F.countDistinct("pack_id").alias("bins"),
+        F.sum("total").alias("total_chars"),
+    )
+    checks = (
+        packed.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .crossJoin(
+            per_pack.agg(
+                F.max(
+                    F.when(
+                        (F.col("total") > budget) & (F.col("n_in_pack") > 1), 1
+                    ).otherwise(0)
+                ).alias("overflow")
+            )
+        )
+        .crossJoin(
+            steps.agg(
+                F.max(F.when(~F.col("step").isin(0, 1), 1).otherwise(0)).alias(
+                    "gap"
+                )
+            )
+        )
+        .crossJoin(
+            per_shard.agg(
+                F.max(
+                    F.when(
+                        F.col("bins")
+                        > 2 * F.ceil(F.col("total_chars") / budget) + 1,
+                        1,
+                    ).otherwise(0)
+                ).alias("too_many_bins")
+            )
+        )
+    )
+    rows = [
+        (
+            "docs_packed_exactly_once",
+            (F.col("n_rows") == n_docs) & (F.col("n_docs") == n_docs),
+        ),
+        ("no_pack_overflow", F.col("overflow") == 0),
+        ("pack_ids_contiguous", F.col("gap") == 0),
+        ("first_fit_bin_bound", F.col("too_many_bins") == 0),
+    ]
+    structs = [
+        F.struct(F.lit(m).alias("metric"), ok.alias("ok")) for m, ok in rows
+    ]
+    return checks.select(F.explode(F.array(*structs)).alias("m")).select(
+        "m.metric", "m.ok"
+    )
+
+
 _RATE_SQL = """CASE
   WHEN source IN ('src0','src1','src2','src3') THEN 100
   WHEN source IN ('src4','src5','src6','src7') THEN 50
