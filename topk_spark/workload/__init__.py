@@ -126,6 +126,7 @@ def load_all() -> dict[str, Query]:
         stats2_queries,
         layout2_queries,
         forecast2_queries,
+        behavior2_queries,
         forecast_queries,
         mining_queries,
         curation_queries,

@@ -1,0 +1,203 @@
+"""Behavior analytics, part 2 — round-2d batch:
+
+- ``event_transition_matrix``: first-order Markov transition counts and
+  row-probabilities (ppm) over per-user event streams — the model behind
+  next-action prediction and journey anomaly scoring. Transitions come
+  from an in-partition lag after ONE user_id shuffle; probabilities are
+  BIGINT ppm floors of count ratios.
+- ``l_diversity_audit``: the privacy audit one step past k-anonymity
+  (`k_anonymity_audit`): a quasi-identifier group can be k-large yet
+  reveal its sensitive attribute if every member shares it. Flags groups
+  whose distinct-sensitive-value count < ℓ.
+- ``retraction_rollup``: CDC retraction semantics as a batch rollup —
+  a constructed op stream where every event_id ≡ 7 (mod 10) RETRACTS its
+  predecessor event (id−1) — net hourly revenue = inserts − retracted
+  values. The upsert/retract arithmetic every incremental materialized
+  view engine (Flink retract streams, Materialize) performs, expressed as
+  a signed aggregate with an equi-join to resolve retraction targets.
+
+All metrics integer (counts, ppm floors, signed BIGINT cents).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents_col():
+    return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+
+_TRANSITION_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events
+),
+t AS (
+  SELECT prev, event_type AS cur, count(*)::BIGINT AS cnt
+  FROM s WHERE prev IS NOT NULL GROUP BY prev, cur
+),
+r AS (
+  SELECT prev, SUM(cnt) AS row_total FROM t GROUP BY prev
+)
+SELECT t.prev, t.cur, t.cnt,
+       CAST(t.cnt * 1000000 // r.row_total AS BIGINT) AS prob_ppm
+FROM t JOIN r USING (prev)
+ORDER BY prev, cur
+"""
+
+
+@register("event_transition_matrix", tags=("behavior", "markov"), oracle=_TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    counts and row-conditional probabilities P(cur|prev) in exact ppm.
+
+    100 TB posture: one shuffle on user_id, in-partition lag, then a
+    |types|²-cell aggregate; row totals are a window over the tiny cell
+    table, never the fact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = (
+        e.select(
+            "user_id", "event_type", F.unix_millis("ts").alias("ms"), "event_id"
+        )
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    t = s.groupBy(F.col("prev"), F.col("event_type").alias("cur")).agg(
+        F.count("*").alias("cnt")
+    )
+    row_total = F.sum("cnt").over(Window.partitionBy("prev"))
+    return (
+        t.withColumn(
+            "prob_ppm",
+            F.floor(F.col("cnt") * F.lit(1000000) / row_total).cast("long"),
+        )
+        .select("prev", "cur", "cnt", "prob_ppm")
+        .orderBy("prev", "cur")
+    )
+
+
+_L = 3  # ℓ threshold
+
+_LDIV_ORACLE = f"""
+WITH g AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         count(*)::BIGINT AS group_size,
+         count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT))
+           ::BIGINT AS l_distinct
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT nationkey, mktsegment, group_size, l_distinct,
+       (l_distinct < {_L}) AS below_l
+FROM g
+ORDER BY nationkey, mktsegment
+"""
+
+
+@register("l_diversity_audit", tags=("governance", "privacy"), oracle=_LDIV_ORACLE)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ℓ-diversity audit over the (nationkey, mktsegment) quasi-identifier:
+    a group is exposed if its sensitive attribute (account-balance band,
+    1000-unit buckets) takes fewer than ℓ=3 distinct values — the privacy
+    failure k-anonymity alone misses (a k-large group can still be
+    homogeneous). One distinct-aggregate per group; integer bands."""
+    c = load_table(spark, sf_dir, "customer")
+    # explicit double floor: DuckDB's // TRUNCATES on decimals while Spark's
+    # decimal floor rounds down — negative balances land in different bands
+    band = F.floor(F.col("c_acctbal").cast("double") / 1000).cast("long")
+    g = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct(band).alias("l_distinct"),
+    )
+    return g.select(
+        "nationkey",
+        "mktsegment",
+        "group_size",
+        "l_distinct",
+        (F.col("l_distinct") < _L).alias("below_l"),
+    ).orderBy("nationkey", "mktsegment")
+
+
+_RETRACT_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, ts, {_CENTS} AS cents FROM events
+),
+retractions AS (
+  SELECT r.event_id, tgt.ts AS target_ts, tgt.cents AS target_cents
+  FROM base r JOIN base tgt ON tgt.event_id = r.event_id - 1
+  WHERE r.event_id % 10 = 7
+),
+inserts AS (
+  SELECT date_trunc('hour', ts) AS h, SUM(cents) AS ins, count(*) AS n_ins
+  FROM base WHERE event_id % 10 <> 7 GROUP BY 1
+),
+retracts AS (
+  SELECT date_trunc('hour', target_ts) AS h,
+         SUM(target_cents) AS ret, count(*) AS n_ret
+  FROM retractions GROUP BY 1
+)
+SELECT i.h,
+       CAST(i.ins - COALESCE(r.ret, 0) AS BIGINT) AS net_cents,
+       CAST(i.n_ins AS BIGINT) AS n_inserts,
+       CAST(COALESCE(r.n_ret, 0) AS BIGINT) AS n_retractions
+FROM inserts i LEFT JOIN retracts r ON r.h = i.h
+ORDER BY i.h
+"""
+
+
+@register("retraction_rollup", tags=("cdc", "A5"), oracle=_RETRACT_ORACLE)
+def retraction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract-stream rollup: events with id ≡ 7 (mod 10) retract their
+    predecessor (id−1); net hourly revenue = inserts − retracted values,
+    with the retraction landing in the TARGET's hour (as a true retract
+    stream corrects the bucket it originally incremented). The retraction
+    target resolves via one equi-join on the id; both sides then rollup
+    with ordinary signed aggregates — the arithmetic core of incremental
+    view maintenance under deletes."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "ts", _cents_col().alias("cents"))
+    retr = (
+        base.filter(F.col("event_id") % 10 == 7)
+        .select((F.col("event_id") - 1).alias("tgt_id"))
+        .join(
+            base.select(
+                F.col("event_id").alias("tgt_id"),
+                F.col("ts").alias("target_ts"),
+                F.col("cents").alias("target_cents"),
+            ),
+            "tgt_id",
+        )
+    )
+    inserts = (
+        base.filter(F.col("event_id") % 10 != 7)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum("cents").alias("ins"), F.count("*").alias("n_inserts"))
+    )
+    retracts = retr.groupBy(F.date_trunc("hour", "target_ts").alias("h")).agg(
+        F.sum("target_cents").alias("ret"), F.count("*").alias("n_ret")
+    )
+    return (
+        inserts.join(retracts, "h", "left")
+        .select(
+            "h",
+            (F.col("ins") - F.coalesce("ret", F.lit(0))).cast("long").alias(
+                "net_cents"
+            ),
+            F.col("n_inserts").cast("long").alias("n_inserts"),
+            F.coalesce("n_ret", F.lit(0)).cast("long").alias("n_retractions"),
+        )
+        .orderBy("h")
+    )
