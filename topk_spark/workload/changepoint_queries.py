@@ -118,3 +118,70 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
         (2 * F.col("cusum_scaled") > 3 * F.col("total")).alias("alarm"),
     ).orderBy("event_type", "d")
+
+
+# Max drawdown is CUSUM's mirror image: drawdown_t = max prefix − value,
+# another sequential-looking scan with the same exact window rewrite.
+_DRAWDOWN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, SUM({_CENTS}) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+cum AS (
+  SELECT event_type, d,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumv
+  FROM daily
+),
+dd AS (
+  SELECT event_type, d, cumv,
+         max(cumv) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cumv AS drawdown
+  FROM cum
+)
+SELECT event_type,
+       CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+       CAST(min(d) FILTER (WHERE drawdown = (
+         SELECT max(d2.drawdown) FROM dd d2
+         WHERE d2.event_type = dd.event_type)) AS DATE) AS trough_day
+FROM dd
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("max_drawdown", tags=("timeseries", "anomaly"), oracle=_DRAWDOWN_ORACLE)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue per series (largest
+    peak-to-trough fall, in exact cents, with the first trough day) —
+    CUSUM's mirror: running-peak minus value via the same prefix-scan
+    rewrite, so the 'sequential' metric is two in-partition window passes
+    plus one aggregate. Integer end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"), _cents_col().alias("cents"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = (
+        daily.withColumn("cumv", F.sum("cents").over(w))
+        .withColumn("drawdown", F.max("cumv").over(w) - F.col("cumv"))
+    )
+    mx = dd.groupBy("event_type").agg(
+        F.max("drawdown").cast("long").alias("max_drawdown_cents")
+    )
+    return (
+        dd.join(mx, "event_type")
+        .filter(F.col("drawdown") == F.col("max_drawdown_cents"))
+        .groupBy("event_type", "max_drawdown_cents")
+        .agg(F.min("d").alias("trough_day"))
+        .select("event_type", "max_drawdown_cents", "trough_day")
+        .orderBy("event_type")
+    )

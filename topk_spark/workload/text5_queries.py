@@ -304,3 +304,98 @@ def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("sentences"),
         F.floor(num / den).cast("long").alias("flesch_milli"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (Raffel et al. 2020), adapted to the line proxy
+# ---------------------------------------------------------------------------
+
+_C4_LINE = 4  # tokens per line window (the corpus-wide line proxy shared
+# with boilerplate_line_removal; the synthetic corpus has no newlines)
+
+_C4_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+  FROM documents WHERE doc_id % 4 = 1
+),
+ex AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(l) / {_C4_LINE}.0) AS BIGINT))) AS i,
+         l
+  FROM t WHERE len(l) > 0
+),
+lines AS (
+  SELECT doc_id, l[i*{_C4_LINE}+1 : i*{_C4_LINE}+{_C4_LINE}] AS ln
+  FROM ex
+),
+judged AS (
+  SELECT doc_id,
+         (len(ln) >= {_C4_LINE}
+          AND len(list_intersect(ln, [{_SW_SQL}])) >= 1
+          AND len(list_filter(ln, x -> len(x) > 20)) = 0) AS keep
+  FROM lines
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS retained_ppm
+FROM judged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("c4_line_rules", tags=("TXT-quality", "c4"), oracle=_C4_ORACLE)
+def c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based LINE filtering (Raffel et al. 2020 §2.2),
+    adapted to the 4-token line proxy: keep a line iff it is full-length,
+    contains a stopword (the natural-language heuristic standing in for
+    C4's terminal-punctuation rule, which cannot fire on this punctuation-
+    free corpus), and has no 20+-char token. Per-doc retained ratio in
+    exact ppm. The RULE-based complement of boilerplate_line_removal's
+    cross-document frequency rule: this one needs no corpus-wide state at
+    all — pure map-side higher-order functions, zero shuffle before the
+    per-doc aggregate (which is itself map-side: lines of a doc never
+    leave their row)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_lines = F.ceil(F.size("l") / F.lit(_C4_LINE)).cast("int")
+    lines = (
+        d.select("doc_id", toks.alias("l"))
+        .filter(F.size("l") > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.slice(F.col("l"), i * _C4_LINE + 1, _C4_LINE),
+            ).alias("lns"),
+        )
+    )
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    keep_flags = F.transform(
+        F.col("lns"),
+        lambda ln: (
+            (F.size(ln) >= _C4_LINE)
+            & (F.size(F.array_intersect(ln, sw)) >= 1)
+            & (F.size(F.filter(ln, lambda x: F.length(x) > 20)) == 0)
+        ).cast("long"),
+    )
+    return (
+        lines.select(
+            "doc_id",
+            F.size("lns").cast("long").alias("n_lines"),
+            F.aggregate(
+                keep_flags, F.lit(0).cast("long"), lambda a, v: a + v
+            ).alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            F.floor(F.col("n_kept") * F.lit(1000000) / F.col("n_lines"))
+            .cast("long")
+            .alias("retained_ppm"),
+        )
+        .orderBy("doc_id")
+    )
