@@ -281,3 +281,90 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(38416).cast("decimal(38,0)") * var_term
         ).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling bivariate correlation gate, division- and sqrt-free
+# ---------------------------------------------------------------------------
+
+_RW = 7  # rolling window (days)
+
+# Pearson r over a window needs a sqrt; the GATE |r| >= 1/2 does not:
+#   r² ≥ 1/4  ⇔  4·(n·Σxy − ΣxΣy)² ≥ (n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)
+# with the sign read directly off cov = n·Σxy − ΣxΣy. x = daily revenue
+# cents of 'purchase', y = of 'click'; all sufficient statistics are BIGINT
+# window sums, the squares go through DECIMAL(38,0)/HUGEINT.
+_ROLLCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'click' THEN {_CENTS} ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT d,
+         count(*) OVER win AS n,
+         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+         SUM(x::HUGEINT * x) OVER win AS sxx,
+         SUM(y::HUGEINT * y) OVER win AS syy,
+         SUM(x::HUGEINT * y) OVER win AS sxy
+  FROM daily
+  WINDOW win AS (ORDER BY d ROWS BETWEEN {_RW - 1} PRECEDING AND CURRENT ROW)
+),
+g AS (
+  SELECT d, n,
+         n * sxy - sx::HUGEINT * sy AS cov_n,
+         n * sxx - sx::HUGEINT * sx AS varx_n,
+         n * syy - sy::HUGEINT * sy AS vary_n
+  FROM w WHERE n = {_RW}
+)
+SELECT d,
+       CAST(sign(cov_n) AS INT) AS cov_sign,
+       (4 * cov_n * cov_n >= varx_n * vary_n) AS strong_corr
+FROM g
+ORDER BY d
+"""
+
+
+@register("rolling_corr_gate", tags=("stats", "timeseries"), oracle=_ROLLCORR_ORACLE)
+def rolling_corr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling correlation gate between purchase and click daily
+    revenue: the sign of the covariance and a |r| ≥ 1/2 flag, both decided
+    without division or sqrt (cross-multiplied sufficient statistics —
+    module comment). Sufficient statistics are BIGINT window sums over the
+    daily rollup; the squares ride DECIMAL128.
+
+    100 TB posture: the fact reduces to one row per day before any window;
+    the rolling frame is ROWS-bounded over that tiny series."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _cents_col()).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", _cents_col()).otherwise(0)
+        ).alias("y"),
+    )
+    win = W.orderBy("d").rowsBetween(-(_RW - 1), 0)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    w = daily.select(
+        "d",
+        F.count("*").over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(dec("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(dec("x") * F.col("y")).over(win).alias("sxy"),
+    ).filter(F.col("n") == _RW)
+    cov_n = F.col("n") * F.col("sxy") - dec("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - dec("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - dec("sy") * F.col("sy")
+    return w.select(
+        "d",
+        F.signum(cov_n).cast("int").alias("cov_sign"),
+        (F.lit(4).cast("decimal(38,0)") * cov_n * cov_n >= varx_n * vary_n).alias(
+            "strong_corr"
+        ),
+    ).orderBy("d")
