@@ -127,6 +127,7 @@ def load_all() -> dict[str, Query]:
         layout2_queries,
         forecast2_queries,
         behavior2_queries,
+        ivm_queries,
         forecast_queries,
         mining_queries,
         curation_queries,
