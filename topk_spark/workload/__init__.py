@@ -128,6 +128,7 @@ def load_all() -> dict[str, Query]:
         forecast2_queries,
         behavior2_queries,
         ivm_queries,
+        profiling2_queries,
         forecast_queries,
         mining_queries,
         curation_queries,

@@ -1,0 +1,183 @@
+"""Profiling, part 2 — round-2d: functional-dependency discovery and
+marketing-attribution model comparison.
+
+- ``fd_discovery``: which column→column functional dependencies actually
+  hold in the data (the Metanome-style profiling primitive behind schema
+  normalization and key inference)? For candidate A→B: count A-groups
+  carrying >1 distinct B. One distinct-pair aggregate per candidate —
+  never a self-join.
+- ``attribution_models_compare``: first-touch vs last-touch revenue credit
+  for purchases, over the preceding-hour event window per user. The two
+  classic attribution models computed side by side from ONE candidate
+  join, with min_by/max_by electing the touch — deterministic via the
+  (ts, event_id) tiebreak.
+
+All counts/credits integer (BIGINT cents).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents_col():
+    return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+
+# candidate FDs: (table, determinant, dependent)
+_FD_CANDIDATES = [
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_brand"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+
+
+def _fd_sql(table: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{table}.{det}->{dep}' AS fd,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {table} GROUP BY {det})
+"""
+
+
+_FD_ORACLE = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(_fd_sql(t, a, b) for t, a, b in _FD_CANDIDATES)
+    + ") ORDER BY fd"
+)
+
+
+@register("fd_discovery", tags=("profiling", "fd"), oracle=_FD_ORACLE)
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check over six candidate A→B pairs: an FD
+    holds iff no determinant value maps to more than one dependent value.
+
+    100 TB posture: each candidate is one partial+final distinct-pair
+    aggregate (groupBy A, countDistinct B) reduced to a single verdict
+    row — the naive formulation (self-join on A, compare B) is quadratic
+    in group size and never needed."""
+    frames = []
+    for table, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        frames.append(
+            g.agg(
+                F.lit(f"{table}.{det}->{dep}").alias("fd"),
+                F.count("*").alias("n_groups"),
+                F.sum((F.col("nd") > 1).cast("long")).alias("n_violating"),
+            ).select(
+                "fd",
+                "n_groups",
+                "n_violating",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("fd")
+
+
+_ATTR_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts AS pts, {_CENTS} AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.pid, p.cents, e.event_type, e.ts, e.event_id
+  FROM purchases p
+  JOIN events e ON e.user_id = p.user_id
+   AND e.ts >= p.pts - INTERVAL 1 HOUR AND e.ts < p.pts
+   AND e.event_type <> 'purchase'
+),
+elected AS (
+  SELECT pid, cents,
+         min_by(event_type, lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0')
+                || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_touch,
+         max_by(event_type, lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0')
+                || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_touch
+  FROM touches GROUP BY pid, cents
+),
+credits AS (
+  SELECT 'first_touch' AS model, first_touch AS event_type,
+         SUM(cents) AS credited_cents, count(*) AS n_conversions
+  FROM elected GROUP BY 2
+  UNION ALL
+  SELECT 'last_touch', last_touch, SUM(cents), count(*)
+  FROM elected GROUP BY 2
+)
+SELECT model, event_type,
+       CAST(credited_cents AS BIGINT) AS credited_cents,
+       CAST(n_conversions AS BIGINT) AS n_conversions
+FROM credits
+ORDER BY model, event_type
+"""
+
+
+@register(
+    "attribution_models_compare", tags=("behavior", "attribution"), oracle=_ATTR_ORACLE
+)
+def attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch revenue attribution for purchases over the
+    preceding-hour window per user, side by side: ONE candidate interval
+    join (equi on user_id + hour band), then min_by/max_by elect each
+    conversion's first and last touch with the (ts, event_id) tiebreak,
+    then two grouped credit sums.
+
+    100 TB posture: the interval join hashes on user_id (per-user fan-out
+    bounded by events/hour); election is a partial+final aggregate, no
+    window over the join output."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        _cents_col().alias("cents"),
+    )
+    others = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"), "event_type", "ts", "event_id"
+    )
+    touches = purchases.join(
+        others,
+        (purchases.user_id == others.t_user)
+        & (others.ts >= purchases.pts - F.expr("INTERVAL 1 HOUR"))
+        & (others.ts < purchases.pts),
+    ).select("pid", "cents", "event_type", "ts", "event_id")
+    # fixed-width (ms, id) string key: DuckDB's min_by/max_by take scalar
+    # ordering keys only, and lexicographic on zero-padded decimals equals
+    # numeric (ts, event_id) order in both engines
+    tkey = (
+        "lpad(CAST(unix_millis(ts) AS STRING), 15, '0')"
+        " || lpad(CAST(event_id AS STRING), 12, '0')"
+    )
+    elected = touches.groupBy("pid", "cents").agg(
+        F.expr(f"min_by(event_type, {tkey})").alias("first_touch"),
+        F.expr(f"max_by(event_type, {tkey})").alias("last_touch"),
+    )
+    first = elected.groupBy(F.col("first_touch").alias("event_type")).agg(
+        F.sum("cents").alias("credited_cents"), F.count("*").alias("n_conversions")
+    ).select(F.lit("first_touch").alias("model"), "*")
+    last = elected.groupBy(F.col("last_touch").alias("event_type")).agg(
+        F.sum("cents").alias("credited_cents"), F.count("*").alias("n_conversions")
+    ).select(F.lit("last_touch").alias("model"), "*")
+    return (
+        first.unionByName(last)
+        .select(
+            "model",
+            "event_type",
+            F.col("credited_cents").cast("long").alias("credited_cents"),
+            F.col("n_conversions").cast("long").alias("n_conversions"),
+        )
+        .orderBy("model", "event_type")
+    )
