@@ -196,3 +196,99 @@ def token_gini_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Total-variation distance over binned histograms (KS's L1 sibling)
+# ---------------------------------------------------------------------------
+
+_TV_BAND = 10_000  # cents per histogram bin
+
+# TV(P,Q) = ½ Σ_b |p_b − q_b| with p_b = c_b/n1, q_b = d_b/n2; in exact ppm:
+#   tv_ppm = floor( Σ_b |c_b·n2 − d_b·n1| · 1e6 / (2·n1·n2) )
+# |c·n| ≤ 9e8 at sf0.1 and the summed numerator ×1e6 stays under 2⁶³, so the
+# whole statistic is BIGINT (KS needed DECIMAL128 because its cross products
+# ride the CUMULATIVE counts; TV's are per-bin).
+_TV_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(ts AS DATE) AS d, {_CENTS} // {_TV_BAND} AS bin,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT d, SUM(c) AS n FROM binned GROUP BY d
+),
+paired AS (
+  SELECT COALESCE(a.d, b.d - INTERVAL 1 DAY) AS d,
+         COALESCE(a.c, 0) AS c1, COALESCE(b.c, 0) AS c2
+  FROM binned a
+  FULL OUTER JOIN (SELECT d, bin, c FROM binned) b
+    ON b.d = a.d + INTERVAL 1 DAY AND b.bin = a.bin
+  WHERE COALESCE(a.d, b.d - INTERVAL 1 DAY) IN (SELECT d FROM totals)
+    AND COALESCE(a.d, b.d - INTERVAL 1 DAY) + INTERVAL 1 DAY
+        IN (SELECT d FROM totals)
+),
+num AS (
+  SELECT p.d, SUM(abs(p.c1 * t2.n - p.c2 * t1.n)) AS s,
+         any_value(t1.n) AS n1, any_value(t2.n) AS n2
+  FROM paired p
+  JOIN totals t1 ON t1.d = p.d
+  JOIN totals t2 ON t2.d = p.d + INTERVAL 1 DAY
+  GROUP BY p.d
+)
+SELECT CAST(d AS DATE) AS day_a,
+       CAST(s * 1000000 // (2 * n1 * n2) AS BIGINT) AS tv_ppm
+FROM num
+ORDER BY day_a
+"""
+
+
+@register("tv_distance_drift", tags=("DRIFT-tv",), oracle=_TV_ORACLE)
+def tv_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between adjacent days' binned revenue
+    histograms, in exact ppm — the L1 drift gate beside `ks_drift_daily`'s
+    sup-norm: TV bounds how much ANY event's probability can differ, so a
+    promotion gate reads it directly as worst-case distribution shift.
+
+    Division-free until the single final floor; per-bin cross products fit
+    BIGINT (unlike KS's cumulative ones). One partial+final (day, bin)
+    count, a full-outer bin alignment between adjacent days, one grouped
+    L1 sum."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    binned = (
+        e.select(F.to_date("ts").alias("d"), F.floor(cents / _TV_BAND).alias("bin"))
+        .groupBy("d", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = binned.groupBy("d").agg(F.sum("c").alias("n"))
+    a = binned.select(F.col("d").alias("da"), "bin", F.col("c").alias("c1"))
+    b = binned.select(
+        F.date_sub("d", 1).alias("da"), "bin", F.col("c").alias("c2")
+    )
+    paired = (
+        a.join(b, ["da", "bin"], "full_outer")
+        .select(
+            "da",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+        .join(F.broadcast(totals.select(F.col("d").alias("da"), F.col("n").alias("n1"))), "da")
+        .join(
+            F.broadcast(
+                totals.select(F.date_sub("d", 1).alias("da"), F.col("n").alias("n2"))
+            ),
+            "da",
+        )
+    )
+    num = paired.groupBy("da").agg(
+        F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias("s"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    return num.select(
+        F.col("da").alias("day_a"),
+        F.floor(F.col("s") * F.lit(1000000) / (2 * F.col("n1") * F.col("n2")))
+        .cast("long")
+        .alias("tv_ppm"),
+    ).orderBy("day_a")

@@ -299,3 +299,85 @@ def golden_record_election(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+_WJACC_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_PERT_OFFSET} AS doc_id,
+         array_to_string(l[1:len(l)-1], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM base)
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM corpus
+),
+cnt AS (
+  SELECT doc_id, t, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, t
+),
+joined AS (
+  SELECT COALESCE(a.doc_id, b.doc_id - {_PERT_OFFSET}) AS id_a,
+         COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+  FROM (SELECT * FROM cnt WHERE doc_id < {_PERT_OFFSET}) a
+  FULL OUTER JOIN (SELECT * FROM cnt WHERE doc_id >= {_PERT_OFFSET}) b
+    ON b.doc_id = a.doc_id + {_PERT_OFFSET} AND b.t = a.t
+)
+SELECT id_a, (id_a + {_PERT_OFFSET}) AS id_b,
+       CAST(SUM(least(ca, cb)) * 1000000 // SUM(greatest(ca, cb)) AS BIGINT)
+         AS wjaccard_ppm
+FROM joined
+GROUP BY id_a
+ORDER BY id_a
+"""
+
+
+@register("weighted_jaccard_pairs", tags=("DD-weighted",), oracle=_WJACC_ORACLE)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Jaccard (multiset: Σ min(aₜ,bₜ) / Σ max(aₜ,bₜ)) between each
+    doc and its constructed perturbation — the similarity the set-based
+    Jaccard under-reports when near-dups differ in token REPETITION, not
+    vocabulary (boilerplate spam looks identical as a set). Exact ppm.
+
+    100 TB posture: token counts are a (doc, token) partial+final count;
+    the pair alignment is an equi-join on (doc, token) between the twin
+    halves (full outer so one-sided tokens count in the max), then one
+    grouped sum per pair — candidates come from the constructed pairing
+    here; at scale the same verify runs on LSH candidates."""
+    corpus = perturbed_corpus(spark, sf_dir, modulo=5)
+    tok = corpus.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+    )
+    cnt = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    a = cnt.filter(F.col("doc_id") < _PERT_OFFSET).select(
+        F.col("doc_id").alias("id_a"), "t", F.col("c").alias("ca")
+    )
+    b = cnt.filter(F.col("doc_id") >= _PERT_OFFSET).select(
+        (F.col("doc_id") - _PERT_OFFSET).alias("id_a"),
+        "t",
+        F.col("c").alias("cb"),
+    )
+    joined = a.join(b, ["id_a", "t"], "full_outer").select(
+        "id_a",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    return (
+        joined.groupBy("id_a")
+        .agg(
+            F.sum(F.least("ca", "cb")).alias("smin"),
+            F.sum(F.greatest("ca", "cb")).alias("smax"),
+        )
+        .select(
+            "id_a",
+            (F.col("id_a") + _PERT_OFFSET).alias("id_b"),
+            F.floor(F.col("smin") * F.lit(1000000) / F.col("smax"))
+            .cast("long")
+            .alias("wjaccard_ppm"),
+        )
+        .orderBy("id_a")
+    )
