@@ -368,3 +368,108 @@ def rolling_corr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "strong_corr"
         ),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound rate gate, division- and sqrt-free
+# ---------------------------------------------------------------------------
+
+# Gate: "share of high-value events is significantly above 1/4" by the
+# Wilson score lower bound at z=1.96 (z² = Z = 38416/10⁴), p₀ = 1/4.
+# Derivation (s successes of n):   LB > p₀
+#   ⇔ (s + Z/2) − p₀(n + Z) > z·sqrt(s(n−s)/n + Z/4)      [×(n+Z) > 0]
+#   with A' = 4·10⁴·[(s + Z/2) − (n + Z)/4] = 4·10⁴·s + 2·38416 − 10⁴·n − 38416
+#            = 40000·s − 10000·n + 38416
+#   ⇔ A' > 0  AND  A'²·n > 16·10⁴·38416·s(n−s) + 4·38416²·n
+# (square both sides ×16·10⁸·n). All integers; the square reaches ~10²³ at
+# sf0.1 so the products ride DECIMAL128/HUGEINT.
+_WILSON_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type, s, n,
+       ((40000 * s - 10000 * n + 38416) > 0
+        AND (40000 * s - 10000 * n + 38416)::HUGEINT
+            * (40000 * s - 10000 * n + 38416)::HUGEINT * n::HUGEINT
+            > 6146560000::HUGEINT * s * (n - s)
+              + 4 * 38416::HUGEINT * 38416 * n) AS significantly_above_25pct
+FROM m
+ORDER BY event_type
+"""
+
+
+@register("wilson_rate_gate", tags=("stats", "abtest"), oracle=_WILSON_ORACLE)
+def wilson_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each event type's high-value share (value ≥ 50) significantly
+    above 25%? Decided by the Wilson score lower bound at z=1.96 with the
+    sqrt eliminated by squaring and every division cleared by
+    cross-multiplication (module comment) — the whole verdict is integer
+    comparisons, so it value-hashes at any parallelism. One partial+final
+    aggregate per type; the quadratic test runs on 5 rows."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") >= 50).cast("long")).alias("s"),
+    )
+    ap = (F.lit(40000) * F.col("s") - F.lit(10000) * F.col("n") + F.lit(38416)).cast(
+        "decimal(38,0)"
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    ss = F.col("s").cast("decimal(38,0)")
+    rhs = (
+        F.lit(6146560000).cast("decimal(38,0)") * ss * (nn - ss)
+        + F.lit(4 * 38416 * 38416).cast("decimal(38,0)") * nn
+    )
+    return m.select(
+        "event_type",
+        "s",
+        "n",
+        ((ap > 0) & (ap * ap * nn > rhs)).alias("significantly_above_25pct"),
+    ).orderBy("event_type")
+
+
+_HOW_ORACLE = """
+WITH cells AS (
+  SELECT isodow(ts) AS dow, CAST(hour(ts) AS INT) AS hr,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(cnt) AS n FROM cells),
+mx AS (SELECT MAX(cnt) AS m FROM cells)
+SELECT CAST(dow AS INT) AS dow, hr, cnt,
+       CAST(cnt * 1000000 // tot.n AS BIGINT) AS share_ppm,
+       (cnt = mx.m) AS is_peak
+FROM cells CROSS JOIN tot CROSS JOIN mx
+ORDER BY dow, hr
+"""
+
+
+@register("hour_of_week_profile", tags=("timeseries", "seasonality"), oracle=_HOW_ORACLE)
+def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 168-cell hour-of-week load profile (ISO dow × hour) with exact
+    ppm shares and the peak cell flagged — the seasonality template an
+    anomaly baseline or capacity planner divides by. One partial+final
+    count; the total and max are broadcast scalars over 168 rows."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(iso_dayofweek("ts").alias("dow"), F.hour("ts").cast("int").alias("hr"))
+        .groupBy("dow", "hr")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cells.agg(F.sum("cnt").alias("n"), F.max("cnt").alias("m"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "hr",
+            "cnt",
+            F.floor(F.col("cnt") * F.lit(1000000) / F.col("n"))
+            .cast("long")
+            .alias("share_ppm"),
+            (F.col("cnt") == F.col("m")).alias("is_peak"),
+        )
+        .orderBy("dow", "hr")
+    )
