@@ -111,3 +111,74 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         _TOP,
     )
+
+
+_KHOP = 3
+_KHOP_TOP = 25
+
+_KHOP_ORACLE = f"""
+WITH {_EDGES_SQL},
+sym AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+h1 AS (
+  SELECT DISTINCT src AS node, dst AS r FROM sym
+),
+h2 AS (
+  SELECT DISTINCT h1.node, s.dst AS r
+  FROM h1 JOIN sym s ON s.src = h1.r
+),
+h3 AS (
+  SELECT DISTINCT h2.node, s.dst AS r
+  FROM h2 JOIN sym s ON s.src = h2.r
+),
+reach AS (
+  SELECT node, r FROM h1
+  UNION SELECT node, r FROM h2
+  UNION SELECT node, r FROM h3
+)
+SELECT node, count(*)::BIGINT AS n_reach
+FROM reach WHERE r <> node
+GROUP BY node
+ORDER BY n_reach DESC, node
+LIMIT {_KHOP_TOP}
+"""
+
+
+@register("khop_reach_count", tags=("graph", "reach"), oracle=_KHOP_ORACLE)
+def khop_reach_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop reachability: for each node, how many OTHER nodes sit within
+    ≤3 edges (the neighborhood-size centrality behind 'influence radius'
+    features), top-25. Iterative frontier expansion — each round joins the
+    current reach set to the edge list and re-distincts — exactly the
+    bounded-depth form of the connected-components loop.
+
+    100 TB posture: k rounds of equi-join on node id; the reach set is
+    capped by k-hop neighborhood sizes, and dedup between rounds keeps the
+    frontier from exponentiating. No full transitive closure is ever
+    materialized."""
+    edges = _pairs(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    reach = sym.select(F.col("a").alias("node"), F.col("b").alias("r")).distinct()
+    frontier = reach
+    for _ in range(_KHOP - 1):
+        frontier = (
+            frontier.join(
+                sym.select(F.col("a").alias("r"), F.col("b").alias("r2")), "r"
+            )
+            .select("node", F.col("r2").alias("r"))
+            .distinct()
+        )
+        reach = reach.unionByName(frontier).distinct()
+    from topk_spark.ops.topk import topn
+
+    counts = (
+        reach.filter(F.col("r") != F.col("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_reach"))
+    )
+    return topn(counts, [F.desc("n_reach"), F.asc("node")], _KHOP_TOP)

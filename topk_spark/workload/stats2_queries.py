@@ -473,3 +473,66 @@ def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness gate over inter-arrival times (Poisson-ness audit)
+# ---------------------------------------------------------------------------
+
+# A Poisson process has exponential inter-arrivals with CV = 1; CV > 1 is
+# bursty, CV < 1 regular. CV² = var/mean² over deltas x:
+#   CV² > 1  ⇔  n·Σx² − (Σx)² > (Σx)²  ⇔  n·Σx² > 2·(Σx)²
+# — an exact integer comparison (Σx ≤ span·n ~ 10¹⁵·? rides DECIMAL128).
+_BURST_ORACLE = """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ms, event_id,
+         lag(epoch_ms(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events
+),
+d AS (
+  SELECT event_type, (ms - prev)::BIGINT AS x FROM s WHERE prev IS NOT NULL
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_deltas,
+       CAST(SUM(x) // count(*) AS BIGINT) AS mean_ms,
+       (count(*)::HUGEINT * SUM(x::HUGEINT * x) > 2 * (SUM(x)::HUGEINT
+          * SUM(x)::HUGEINT)) AS bursty
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("burstiness_gate", tags=("stats", "timeseries"), oracle=_BURST_ORACLE)
+def burstiness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each event type's arrival process burstier than Poisson? The
+    coefficient-of-variation test CV > 1 over inter-arrival gaps, cleared
+    of all division: n·Σx² > 2·(Σx)² in DECIMAL128. One shuffle on the
+    series key, in-partition lag, partial+final sums — the same plan
+    family as delta_bitwidth_stats, ending in a 5-row verdict."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    s = (
+        e.select("event_type", F.unix_millis("ts").alias("ms"), "event_id")
+        .withColumn("prev", F.lag("ms").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("event_type", (F.col("ms") - F.col("prev")).alias("x"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = s.groupBy("event_type").agg(
+        F.count("*").alias("n_deltas"),
+        F.sum("x").alias("sx"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n_deltas").cast("long").alias("n_deltas"),
+        F.floor(F.col("sx") / F.col("n_deltas")).cast("long").alias("mean_ms"),
+        (
+            dec(F.col("n_deltas")) * F.col("sxx")
+            > F.lit(2).cast("decimal(38,0)") * dec(F.col("sx")) * F.col("sx")
+        ).alias("bursty"),
+    ).orderBy("event_type")
