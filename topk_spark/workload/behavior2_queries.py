@@ -201,3 +201,96 @@ def retraction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak session concurrency: sweep line over interval endpoints
+# ---------------------------------------------------------------------------
+
+_SESS_GAP = "6 hours"
+_SESS_GAP_US = 6 * 3600 * 1_000_000
+
+# Concurrency at time t = #sessions with start ≤ t ≤ last. The sweep line
+# turns that into +1/−1 endpoint events and a prefix sum over endpoint
+# order — the interval problem's exact parallel-scan form (the third
+# sequential→window rewrite in this engine, after CUSUM and drawdown).
+# Ties: starts sort before ends at the same instant (delta DESC), so
+# back-to-back sessions at one timestamp count as overlapping — pinned in
+# both engines by the same (time, delta DESC, user) order.
+_CONCURRENCY_ORACLE = f"""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         min(ts) AS s_start, max(ts) AS s_last
+  FROM (SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks)
+  GROUP BY user_id, sid
+),
+pts AS (
+  SELECT s_start AS t, 1 AS delta, user_id FROM sess
+  UNION ALL
+  SELECT s_last AS t, -1 AS delta, user_id FROM sess
+),
+run AS (
+  SELECT t, delta,
+         SUM(delta) OVER (ORDER BY t, delta DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       min(t) FILTER (WHERE conc = (SELECT max(conc) FROM run)) AS first_peak_at,
+       (SELECT count(*)::BIGINT FROM sess) AS n_sessions
+FROM run
+"""
+
+
+@register(
+    "peak_session_concurrency", tags=("behavior", "sweepline"), oracle=_CONCURRENCY_ORACLE
+)
+def peak_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-open user sessions (6h-gap sessions,
+    same contract as sessionize_events) and the first instant it is
+    reached — capacity planning's load-ceiling question, answered by the
+    sweep-line rewrite (module comment).
+
+    100 TB posture: sessions reduce events to one row per session before
+    the sweep; endpoint volume is 2·sessions, and the global endpoint
+    order is a window over that bounded set, not the raw stream."""
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(F.session_window("ts", _SESS_GAP), "user_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_last"))
+        .select("user_id", "s_start", "s_last")
+    )
+    pts = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        sess.select(F.col("s_last").alias("t"), F.lit(-1).alias("delta"), "user_id")
+    )
+    w = Window.orderBy(F.col("t"), F.col("delta").desc(), F.col("user_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    mx = run.agg(F.max("conc").alias("peak"))
+    n_sess = sess.agg(F.count("*").alias("n_sessions"))
+    return (
+        run.join(F.broadcast(mx), run.conc == mx.peak)
+        .agg(
+            F.first("peak").alias("peak_concurrency"),
+            F.min("t").alias("first_peak_at"),
+        )
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            F.col("peak_concurrency").cast("long").alias("peak_concurrency"),
+            "first_peak_at",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+        )
+    )
