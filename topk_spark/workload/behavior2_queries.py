@@ -294,3 +294,101 @@ def peak_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sessions").cast("long").alias("n_sessions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank stability between adjacent days' top spenders
+# ---------------------------------------------------------------------------
+
+_KT_K = 20
+
+# Kendall's tau-a over the users ranked BOTH days (ranks are distinct by
+# the (cents DESC, user_id) tiebreak, so no tie terms):
+#   tau_milli = floor( (C − D) · 1000 / (m(m−1)/2) ),  C+D = m(m−1)/2
+# — exact integers end-to-end; the pair comparison runs over the shared
+# top-k×top-k (≤ k² rows), never over users.
+_KENDALL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, user_id, SUM({_CENTS}) AS cents
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT d, user_id,
+         row_number() OVER (PARTITION BY d ORDER BY cents DESC, user_id) AS r
+  FROM daily
+  QUALIFY r <= {_KT_K}
+),
+shared AS (
+  SELECT a.d, a.user_id, a.r AS r1, b.r AS r2
+  FROM ranked a JOIN ranked b
+    ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+),
+pairs AS (
+  SELECT x.d,
+         CASE WHEN (x.r1 < y.r1) = (x.r2 < y.r2) THEN 1 ELSE -1 END AS s
+  FROM shared x JOIN shared y ON x.d = y.d AND x.user_id < y.user_id
+),
+m AS (
+  SELECT d, count(*) AS np, SUM(s) AS cd FROM pairs GROUP BY d
+)
+SELECT d AS day_a,
+       CAST((SELECT count(*) FROM shared sh WHERE sh.d = m.d) AS BIGINT)
+         AS n_shared,
+       CAST(cd * 1000 // np AS BIGINT) AS tau_milli
+FROM m
+ORDER BY day_a
+"""
+
+
+@register("kendall_rank_stability", tags=("behavior", "rankcorr"), oracle=_KENDALL_ORACLE)
+def kendall_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How stable is the daily top-20 spender ranking? Kendall's tau
+    between each day's ranking and the next (over users present in both
+    top-20s), in exact milli units — concordant minus discordant pairs
+    over all pairs, no float correlation.
+
+    100 TB posture: per-day rankings are bounded-heap top-k; the pair
+    comparison is a within-day self-join over ≤ k shared users (≤ k²
+    rows/day) — the fact table never pair-joins."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d"), "user_id").agg(
+        F.sum(_cents_col()).alias("cents")
+    )
+    w = Window.partitionBy("d").orderBy(F.desc("cents"), F.asc("user_id"))
+    ranked = (
+        daily.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= _KT_K)
+    )
+    b = ranked.select(
+        F.date_sub("d", 1).alias("d"), "user_id", F.col("r").alias("r2")
+    )
+    shared = ranked.select("d", "user_id", F.col("r").alias("r1")).join(
+        b, ["d", "user_id"]
+    )
+    x = shared.select("d", F.col("user_id").alias("ua"), F.col("r1").alias("xr1"), F.col("r2").alias("xr2"))
+    y = shared.select("d", F.col("user_id").alias("ub"), F.col("r1").alias("yr1"), F.col("r2").alias("yr2"))
+    pairs = (
+        x.join(y, "d")
+        .filter(F.col("ua") < F.col("ub"))
+        .select(
+            "d",
+            F.when(
+                (F.col("xr1") < F.col("yr1")) == (F.col("xr2") < F.col("yr2")), 1
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    m = pairs.groupBy("d").agg(F.count("*").alias("np"), F.sum("s").alias("cd"))
+    n_shared = shared.groupBy("d").agg(F.count("*").alias("n_shared"))
+    return (
+        m.join(n_shared, "d")
+        .select(
+            F.col("d").alias("day_a"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            # `div` truncates toward zero, matching DuckDB's integer `//`
+            # on the NEGATIVE taus a shuffled ranking produces (floor would
+            # differ by 1 there)
+            F.expr("CAST((cd * 1000) div np AS BIGINT)").alias("tau_milli"),
+        )
+        .orderBy("day_a")
+    )
