@@ -129,6 +129,7 @@ def load_all() -> dict[str, Query]:
         behavior2_queries,
         ivm_queries,
         profiling2_queries,
+        cluster_queries,
         forecast_queries,
         mining_queries,
         curation_queries,
