@@ -130,6 +130,7 @@ def load_all() -> dict[str, Query]:
         ivm_queries,
         profiling2_queries,
         cluster_queries,
+        cover_queries,
         forecast_queries,
         mining_queries,
         curation_queries,
