@@ -292,3 +292,85 @@ def tv_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tv_ppm"),
     ).orderBy("day_a")
+
+
+# ---------------------------------------------------------------------------
+# Histogram-intersection similarity between sources (top pairs)
+# ---------------------------------------------------------------------------
+
+_HI_BAND = 500  # chars per doc-length histogram bin
+_HI_TOP = 10
+
+# Histogram intersection K(P,Q) = Σ_b min(p_b, q_b) ∈ [0,1] — the classic
+# kernel for comparing distributions. Exact ppm via the common denominator:
+#   hi_ppm = floor( Σ_b min(c_b·n_q, d_b·n_p) · 1e6 / (n_p·n_q) )
+_HI_ORACLE = f"""
+WITH binned AS (
+  SELECT source, n_chars // {_HI_BAND} AS bin, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(c) AS n FROM binned GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         SUM(least(a.c * tb.n, b.c * ta.n)) AS s,
+         any_value(ta.n) AS na, any_value(tb.n) AS nb
+  FROM binned a
+  JOIN binned b ON b.bin = a.bin AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b,
+       CAST(s * 1000000 // (na * nb) AS BIGINT) AS intersection_ppm
+FROM pairs
+ORDER BY intersection_ppm DESC, src_a, src_b
+LIMIT {_HI_TOP}
+"""
+
+
+@register("source_histogram_similarity", tags=("DRIFT-hi",), oracle=_HI_ORACLE)
+def source_histogram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most similar source pairs by histogram intersection of their
+    doc-length distributions, exact ppm (the kernel Σ min(p,q) with the
+    division deferred to one final floor over the common denominator).
+    The similarity matrix a mixture planner reads before merging sources.
+
+    100 TB posture: docs reduce to (source, bin) counts first; the pair
+    join runs on that bounded histogram table (sources × bins), never on
+    documents; bins absent from one side contribute zero to min and are
+    correctly dropped by the inner join."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = (
+        d.select("source", F.floor(F.col("n_chars") / _HI_BAND).alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = binned.groupBy("source").agg(F.sum("c").alias("n"))
+    a = binned.select(
+        F.col("source").alias("src_a"), "bin", F.col("c").alias("ca")
+    ).join(totals.select(F.col("source").alias("src_a"), F.col("n").alias("na")), "src_a")
+    b = binned.select(
+        F.col("source").alias("src_b"), "bin", F.col("c").alias("cb")
+    ).join(totals.select(F.col("source").alias("src_b"), F.col("n").alias("nb")), "src_b")
+    pairs = (
+        a.join(b, "bin")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.least(F.col("ca") * F.col("nb"), F.col("cb") * F.col("na"))).alias("s"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    from topk_spark.ops.topk import topn
+
+    scored = pairs.select(
+        "src_a",
+        "src_b",
+        F.floor(F.col("s") * F.lit(1000000) / (F.col("na") * F.col("nb")))
+        .cast("long")
+        .alias("intersection_ppm"),
+    )
+    return topn(
+        scored, [F.desc("intersection_ppm"), F.asc("src_a"), F.asc("src_b")], _HI_TOP
+    )
