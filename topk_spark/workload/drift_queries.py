@@ -374,3 +374,117 @@ def source_histogram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topn(
         scored, [F.desc("intersection_ppm"), F.asc("src_a"), F.asc("src_b")], _HI_TOP
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises drift (the L2 member of the KS/TV/CvM trilogy)
+# ---------------------------------------------------------------------------
+
+# Two-sample CvM over the POOLED support: T = Σ_v w_v·(F1(v) − F2(v))²
+# with w_v = pooled count at v. Cross-multiplied to integers:
+#   (F1−F2)² = (cum1·n2 − cum2·n1)² / (n1·n2)²
+#   cvm_scaled = Σ_v w_v·(cum1·n2 − cum2·n1)²   — exact in DECIMAL128 —
+# reported as ppm of its maximum n·(n1·n2)² (attained by disjoint
+# supports), so the statistic is scale-free and BIGINT-rendered.
+_CVM_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, {_CENTS} AS cents, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+a AS (SELECT d AS day_a, cents, c AS c1 FROM daily),
+b AS (SELECT d - INTERVAL 1 DAY AS day_a, cents, c AS c2 FROM daily),
+norm AS (
+  SELECT COALESCE(a.day_a, b.day_a) AS day_a,
+         COALESCE(a.cents, b.cents) AS cents,
+         COALESCE(a.c1, 0) AS c1, COALESCE(b.c2, 0) AS c2
+  FROM a FULL OUTER JOIN b
+    ON b.day_a = a.day_a AND b.cents = a.cents
+),
+cum AS (
+  SELECT day_a, cents, c1, c2,
+         SUM(c1) OVER (PARTITION BY day_a ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(c2) OVER (PARTITION BY day_a ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS cum2,
+         SUM(c1) OVER (PARTITION BY day_a) AS n1,
+         SUM(c2) OVER (PARTITION BY day_a) AS n2
+  FROM norm
+),
+stat AS (
+  SELECT day_a,
+         SUM((c1 + c2)::HUGEINT
+             * (cum1::HUGEINT * n2 - cum2::HUGEINT * n1)
+             * (cum1::HUGEINT * n2 - cum2::HUGEINT * n1)) AS s,
+         any_value(n1) AS n1, any_value(n2) AS n2
+  FROM cum
+  WHERE n1 > 0 AND n2 > 0
+  GROUP BY day_a
+)
+SELECT CAST(day_a AS DATE) AS day_a,
+       CAST(s * 1000000 // ((n1 + n2)::HUGEINT
+            * (n1::HUGEINT * n2) * (n1::HUGEINT * n2)) AS BIGINT)
+         AS cvm_ppm
+FROM stat
+ORDER BY day_a
+"""
+
+
+@register("cvm_drift_daily", tags=("DRIFT-cvm",), oracle=_CVM_ORACLE)
+def cvm_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises distance between adjacent days' revenue
+    distributions — the L2 completion of the drift trilogy (KS = sup norm,
+    TV = binned L1, CvM = CDF-weighted L2), sensitive to broad shifts the
+    sup-norm misses. Exact integers end-to-end: pooled-point weights times
+    squared cross-multiplied CDF gaps in DECIMAL128, one final floor to
+    ppm of the disjoint-support maximum.
+
+    Plan family of ks_drift_daily: per-(day, value) counts partial-agg
+    map-side; CDF windows partition by day-pair over the value domain."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        e.select(F.to_date("ts").alias("d"), cents.alias("cents"))
+        .groupBy("d", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    a = daily.select(F.col("d").alias("day_a"), "cents", F.col("c").alias("c1"))
+    b = daily.select(
+        F.date_sub("d", 1).alias("day_a"), "cents", F.col("c").alias("c2")
+    )
+    norm = a.join(b, ["day_a", "cents"], "full_outer").select(
+        "day_a",
+        "cents",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("day_a")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("day_a")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cum = (
+        norm.withColumn("cum1", F.sum("c1").over(wcum))
+        .withColumn("cum2", F.sum("c2").over(wcum))
+        .withColumn("n1", F.sum("c1").over(wall))
+        .withColumn("n2", F.sum("c2").over(wall))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    gap = dec("cum1") * F.col("n2") - dec("cum2") * F.col("n1")
+    stat = cum.groupBy("day_a").agg(
+        F.sum((dec("c1") + F.col("c2")) * gap * gap).alias("s"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    denom = (
+        (dec("n1") + F.col("n2"))
+        * (dec("n1") * F.col("n2"))
+        * (dec("n1") * F.col("n2"))
+    )
+    return stat.select(
+        "day_a",
+        F.floor(F.col("s") * F.lit(1000000) / denom).cast("long").alias("cvm_ppm"),
+    ).orderBy("day_a")
