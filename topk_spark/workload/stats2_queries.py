@@ -536,3 +536,146 @@ def burstiness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(2).cast("decimal(38,0)") * dec(F.col("sx")) * F.col("sx")
         ).alias("bursty"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve of user revenue concentration (the curve behind a Gini)
+# ---------------------------------------------------------------------------
+
+_LORENZ_BANDS = 10
+
+_LORENZ_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, SUM({_CENTS}) AS cents FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, user_id) AS r,
+         count(*) OVER () AS n,
+         SUM(cents) OVER () AS total
+  FROM per_user
+),
+cum AS (
+  SELECT r, n, total,
+         SUM(cents) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM ranked
+)
+SELECT CAST(r * {_LORENZ_BANDS} // n AS INT) AS decile,
+       CAST(max(r) * 1000000 // any_value(n) AS BIGINT) AS pop_ppm,
+       CAST(max(cumc) * 1000000 // any_value(total) AS BIGINT) AS revenue_ppm
+FROM cum
+WHERE r * {_LORENZ_BANDS} % n = 0 OR r = n
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+@register("lorenz_revenue_curve", tags=("stats", "concentration"), oracle=_LORENZ_ORACLE)
+def lorenz_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of revenue concentration across users: at each exact
+    population decile boundary, the cumulative share of revenue held by
+    the poorest r users — the curve whose enclosed area is the Gini
+    (token_gini_ppm reports that scalar for tokens; this emits the curve
+    itself, in exact ppm, for revenue). Deterministic rank order via the
+    (cents, user_id) tiebreak; boundary rows are the ranks where
+    r·B ≡ 0 (mod n) — exact integer decile cuts, no percentile
+    interpolation.
+
+    100 TB posture: per-user reduction first; the rank/cumsum windows run
+    over users, and at extreme user counts the same curve reads off the
+    value-CDF distinct-value table instead (the quantile_normalize
+    pattern) — documented trade, not a different answer."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.sum(_cents_col()).alias("cents"))
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("cents", "user_id")
+    wall = Window.partitionBy()
+    ranked = (
+        per_user.withColumn("r", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wall))
+        .withColumn("total", F.sum("cents").over(wall))
+    )
+    cum = ranked.withColumn(
+        "cumc",
+        F.sum("cents").over(
+            Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    bounds = cum.filter(
+        ((F.col("r") * _LORENZ_BANDS) % F.col("n") == 0) | (F.col("r") == F.col("n"))
+    )
+    return (
+        bounds.groupBy(
+            F.floor(F.col("r") * _LORENZ_BANDS / F.col("n")).cast("int").alias("decile")
+        )
+        .agg(
+            F.floor(F.max("r") * F.lit(1000000) / F.first("n"))
+            .cast("long")
+            .alias("pop_ppm"),
+            F.floor(F.max("cumc") * F.lit(1000000) / F.first("total"))
+            .cast("long")
+            .alias("revenue_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard-balance audit for the deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+_SB_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(((((doc_id % 2147483648) + 2147483648) % 2147483648
+               * 1103515245 + 12345) % 2147483648) % {_SB_SHARDS} AS INT)
+    AS shard
+  FROM documents
+),
+m AS (
+  SELECT shard, count(*)::BIGINT AS cnt FROM h GROUP BY shard
+),
+tot AS (SELECT SUM(cnt) AS n, MAX(cnt) AS mx, MIN(cnt) AS mn FROM m)
+SELECT m.shard, m.cnt,
+       CAST(m.cnt * 1000000 // tot.n AS BIGINT) AS share_ppm,
+       CAST(tot.mx * 1000 // tot.mn AS BIGINT) AS max_min_milli
+FROM m CROSS JOIN tot
+ORDER BY m.shard
+"""
+
+
+@register("shard_balance_audit", tags=("PIPE-shuffle", "audit"), oracle=_SHARD_ORACLE)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the deterministic corpus shuffle (ops/packing.py:shuffle_rank)
+    actually spread documents evenly? Per-shard counts, exact ppm shares,
+    and the max/min imbalance ratio (milli) riding every row — the
+    partition-balance audit that decides whether a shard count is safe to
+    train from. Pure map-side hash + a 16-group count."""
+    from topk_spark.ops.packing import shuffle_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        F.pmod(shuffle_rank(F.col("doc_id")), F.lit(_SB_SHARDS)).cast("int").alias(
+            "shard"
+        )
+    )
+    m = h.groupBy("shard").agg(F.count("*").alias("cnt"))
+    tot = m.agg(
+        F.sum("cnt").alias("n"), F.max("cnt").alias("mx"), F.min("cnt").alias("mn")
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "cnt",
+            F.floor(F.col("cnt") * F.lit(1000000) / F.col("n"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(F.col("mx") * F.lit(1000) / F.col("mn")).cast("long").alias(
+                "max_min_milli"
+            ),
+        )
+        .orderBy("shard")
+    )
