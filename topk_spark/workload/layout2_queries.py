@@ -146,3 +146,84 @@ def rle_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rle_ratio_ppm"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoding benefit audit (completes the encoding trio)
+# ---------------------------------------------------------------------------
+
+# Dictionary encoding pays when cardinality ≪ rows: each value becomes an
+# index of ceil(log2(card)) bits (binary-string length of card−1) plus the
+# dictionary itself. Columns audited with their plain widths (bits/value
+# as stored unencoded: strings ≈ 8·avg_len, bigints 64).
+_DICT_ORACLE = """
+WITH per_col AS (
+  SELECT 'event_type' AS col, count(DISTINCT event_type)::BIGINT AS card,
+         count(*)::BIGINT AS n_rows,
+         CAST(8 * SUM(length(event_type)) // count(*) AS BIGINT) AS plain_bits
+  FROM events
+  UNION ALL
+  SELECT 'user_id', count(DISTINCT user_id), count(*), 64 FROM events
+  UNION ALL
+  SELECT 'event_id', count(DISTINCT event_id), count(*), 64 FROM events
+),
+m AS (
+  SELECT col, card, n_rows, plain_bits,
+         CASE WHEN card <= 1 THEN 1
+              ELSE length(bin(card - 1)) END AS index_bits
+  FROM per_col
+)
+SELECT col, card, n_rows, plain_bits,
+       CAST(index_bits AS INT) AS index_bits,
+       CAST(card * 1000000 // n_rows AS BIGINT) AS card_ratio_ppm,
+       (10 * card <= n_rows AND index_bits < plain_bits) AS dict_wins
+FROM m
+ORDER BY col
+"""
+
+
+@register("dict_encoding_audit", tags=("LAYOUT-encode",), oracle=_DICT_ORACLE)
+def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding benefit per column: cardinality, index width
+    (binary-string length of card−1 — no float log2), plain width, and a
+    dict_wins verdict (cardinality ≤ 10% of rows AND narrower index).
+    Completes the encoding-audit trio with delta_bitwidth_stats and
+    rle_run_stats — together they answer parquet's three encoding choices
+    from the data itself. One distinct-aggregate per audited column."""
+    e = load_table(spark, sf_dir, "events")
+    rows = []
+    for col, plain in [("event_type", None), ("user_id", 64), ("event_id", 64)]:
+        agg = e.agg(
+            F.lit(col).alias("col"),
+            F.countDistinct(col).alias("card"),
+            F.count("*").alias("n_rows"),
+            (
+                F.floor(F.lit(8) * F.sum(F.length(col)) / F.count("*")).cast("long")
+                if plain is None
+                else F.lit(plain).cast("long")
+            ).alias("plain_bits"),
+        )
+        rows.append(agg)
+    per_col = rows[0]
+    for r in rows[1:]:
+        per_col = per_col.unionByName(r)
+    m = per_col.withColumn(
+        "index_bits",
+        F.when(F.col("card") <= 1, F.lit(1)).otherwise(
+            F.length(F.bin(F.col("card") - 1))
+        ).cast("int"),
+    )
+    return m.select(
+        "col",
+        "card",
+        "n_rows",
+        "plain_bits",
+        "index_bits",
+        F.floor(F.col("card") * F.lit(1000000) / F.col("n_rows"))
+        .cast("long")
+        .alias("card_ratio_ppm"),
+        (
+            (10 * F.col("card") <= F.col("n_rows"))
+            & (F.col("index_bits") < F.col("plain_bits"))
+        ).alias("dict_wins"),
+    ).orderBy("col")
