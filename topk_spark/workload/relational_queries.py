@@ -12,7 +12,7 @@ all).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.workload import register
@@ -141,3 +141,65 @@ def metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+_GRANK_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+    AS cents
+  FROM events GROUP BY user_id
+)
+SELECT * FROM (
+  SELECT user_id, cents,
+         row_number() OVER (ORDER BY cents DESC, user_id) AS rnk
+  FROM per_user
+)
+WHERE user_id % 7 = 0
+ORDER BY rnk
+"""
+
+
+@register("global_rank_without_global_sort", tags=("K-rank", "scale"), oracle=_GRANK_ORACLE)
+def global_rank_without_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every user their EXACT global revenue rank without ever
+    ordering all rows in one task — the scale answer to
+    `Window.orderBy(...)` (a single-partition bottleneck this repo's plan
+    notes repeatedly warn about), demonstrated as an operator:
+
+      rank(u) = #users with higher cents            (CDF over DISTINCT
+                                                     values, prefix-summed
+                                                     on the value domain)
+              + #users with equal cents, smaller id (window partitioned BY
+                                                     VALUE — bounded tie
+                                                     groups, not a global
+                                                     order)
+              + 1
+
+    The only global-order window runs over the DISTINCT-VALUE table
+    (bounded cardinality); per-user work is an equi-join on the value.
+    The oracle is the naive global row_number, so the hash check proves
+    the decomposition exact — including ties. Output filtered to
+    user_id ≡ 0 (mod 7) to keep the driver row volume sane; every user's
+    rank is computed."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("cents")
+    )
+    per_val = per_user.groupBy("cents").agg(F.count("*").alias("cnt"))
+    w_val = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    higher = per_val.withColumn(
+        "n_higher", F.coalesce(F.sum("cnt").over(w_val), F.lit(0).cast("long"))
+    ).select("cents", "n_higher")
+    w_tie = Window.partitionBy("cents").orderBy("user_id")
+    ranked = (
+        per_user.join(higher, "cents")
+        .withColumn("tie_pos", F.row_number().over(w_tie))
+        .select(
+            "user_id",
+            "cents",
+            (F.col("n_higher") + F.col("tie_pos")).alias("rnk"),
+        )
+    )
+    return ranked.filter(F.col("user_id") % 7 == 0).orderBy("rnk")
