@@ -679,3 +679,94 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean via distinct-value CDF overlap (no per-row sort)
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # trim 5% from each tail
+
+# Keep ranks [k+1, n−k] with k = n·pct/100 (floor). Per distinct value v
+# occupying ranks [cum_prev+1, cum]: its kept multiplicity is the overlap
+#   kept(v) = max(0, min(cum, n−k) − max(cum_prev, k))
+# so the trimmed sum Σ v·kept(v) is exact integer arithmetic over the
+# DISTINCT-VALUE table — no global row sort, same decomposition family as
+# mannwhitney_u / global_rank_without_global_sort.
+_TRIM_ORACLE = f"""
+WITH per_val AS (
+  SELECT event_type, {_CENTS} AS v, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+cdf AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM per_val
+),
+kept AS (
+  SELECT event_type, n, n * {_TRIM_PCT} // 100 AS k,
+         greatest(0, least(cum, n - n * {_TRIM_PCT} // 100)
+                     - greatest(cum - c, n * {_TRIM_PCT} // 100)) AS m,
+         v
+  FROM cdf
+)
+SELECT event_type,
+       CAST(any_value(n) AS BIGINT) AS n,
+       CAST(any_value(k) AS BIGINT) AS k_trimmed,
+       CAST(SUM(v * m) * 1000 // SUM(m) AS BIGINT) AS trimmed_mean_milli
+FROM kept
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("trimmed_mean_exact", tags=("stats", "robust"), oracle=_TRIM_ORACLE)
+def trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5%-trimmed mean of revenue cents per event type, computed on
+    the distinct-value CDF: each value's kept multiplicity is the overlap
+    of its rank interval with [k+1, n−k], so the trim needs no per-row
+    ranking — the window runs over distinct values only, and boundary
+    values are partially included with exact integer counts (the detail
+    approximate trims get wrong). Output in milli-cents (BIGINT floor)."""
+    e = load_table(spark, sf_dir, "events")
+    per_val = (
+        e.select("event_type", _cents_col().alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cdf = per_val.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    k = F.floor(F.col("n") * _TRIM_PCT / 100).cast("long")
+    kept_m = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - k) - F.greatest(F.col("cum") - F.col("c"), k),
+    )
+    kept = cdf.select("event_type", "v", F.col("n"), k.alias("k"), kept_m.alias("m"))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("k").alias("k_trimmed"),
+            F.floor(F.sum(F.col("v") * F.col("m")) * F.lit(1000) / F.sum("m"))
+            .cast("long")
+            .alias("trimmed_mean_milli"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("k_trimmed").cast("long").alias("k_trimmed"),
+            "trimmed_mean_milli",
+        )
+        .orderBy("event_type")
+    )
