@@ -392,3 +392,112 @@ def kendall_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-level type affinity (market-basket lift on sessions)
+# ---------------------------------------------------------------------------
+
+# lift(a,b) = P(a,b) / (P(a)·P(b)) over sessions-as-baskets; in exact ppm
+# with the common denominator: lift_milli = n_ab·n_sess·1000 // (n_a·n_b).
+_AFFINITY_ORACLE = """
+WITH marks AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 21600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid,
+         event_type
+  FROM marks
+),
+baskets AS (
+  SELECT DISTINCT user_id, sid, event_type FROM sess
+),
+n_sess AS (SELECT count(DISTINCT (user_id, sid)) AS n FROM baskets),
+singles AS (
+  SELECT event_type, count(*)::BIGINT AS c FROM baskets GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.c_ab,
+       CAST(p.c_ab * ns.n * 1000 // (sa.c * sb.c) AS BIGINT) AS lift_milli
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n_sess ns
+ORDER BY type_a, type_b
+"""
+
+
+@register("session_type_affinity", tags=("behavior", "basket"), oracle=_AFFINITY_ORACLE)
+def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types co-occurring in the same
+    6h-gap session: lift > 1000 milli means the pair appears together
+    more than independent rates predict (the cross-sell signal, computed
+    on sessions instead of orders). Exact milli via the common-denominator
+    trick — one division-free ratio per pair.
+
+    100 TB posture: baskets are the DISTINCT (session, type) table —
+    |sessions|·|types| at most; the pair join runs within session keys
+    with fan-out ≤ |types|² per session; the fact is never pair-joined."""
+    e = load_table(spark, sf_dir, "events")
+    # per-USER sessionization via the lag/cumsum rewrite (grouping
+    # session_window by event_type would sessionize each type's stream
+    # separately and shift the boundaries)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "new_s",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            >= F.lit(21600000000)
+        )
+        .cast("long")
+        .alias("new_s"),
+    ).fillna({"new_s": 0})
+    sess = marks.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    baskets = sess.select("user_id", "sid", "event_type").distinct()
+    n_sess = baskets.select("user_id", "sid").distinct().count()
+    singles = baskets.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = baskets.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "sid", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            F.floor(F.col("c_ab") * F.lit(n_sess) * 1000 / (F.col("ca") * F.col("cb")))
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy("type_a", "type_b")
+    )
