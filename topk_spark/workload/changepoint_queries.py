@@ -185,3 +185,68 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "max_drawdown_cents", "trough_day")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Historical value-at-risk: exact order statistic of daily deltas
+# ---------------------------------------------------------------------------
+
+_VAR_PCT = 5  # 5% one-day VaR
+
+_VAR_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, SUM({_CENTS}) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+deltas AS (
+  SELECT event_type,
+         cents - LAG(cents) OVER (PARTITION BY event_type ORDER BY d)
+           AS delta
+  FROM daily
+),
+ranked AS (
+  SELECT event_type, delta,
+         row_number() OVER (PARTITION BY event_type ORDER BY delta) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM deltas WHERE delta IS NOT NULL
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_deltas,
+       CAST(delta AS BIGINT) AS var_cents
+FROM ranked
+WHERE r = greatest(1, (n * {_VAR_PCT} + 99) // 100)
+ORDER BY event_type
+"""
+
+
+@register("historical_var_exact", tags=("timeseries", "risk"), oracle=_VAR_ORACLE)
+def historical_var_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical one-day 5% value-at-risk per series: the ⌈0.05·n⌉-th
+    worst day-over-day revenue change, an EXACT order statistic in cents
+    (historical-simulation VaR, no distributional assumption, no
+    interpolation). Deltas come from an in-partition lag over the daily
+    rollup; the selection window runs over ~30 deltas per series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"), _cents_col().alias("cents"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    deltas = daily.withColumn(
+        "delta", F.col("cents") - F.lag("cents").over(wd)
+    ).filter(F.col("delta").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("delta")
+    ranked = deltas.withColumn("r", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    k = F.greatest(F.lit(1), F.floor((F.col("n") * _VAR_PCT + 99) / 100))
+    return (
+        ranked.filter(F.col("r") == k)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_deltas"),
+            F.col("delta").cast("long").alias("var_cents"),
+        )
+        .orderBy("event_type")
+    )
