@@ -501,3 +501,69 @@ def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top journey trigrams (order-2 sequence mining over per-user streams)
+# ---------------------------------------------------------------------------
+
+_TRI_TOP = 15
+
+_TRIGRAM_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+),
+t AS (
+  SELECT p2 AS t1, p1 AS t2, event_type AS t3, count(*)::BIGINT AS cnt
+  FROM s WHERE p2 IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT SUM(cnt) AS n FROM t)
+SELECT t1, t2, t3, cnt,
+       CAST(cnt * 1000000 // tot.n AS BIGINT) AS share_ppm
+FROM t CROSS JOIN tot
+ORDER BY cnt DESC, t1, t2, t3
+LIMIT {_TRI_TOP}
+"""
+
+
+@register("journey_trigram_topk", tags=("behavior", "seqmining"), oracle=_TRIGRAM_ORACLE)
+def journey_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step behavior sequences (order-2 extension of
+    event_transition_matrix): two lags over the per-user event-time order
+    produce every consecutive type trigram; counts reduce to |types|³
+    cells with exact ppm shares and a bounded-heap top-k. The sequence-
+    mining primitive under 'what do users do right before purchasing'."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = (
+        e.select("user_id", "event_type", F.unix_millis("ts").alias("ms"), "event_id")
+        .withColumn("p1", F.lag("event_type", 1).over(w))
+        .withColumn("p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("p2").isNotNull())
+    )
+    t = s.groupBy(
+        F.col("p2").alias("t1"), F.col("p1").alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).agg(F.count("*").alias("cnt"))
+    tot = t.agg(F.sum("cnt").alias("n"))
+    from topk_spark.ops.topk import topn
+
+    scored = t.crossJoin(F.broadcast(tot)).select(
+        "t1",
+        "t2",
+        "t3",
+        "cnt",
+        F.floor(F.col("cnt") * F.lit(1000000) / F.col("n")).cast("long").alias(
+            "share_ppm"
+        ),
+    )
+    return topn(
+        scored,
+        [F.desc("cnt"), F.asc("t1"), F.asc("t2"), F.asc("t3")],
+        _TRI_TOP,
+    )
