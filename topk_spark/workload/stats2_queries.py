@@ -770,3 +770,54 @@ def trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily Herfindahl concentration of revenue across event types
+# ---------------------------------------------------------------------------
+
+# HHI = Σ share² ∈ (0, 1]; exact ppm via the common denominator:
+#   hhi_ppm = floor( Σ c_t² · 1e6 / total² )   (c in cents, per day)
+# c² rides DECIMAL128 (daily type cents ~1e8 → c² ~1e16·…).
+_HHI_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, SUM({_CENTS}) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT d, SUM(c::HUGEINT * c) AS ssq, SUM(c) AS total,
+         count(*)::BIGINT AS n_types
+  FROM cells GROUP BY d
+)
+SELECT d, n_types,
+       CAST(ssq * 1000000 // (total::HUGEINT * total) AS BIGINT) AS hhi_ppm
+FROM m
+ORDER BY d
+"""
+
+
+@register("hhi_concentration_daily", tags=("stats", "concentration"), oracle=_HHI_ORACLE)
+def hhi_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Herfindahl-Hirschman index of revenue concentration across
+    event types — the log-free concentration scalar (1/n_types ppm =
+    perfectly even, 1e6 = single-type days), exact ppm over a common
+    denominator. Joins the Gini (tokens) and Simpson (characters) family
+    as the business-mix member; one (day, type) aggregate then a per-day
+    reduction, squares in DECIMAL128."""
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cells = e.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.sum(_cents_col()).alias("c")
+    )
+    m = cells.groupBy("d").agg(
+        F.sum(dec("c") * F.col("c")).alias("ssq"),
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_types"),
+    )
+    return m.select(
+        "d",
+        F.col("n_types").cast("long").alias("n_types"),
+        F.floor(F.col("ssq") * F.lit(1000000) / (dec("total") * F.col("total")))
+        .cast("long")
+        .alias("hhi_ppm"),
+    ).orderBy("d")
