@@ -180,3 +180,70 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, q, k=10)
     approx = pq_topk(emb, q, k=10, m=16, nbits=6, rerank_factor=8)
     return _ann_recall_metrics(exact, approx, 0.85, 0.7)
+
+
+# ---------------------------------------------------------------------------
+# Exact per-dimension quartiles of the embedding space
+# ---------------------------------------------------------------------------
+
+_QDIMS = 8  # profile the first 8 dimensions
+
+_DIMQ_ORACLE = f"""
+WITH ex AS (
+  SELECT unnest(range(1, {_QDIMS} + 1)) AS dim, embedding
+  FROM embeddings
+),
+vals AS (
+  SELECT CAST(dim AS INT) AS dim, embedding[dim]::DOUBLE AS v FROM ex
+),
+ranked AS (
+  SELECT dim, v,
+         row_number() OVER (PARTITION BY dim ORDER BY v) AS r,
+         count(*) OVER (PARTITION BY dim) AS n
+  FROM vals
+)
+SELECT dim,
+       min(CASE WHEN r = (n + 3) // 4 THEN v END) AS q1,
+       min(CASE WHEN r = (n + 1) // 2 THEN v END) AS median,
+       min(CASE WHEN r = (3 * n + 1) // 4 THEN v END) AS q3
+FROM ranked
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+@register("embedding_dim_quartiles", tags=("ANN-profile",), oracle=_DIMQ_ORACLE)
+def embedding_dim_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Q1/median/Q3 per embedding dimension (first 8 dims) as ORDER
+    STATISTICS — selected raw values, never interpolated, so the floats
+    hash-match across engines (no arithmetic touches them). The
+    vector-column profile a quantizer or normalizer is calibrated from;
+    degenerate (constant or skewed) dimensions show up immediately.
+
+    100 TB posture: one explode to (dim, value) rows — 8× the vector
+    count, bounded by the profiled dim subset — then per-dim rank
+    windows; at extreme scale the same selection runs on the per-dim
+    distinct-value CDF (the trimmed_mean_exact decomposition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.slice(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"), 1, _QDIMS)).alias("p", "v")
+    ).select((F.col("p") + 1).alias("dim"), "v")
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("dim").orderBy("v")
+    ranked = vals.withColumn("r", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("dim"))
+    )
+    q1 = F.floor((F.col("n") + 3) / 4)
+    med = F.floor((F.col("n") + 1) / 2)
+    q3 = F.floor((3 * F.col("n") + 1) / 4)
+    return (
+        ranked.groupBy("dim")
+        .agg(
+            F.min(F.when(F.col("r") == q1, F.col("v"))).alias("q1"),
+            F.min(F.when(F.col("r") == med, F.col("v"))).alias("median"),
+            F.min(F.when(F.col("r") == q3, F.col("v"))).alias("q3"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "q1", "median", "q3")
+        .orderBy("dim")
+    )
