@@ -567,3 +567,71 @@ def journey_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("cnt"), F.asc("t1"), F.asc("t2"), F.asc("t3")],
         _TRI_TOP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap between adjacent days (set Jaccard in exact ppm)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+a AS (SELECT d AS day_a, user_id FROM du),
+b AS (SELECT d - INTERVAL 1 DAY AS day_a, user_id FROM du),
+m AS (
+  SELECT COALESCE(a.day_a, b.day_a) AS day_a,
+         count(*) FILTER (WHERE a.user_id IS NOT NULL
+                          AND b.user_id IS NOT NULL)::BIGINT AS n_both,
+         count(*)::BIGINT AS n_union
+  FROM a FULL OUTER JOIN b
+    ON b.day_a = a.day_a AND b.user_id = a.user_id
+  GROUP BY 1
+),
+valid AS (SELECT DISTINCT d FROM du)
+SELECT CAST(day_a AS DATE) AS day_a, n_both, n_union,
+       CAST(n_both * 1000000 // n_union AS BIGINT) AS jaccard_ppm
+FROM m
+WHERE day_a IN (SELECT d FROM valid)
+  AND day_a + INTERVAL 1 DAY IN (SELECT d FROM valid)
+ORDER BY day_a
+"""
+
+
+@register("audience_overlap_daily", tags=("behavior", "overlap"), oracle=_OVERLAP_ORACLE)
+def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience stickiness: Jaccard overlap of the active-user SET between
+    each day and the next, in exact ppm — the set-level counterpart of
+    retained_churned_users' counts. One distinct (day, user) reduction,
+    a full-outer self-alignment shifted by one day, integer ratio."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    a = du.select(F.col("d").alias("day_a"), "user_id")
+    b = du.select(F.date_sub("d", 1).alias("day_a"), F.col("user_id").alias("u2"))
+    m = (
+        a.join(b, [a.day_a == b.day_a, a.user_id == b.u2], "full_outer")
+        .select(
+            F.coalesce(a.day_a, b.day_a).alias("day_a"),
+            a.user_id.alias("ua"),
+            F.col("u2"),
+        )
+        .groupBy("day_a")
+        .agg(
+            F.sum(
+                (F.col("ua").isNotNull() & F.col("u2").isNotNull()).cast("long")
+            ).alias("n_both"),
+            F.count("*").alias("n_union"),
+        )
+    )
+    days = du.select("d").distinct()
+    valid = m.join(days, m.day_a == days.d, "left_semi").join(
+        days.select(F.date_sub("d", 1).alias("day_a")).distinct(), "day_a", "left_semi"
+    )
+    return valid.select(
+        "day_a",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.floor(F.col("n_both") * F.lit(1000000) / F.col("n_union"))
+        .cast("long")
+        .alias("jaccard_ppm"),
+    ).orderBy("day_a")
