@@ -100,3 +100,58 @@ def test_streaming_cusum_state_survives_restart(spark, tmp_path):
     second = _drain(spark, tmp_path, src)
     final = second[second["n_total"] == 2]
     assert int(final["cusum"].iloc[0]) == max(0, 300 + 50 - _TARGET)
+
+
+def test_streaming_matches_batch_cusum_in_scaled_units(spark, tmp_path, sf_dir):
+    """Batch cusum_changepoint centers on the series' own mean by scaling
+    deviations by n (d_t = n·x_t − total). Feeding the streaming operator
+    the SAME scaled stream (values n·cents, target = total) must reproduce
+    the batch chart's final statistic exactly — the streaming/batch
+    equivalence pin."""
+    import pyspark.sql.functions as F
+
+    from topk_spark.workload import load_all
+
+    batch = load_all()["cusum_changepoint"].fn(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in batch:
+        by_type.setdefault(r["event_type"], []).append(r)
+    # replay one series through the streaming operator in scaled units
+    et, series = sorted(by_type.items())[0]
+    series.sort(key=lambda r: r["d"])
+    n = len(series)
+    total = sum(r["cents"] for r in series)
+    src = os.path.join(str(tmp_path), "src")
+    rows = [
+        {"event_type": et, "cents": n * r["cents"], "timestamp": i}
+        for i, r in enumerate(series)
+    ]
+    # split across two micro-batches to exercise state carry-over
+    _write_batch(src, 0, rows[: n // 2])
+    _write_batch(src, 1, rows[n // 2 :])
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    from topk_spark.streaming.cusum import cusum_stateful
+
+    out = os.path.join(str(tmp_path), "out")
+    q = (
+        cusum_stateful(stream, target_cents=total, h_cents=0)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.parquet(out)
+        .orderBy(F.desc("n_total"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert int(got["cusum"]) == int(series[-1]["cusum_scaled"])
