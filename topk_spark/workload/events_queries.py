@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.dedup import dedup_first_seen
-from topk_spark.ops.rollup import merge_rollup, windowed_rollup
+from topk_spark.ops.rollup import merge_rollup, reaggregate, windowed_rollup
 from topk_spark.ops.sketches import distinct_by_group, exact_distinct, hll_estimate, hll_sketch
 from topk_spark.ops.timeparts import floor_to_window_ms, hour_of_day, iso_dayofweek
 from topk_spark.ops.topk import global_topk, rank_topk, topn
@@ -622,4 +622,84 @@ def revenue_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("order_count").cast("long").alias("order_count"),
         )
         .orderBy("hour_of_day")
+    )
+
+
+@register(
+    "rollup_ladder_reconciliation",
+    tags=("A5", "A9", "audit"),
+    oracle=f"""
+WITH {_ES}
+SELECT event_type,
+       CAST(SUM(revenue_cents) AS BIGINT) AS raw_cents,
+       CAST(SUM(revenue_cents) AS BIGINT) AS via_1m_cents,
+       CAST(SUM(revenue_cents) AS BIGINT) AS via_1h_cents,
+       count(*) AS raw_rows,
+       count(*) AS via_1m_rows,
+       true AS ladder_lossless
+FROM es
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def rollup_ladder_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-integrity audit for the pre-aggregation ladder: the SAME totals
+    computed three ways — raw events, through the 1-minute rollup, and
+    through the 1-hour merge-rollup — with a lossless flag that is true
+    only when all three agree. The oracle states the ground truth (raw
+    totals repeated, flag true), so any leak in windowed_rollup /
+    merge_rollup / reaggregate (a dropped window, a double-counted
+    boundary, an overflow) breaks the driver hash — the reconciliation
+    job every rollup-serving store runs before trusting a tier.
+
+    100 TB posture: each tier total is a partial+final aggregate of its
+    own (already tiny) tier; the raw pass is the only full scan."""
+    es = order_stream(spark, sf_dir)
+    raw = es.groupBy("event_type").agg(
+        F.sum("revenue_cents").cast("long").alias("raw_cents"),
+        F.count("*").alias("raw_rows"),
+    )
+    r1m = windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
+            F.count("*").alias("order_count"),
+        ],
+        "1 minute",
+    ).drop("hour_of_day", "day_of_week", "window_end")
+    via_1m = reaggregate(
+        r1m, ["event_type"], ["sum_revenue_cents"], count_col="order_count"
+    ).select(
+        "event_type",
+        F.col("sum_revenue_cents").alias("via_1m_cents"),
+        F.col("order_count").alias("via_1m_rows"),
+    )
+    r1h = merge_rollup(
+        r1m.withColumnRenamed("order_count", "order_count_1m"),
+        ["event_type"],
+        ["sum_revenue_cents", "order_count_1m"],
+        target_window_ms=3_600_000,
+    )
+    via_1h = r1h.groupBy("event_type").agg(
+        F.sum("sum_revenue_cents").cast("long").alias("via_1h_cents")
+    )
+    return (
+        raw.join(via_1m, "event_type")
+        .join(via_1h, "event_type")
+        .select(
+            "event_type",
+            "raw_cents",
+            "via_1m_cents",
+            "via_1h_cents",
+            "raw_rows",
+            "via_1m_rows",
+            (
+                (F.col("raw_cents") == F.col("via_1m_cents"))
+                & (F.col("via_1m_cents") == F.col("via_1h_cents"))
+                & (F.col("raw_rows") == F.col("via_1m_rows"))
+            ).alias("ladder_lossless"),
+        )
+        .orderBy("event_type")
     )
