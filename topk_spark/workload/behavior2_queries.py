@@ -635,3 +635,70 @@ def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_ppm"),
     ).orderBy("day_a")
+
+
+# ---------------------------------------------------------------------------
+# Gains chart: conversion rate by engagement decile
+# ---------------------------------------------------------------------------
+
+_GAINS_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, n_events, converted,
+         row_number() OVER (ORDER BY n_events DESC, user_id) AS r,
+         count(*) OVER () AS n
+  FROM per_user
+)
+SELECT CAST((r - 1) * 10 // n AS INT) AS decile,
+       count(*)::BIGINT AS n_users,
+       SUM(converted)::BIGINT AS n_converted,
+       CAST(SUM(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+FROM ranked
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+@register("gains_chart_deciles", tags=("behavior", "targeting"), oracle=_GAINS_ORACLE)
+def gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The targeting gains chart: users ranked by engagement (event count,
+    most active first), cut into exact deciles by rank arithmetic
+    ((r−1)·10 div n — no approximate ntile), with each decile's purchase
+    conversion in exact ppm. A model that beats this activity baseline
+    earns its keep; deciles whose conv_ppm is flat say engagement does
+    not predict purchase.
+
+    100 TB posture: one per-user reduction, a rank over users (at extreme
+    user counts: the distinct-value CDF decomposition used by
+    global_rank_without_global_sort), then a 10-group aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted"),
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    ranked = per_user.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    return (
+        ranked.groupBy(
+            F.floor((F.col("r") - 1) * 10 / F.col("n")).cast("int").alias("decile")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .select(
+            "decile",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.floor(F.col("n_converted") * F.lit(1000000) / F.col("n_users"))
+            .cast("long")
+            .alias("conv_ppm"),
+        )
+        .orderBy("decile")
+    )
