@@ -286,6 +286,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
     method: str = "prefix",
+    hsh: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs ≥ threshold — identical output from two
     physical strategies:
@@ -337,7 +338,10 @@ def ngram_jaccard_pairs(
         raise ValueError(f"unknown method {method!r}")
     from topk_spark.ops.sig_kernels import bucket_pairs, hashed_shingles
 
-    hsh = hashed_shingles(docs, id_col, text_col, n)
+    if hsh is None:
+        # callers with several shingle consumers pass a materialized table
+        # (workload/corpora.py:perturbed_hsh) so the kernel scan runs once
+        hsh = hashed_shingles(docs, id_col, text_col, n)
     # prefix length |S| - ceil(t*|S|) + 1 (≥1 shared prefix shingle is
     # necessary for J >= t — see docstring). The 1e-9 guards float noise
     # pushing an exact-integer t*|S| up a step, which would silently shorten

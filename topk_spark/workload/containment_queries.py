@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from topk_spark.workload import register
 from topk_spark.workload.corpora import PERT_OFFSET as _PERT_OFFSET
-from topk_spark.workload.corpora import perturbed_corpus
 
 _T_NUM, _T_DEN = 4, 5  # threshold 4/5 = 0.8
 
@@ -69,27 +68,14 @@ def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows |S| — both linear in corpus size; candidates shuffle as (hash,
     id) keys bounded by posting-list lengths, never as a cartesian; the
     exact verify joins hash ARRAYS (8 B/shingle), never text."""
-    import os
-    import tempfile
+    from topk_spark.workload.corpora import perturbed_hsh
 
-    from topk_spark.ops.layout import materialize_once
-    from topk_spark.ops.sig_kernels import hashed_shingles
-
-    corpus = perturbed_corpus(spark, sf_dir, modulo=5)
     # The shingle table feeds FOUR consumers (prefix probe, posting index,
-    # and both verify sides); without materialization each branch re-runs
-    # the tokenize/hash kernel scan (8 FileScans measured). Persist it once
-    # per sf with the same write-once discipline as the ANN cell layout —
-    # at 100 TB this is the per-snapshot signature table every dedup pass
-    # shares, not a per-query artifact.
-    sf = os.path.basename(os.path.normpath(sf_dir))
-    path = materialize_once(
-        os.path.join(tempfile.gettempdir(), "topk_spark_layout", sf, "contain_hsh"),
-        lambda p: hashed_shingles(corpus, "doc_id", "text", 3)
-        .write.mode("overwrite")
-        .parquet(p),
-    )
-    hsh = spark.read.parquet(path)
+    # and both verify sides); the shared write-once signature table
+    # (workload/corpora.py:perturbed_hsh — also reused by the ngram-Jaccard
+    # and clustering queries) runs the tokenize/hash kernel once per
+    # corpus snapshot instead of once per consuming branch.
+    hsh = perturbed_hsh(spark, sf_dir)
     # prefix length |S| − ceil(t·|S|) + 1, exact-integer ceil
     plen = (
         F.size("hsh")

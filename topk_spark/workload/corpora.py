@@ -41,3 +41,33 @@ def perturbed_corpus(
     return d.unionByName(pert).repartition(
         spark.sparkContext.defaultParallelism
     )
+
+
+def perturbed_hsh(spark, sf_dir: str, modulo: int = 5, shingle_n: int = 3):
+    """Write-once materialized (id, hashed-shingles) table for the
+    perturbed corpus — the per-snapshot signature table the dedup queries
+    share. Multiple consumers (prefix probes, posting indexes, verify
+    joins, clustering) would otherwise each re-run the tokenize/hash
+    kernel scan; materializing once per (sf, modulo, n) matches the
+    production discipline of building signatures once per corpus
+    snapshot."""
+    import os
+    import tempfile
+
+    from topk_spark.ops.layout import materialize_once
+    from topk_spark.ops.sig_kernels import hashed_shingles
+
+    corpus = perturbed_corpus(spark, sf_dir, modulo=modulo)
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = materialize_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "topk_spark_layout",
+            sf,
+            f"pert{modulo}_hsh{shingle_n}",
+        ),
+        lambda p: hashed_shingles(corpus, "doc_id", "text", shingle_n)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return spark.read.parquet(path)

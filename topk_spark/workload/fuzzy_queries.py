@@ -26,6 +26,7 @@ from topk_spark.ops.similarity import as_double_array, lsh_ann_topk
 from topk_spark.workload import register
 from topk_spark.workload.corpora import PERT_OFFSET as _PERT_OFFSET
 from topk_spark.workload.corpora import perturbed_corpus  # noqa: F401 (re-export)
+from topk_spark.workload.corpora import perturbed_hsh
 
 
 @register(
@@ -62,7 +63,9 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram Jaccard near-dup detection on the perturbed
     corpus subset — the oracle-checked baseline the LSH methods approximate."""
     corpus = perturbed_corpus(spark, sf_dir, modulo=5)
-    return ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        corpus, n=3, threshold=0.5, hsh=perturbed_hsh(spark, sf_dir)
+    )
 
 
 @register(
@@ -204,7 +207,9 @@ def neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topk_spark.ops.fuzzy_dedup import connected_components
 
     corpus = perturbed_corpus(spark, sf_dir, modulo=5)
-    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        corpus, n=3, threshold=0.5, hsh=perturbed_hsh(spark, sf_dir)
+    )
     comp = connected_components(pairs)
     return comp.withColumn("keep", F.col("id") == F.col("component"))
 
@@ -280,7 +285,9 @@ def golden_record_election(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topk_spark.ops.fuzzy_dedup import connected_components, tokenize
 
     corpus = perturbed_corpus(spark, sf_dir, modulo=5)
-    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        corpus, n=3, threshold=0.5, hsh=perturbed_hsh(spark, sf_dir)
+    )
     comp = connected_components(pairs)
     wt = corpus.select(
         F.col("doc_id").alias("id"), F.size(tokenize(F.col("text"))).alias("w")
