@@ -181,3 +181,49 @@ def attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness audit (staleness vs the corpus watermark)
+# ---------------------------------------------------------------------------
+
+_STALE_MS = 24 * 3600 * 1000  # freshness SLO: within a day of the watermark
+
+_FRESHNESS_ORACLE = f"""
+WITH m AS (
+  SELECT event_type, max(epoch_ms(ts)) AS last_ms, count(*)::BIGINT AS n_rows
+  FROM events GROUP BY event_type
+),
+wm AS (SELECT max(last_ms) AS watermark FROM m)
+SELECT event_type, n_rows,
+       CAST(last_ms AS BIGINT) AS last_ms,
+       CAST(wm.watermark - last_ms AS BIGINT) AS lag_ms,
+       (wm.watermark - last_ms > {_STALE_MS}) AS stale
+FROM m CROSS JOIN wm
+ORDER BY event_type
+"""
+
+
+@register("freshness_audit", tags=("profiling", "freshness"), oracle=_FRESHNESS_ORACLE)
+def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness against the corpus watermark: each event
+    type's last-seen instant, its lag behind the global max, and a
+    staleness flag at the one-day SLO — the landing-table health check a
+    scheduler runs before kicking downstream jobs. One partial+final max
+    aggregate; the watermark is a broadcast scalar."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.max(F.unix_millis("ts")).alias("last_ms"), F.count("*").alias("n_rows")
+    )
+    wm = m.agg(F.max("last_ms").alias("watermark"))
+    return (
+        m.crossJoin(F.broadcast(wm))
+        .select(
+            "event_type",
+            "n_rows",
+            F.col("last_ms").cast("long").alias("last_ms"),
+            (F.col("watermark") - F.col("last_ms")).cast("long").alias("lag_ms"),
+            (F.col("watermark") - F.col("last_ms") > _STALE_MS).alias("stale"),
+        )
+        .orderBy("event_type")
+    )
