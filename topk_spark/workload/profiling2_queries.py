@@ -227,3 +227,73 @@ def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentinel-value audit (placeholder/default-value contamination)
+# ---------------------------------------------------------------------------
+
+_SENTINEL_ORACLE = f"""
+WITH v AS (
+  SELECT {_CENTS} AS cents FROM events
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN cents = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+         sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative
+  FROM v
+),
+mode_v AS (
+  SELECT cents AS mode_value, count(*)::BIGINT AS mode_count
+  FROM v GROUP BY cents ORDER BY count(*) DESC, cents LIMIT 1
+)
+SELECT m.n, m.n_zero, m.n_negative,
+       CAST(m.n_zero * 1000000 // m.n AS BIGINT) AS zero_ppm,
+       mode_v.mode_value, mode_v.mode_count,
+       CAST(mode_v.mode_count * 1000000 // m.n AS BIGINT) AS mode_ppm,
+       (mode_v.mode_count * 100 > m.n) AS mode_suspicious
+FROM m CROSS JOIN mode_v
+"""
+
+
+@register("sentinel_value_audit", tags=("profiling", "quality"), oracle=_SENTINEL_ORACLE)
+def sentinel_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placeholder-contamination audit on the revenue column: zero and
+    negative counts, the modal value with its share, and a suspicion flag
+    when one exact value owns >1% of rows (defaults, clamps, and failed
+    parses all surface as an over-represented mode). Exact ppm; the mode
+    is a bounded-heap top-1 over per-value counts with a deterministic
+    tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(_cents_col().alias("cents"))
+    m = v.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cents") == 0).cast("long")).alias("n_zero"),
+        F.sum((F.col("cents") < 0).cast("long")).alias("n_negative"),
+    )
+    from topk_spark.ops.topk import topn
+
+    mode_v = topn(
+        v.groupBy(F.col("cents").alias("mode_value")).agg(
+            F.count("*").alias("mode_count")
+        ),
+        [F.desc("mode_count"), F.asc("mode_value")],
+        1,
+    )
+    return (
+        m.crossJoin(F.broadcast(mode_v))
+        .select(
+            "n",
+            "n_zero",
+            "n_negative",
+            F.floor(F.col("n_zero") * F.lit(1000000) / F.col("n"))
+            .cast("long")
+            .alias("zero_ppm"),
+            "mode_value",
+            "mode_count",
+            F.floor(F.col("mode_count") * F.lit(1000000) / F.col("n"))
+            .cast("long")
+            .alias("mode_ppm"),
+            (F.col("mode_count") * 100 > F.col("n")).alias("mode_suspicious"),
+        )
+    )
