@@ -821,3 +821,67 @@ def hhi_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hhi_ppm"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Price-ending audit (last-two-digits distribution, Benford's sibling)
+# ---------------------------------------------------------------------------
+
+_ENDING_TOP = 10
+
+# Uniformity gate per ending (expected share 1/100): the same χ²(df=1)
+# cross-multiplication as chi_square_independence, with E = n/100:
+#   (c − n/100)²/(n/100) ≥ 3.841 ⇔ 100·(100·c − n)² ≥ 3841·100·n ⇔
+#   (100·c − n)² · 100 ≥ 384100·n   (exact integers; squares in DECIMAL128)
+_ENDING_ORACLE = f"""
+WITH v AS (
+  SELECT {_CENTS} % 100 AS ending FROM events WHERE {_CENTS} > 0
+),
+m AS (
+  SELECT ending, count(*)::BIGINT AS cnt FROM v GROUP BY ending
+),
+tot AS (SELECT SUM(cnt) AS n FROM m)
+SELECT CAST(ending AS INT) AS ending, cnt,
+       CAST(cnt * 1000000 // tot.n AS BIGINT) AS share_ppm,
+       (100 * ((100 * cnt - tot.n)::HUGEINT * (100 * cnt - tot.n))
+          >= 384100 * tot.n::HUGEINT) AS overrepresented
+FROM m CROSS JOIN tot
+ORDER BY cnt DESC, ending
+LIMIT {_ENDING_TOP}
+"""
+
+
+@register("price_ending_audit", tags=("stats", "audit"), oracle=_ENDING_ORACLE)
+def price_ending_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cents endings (value mod 100) with exact ppm shares and a
+    division-free χ²(df=1) over-representation flag against the uniform
+    1/100 expectation — the psychological-pricing / fabricated-amount
+    audit that complements the Benford first-digit test (spikes at .00 or
+    .99 say prices are set, not measured). One 100-group count; the
+    quadratic test runs on the cell table in DECIMAL128."""
+    e = load_table(spark, sf_dir, "events")
+    cents = _cents_col()
+    m = (
+        e.select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(F.pmod(F.col("c"), F.lit(100)).alias("ending"))
+        .groupBy("ending")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = m.agg(F.sum("cnt").alias("n"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = dec(F.lit(100) * F.col("cnt") - F.col("n"))
+    from topk_spark.ops.topk import topn
+
+    scored = m.crossJoin(F.broadcast(tot)).select(
+        F.col("ending").cast("int").alias("ending"),
+        "cnt",
+        F.floor(F.col("cnt") * F.lit(1000000) / F.col("n"))
+        .cast("long")
+        .alias("share_ppm"),
+        (
+            F.lit(100).cast("decimal(38,0)") * dev * dev
+            >= F.lit(384100).cast("decimal(38,0)") * dec(F.col("n"))
+        ).alias("overrepresented"),
+    )
+    return topn(scored, [F.desc("cnt"), F.asc("ending")], _ENDING_TOP)
