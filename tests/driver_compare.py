@@ -18,12 +18,23 @@ TABLES = (
 
 
 def _norm(v):
+    import datetime
     import math
 
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return f"{v:.6f}"
+    # DuckDB's fetch_df renders DATE as a midnight datetime64 while Spark
+    # collects DateType as datetime.date — same value, different str().
+    # The driver compares via Arrow where both sides are date32, so
+    # canonicalize midnight datetimes to their date here too.
+    if isinstance(v, datetime.datetime) and (
+        v.time() == datetime.time(0) and v.tzinfo is None
+    ):
+        return str(v.date())
+    # int-typed floats (DuckDB HUGEINT→float64) intentionally stay distinct
+    # from ints: that dtype drift IS what the driver's value hash catches.
     return str(v)
 
 

@@ -36,7 +36,14 @@ def bloom_build(
     """Aggregate the build side's keys into a one-row bitset:
     map<word_idx, word> with word = bit_or of 1 << (pos % 64) over every
     hash position landing in that 64-bit word. The shuffles here carry
-    (word_idx, word) pairs — at most m/64 groups — never payload rows."""
+    (word_idx, word) pairs — at most m/64 groups — never payload rows.
+
+    m_bits is rounded UP to a multiple of 64: a partial top word would put
+    positions past the densified array's end, where element_at yields NULL
+    and the AND-ed probe predicate silently drops rows that may match —
+    a false NEGATIVE, violating the bloom contract. Callers must pass the
+    same m_bits to bloom_prefilter (the default always agrees)."""
+    m_bits = ((m_bits + 63) // 64) * 64
     pos_arr = F.array(
         *[
             F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
@@ -84,7 +91,12 @@ def bloom_prefilter(
     negatives — same xxhash64 family as `bloom_build`). The bitset arrives
     via a 1-row broadcast crossJoin (the scalar-broadcast pattern used
     across this engine); the k membership tests are one AND-ed codegen
-    expression, evaluated map-side before any downstream shuffle."""
+    expression, evaluated map-side before any downstream shuffle.
+
+    m_bits is rounded up to a multiple of 64 with the SAME rule as
+    bloom_build, so hash positions (pmod by m_bits) agree between the
+    build and probe sides for any caller-supplied m_bits."""
+    m_bits = ((m_bits + 63) // 64) * 64
     # Flat k-way AND of codegen bit tests. Each conjunct names its
     # xxhash64 twice (word index + bit offset) but that still beats a
     # forall(transform(...)) single-eval form, which allocates a position

@@ -53,6 +53,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Bump whenever any hash kernel's OUTPUT VALUES change (e.g. the round-2
+# blake2b → rolling-polynomial switch): on-disk signature caches key on it,
+# so a stale cache written by older kernel code is never silently reused.
+SIG_KERNEL_VERSION = 2
+
 _WS = re.compile(r"\s+")
 
 

@@ -107,8 +107,9 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
-            F.floor(
-                F.coalesce("n_masked", F.lit(0)) * F.lit(1000000) / F.col("n_tokens")
+            # integral div mirrors the oracle's exact '//' (drift ppm notes)
+            F.expr(
+                "CAST(coalesce(n_masked, 0) * 1000000 div n_tokens AS BIGINT)"
             ).alias("mask_ppm"),
         )
     )

@@ -77,9 +77,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     row_total = F.sum("cnt").over(Window.partitionBy("prev"))
     return (
-        t.withColumn(
-            "prob_ppm",
-            F.floor(F.col("cnt") * F.lit(1000000) / row_total).cast("long"),
+        t.withColumn("row_total", row_total)
+        # integral div mirrors the oracle's exact '//' (see drift ppm notes)
+        .withColumn(
+            "prob_ppm", F.expr("CAST(cnt * 1000000 div row_total AS BIGINT)")
         )
         .select("prev", "cur", "cnt", "prob_ppm")
         .orderBy("prev", "cur")
@@ -495,9 +496,12 @@ def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "c_ab",
-            F.floor(F.col("c_ab") * F.lit(n_sess) * 1000 / (F.col("ca") * F.col("cb")))
-            .cast("long")
-            .alias("lift_milli"),
+            # integral div mirrors the oracle's '//' (see drift ppm notes);
+            # decimal-widened: c_ab·n_sess·1000 outgrows BIGINT at scale
+            F.expr(
+                f"CAST((CAST(c_ab AS DECIMAL(38,0)) * {n_sess} * 1000) div "
+                "(CAST(ca AS DECIMAL(19,0)) * cb) AS BIGINT)"
+            ).alias("lift_milli"),
         )
         .orderBy("type_a", "type_b")
     )
@@ -558,9 +562,8 @@ def journey_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t2",
         "t3",
         "cnt",
-        F.floor(F.col("cnt") * F.lit(1000000) / F.col("n")).cast("long").alias(
-            "share_ppm"
-        ),
+        # integral div mirrors the oracle's exact '//' (see drift ppm notes)
+        F.expr("CAST(cnt * 1000000 div n AS BIGINT)").alias("share_ppm"),
     )
     return topn(
         scored,
@@ -631,9 +634,10 @@ def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_a",
         F.col("n_both").cast("long").alias("n_both"),
         F.col("n_union").cast("long").alias("n_union"),
-        F.floor(F.col("n_both") * F.lit(1000000) / F.col("n_union"))
-        .cast("long")
-        .alias("jaccard_ppm"),
+        # integral div mirrors the oracle's exact '//' (see drift ppm notes)
+        F.expr("CAST(n_both * 1000000 div n_union AS BIGINT)").alias(
+            "jaccard_ppm"
+        ),
     ).orderBy("day_a")
 
 
@@ -696,9 +700,10 @@ def gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             F.col("n_users").cast("long").alias("n_users"),
             F.col("n_converted").cast("long").alias("n_converted"),
-            F.floor(F.col("n_converted") * F.lit(1000000) / F.col("n_users"))
-            .cast("long")
-            .alias("conv_ppm"),
+            # integral div mirrors the oracle's exact '//' (drift ppm notes)
+            F.expr("CAST(n_converted * 1000000 div n_users AS BIGINT)").alias(
+                "conv_ppm"
+            ),
         )
         .orderBy("decile")
     )

@@ -378,10 +378,10 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, event_date, day_cents,
-       SUM(day_cents) OVER (
+       CAST(SUM(day_cents) OVER (
          PARTITION BY event_type ORDER BY event_date
          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-       ) AS rolling_7d_cents
+       ) AS BIGINT) AS rolling_7d_cents
 FROM daily
 """,
 )

@@ -149,10 +149,16 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = n.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        F.floor(F.col("n_docs") * _ALLOC_BUDGET / F.col("n_total")).alias(
-            "base_alloc"
-        ),
-        F.pmod(F.col("n_docs") * _ALLOC_BUDGET, F.col("n_total")).alias("rem"),
+        # integral div mirrors the oracle's exact '//' (decimal-widened:
+        # n_docs·budget outgrows 2^53 at full-corpus doc counts)
+        F.expr(
+            f"CAST(CAST(n_docs AS DECIMAL(38,0)) * {_ALLOC_BUDGET}"
+            " div n_total AS BIGINT)"
+        ).alias("base_alloc"),
+        F.expr(
+            f"CAST(pmod(CAST(n_docs AS DECIMAL(38,0)) * {_ALLOC_BUDGET},"
+            " n_total) AS BIGINT)"
+        ).alias("rem"),
     )
     w_rank = Window.orderBy(F.desc("rem"), F.asc("source"))
     w_all = Window.partitionBy()

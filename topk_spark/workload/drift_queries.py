@@ -117,13 +117,11 @@ def ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1").alias("day"),
         "n_day",
         "n_next",
-        F.floor(
-            F.col("ks_num")
-            * 1000000
-            / (F.col("n_day").cast("decimal(19,0)") * F.col("n_next"))
-        )
-        .cast("long")
-        .alias("ks_ppm"),
+        # exact integral div (decimal-widened) — see tv_distance_drift
+        F.expr(
+            "CAST((CAST(ks_num AS DECIMAL(38,0)) * 1000000) div "
+            "(CAST(n_day AS DECIMAL(19,0)) * n_next) AS BIGINT)"
+        ).alias("ks_ppm"),
     ).orderBy("day")
 
 
@@ -185,16 +183,12 @@ def token_gini_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n").alias("n_tokens_distinct"),
         F.col("total").alias("n_tokens"),
-        F.floor(
-            (
-                2 * F.col("iwsum").cast("decimal(30,0)")
-                - (F.col("n") + 1) * F.col("total").cast("decimal(30,0)")
-            )
-            * 1000000
-            / (F.col("n").cast("decimal(19,0)") * F.col("total"))
-        )
-        .cast("long")
-        .alias("gini_ppm"),
+        # exact integral div (decimal-widened) — see tv_distance_drift
+        F.expr(
+            "CAST(((2 * CAST(iwsum AS DECIMAL(30,0))"
+            " - (n + 1) * CAST(total AS DECIMAL(30,0))) * 1000000) div "
+            "(CAST(n AS DECIMAL(19,0)) * total) AS BIGINT)"
+        ).alias("gini_ppm"),
     ).orderBy("source")
 
 
@@ -288,9 +282,14 @@ def tv_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return num.select(
         F.col("da").alias("day_a"),
-        F.floor(F.col("s") * F.lit(1000000) / (2 * F.col("n1") * F.col("n2")))
-        .cast("long")
-        .alias("tv_ppm"),
+        # integral div in DECIMAL(38,0), mirroring the oracle's exact '//':
+        # a double division's rounded quotient can floor to a different
+        # integer once s*1e6 nears 2^53 (daily counts ~3e4 suffice), and
+        # the decimal widening keeps s*1e6 itself from overflowing BIGINT.
+        F.expr(
+            "CAST((CAST(s AS DECIMAL(38,0)) * 1000000) div "
+            "(2 * CAST(n1 AS DECIMAL(19,0)) * n2) AS BIGINT)"
+        ).alias("tv_ppm"),
     ).orderBy("day_a")
 
 
@@ -367,9 +366,11 @@ def source_histogram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "src_a",
         "src_b",
-        F.floor(F.col("s") * F.lit(1000000) / (F.col("na") * F.col("nb")))
-        .cast("long")
-        .alias("intersection_ppm"),
+        # exact integral div (decimal-widened) — see tv_distance_drift
+        F.expr(
+            "CAST((CAST(s AS DECIMAL(38,0)) * 1000000) div "
+            "(CAST(na AS DECIMAL(19,0)) * nb) AS BIGINT)"
+        ).alias("intersection_ppm"),
     )
     return topn(
         scored, [F.desc("intersection_ppm"), F.asc("src_a"), F.asc("src_b")], _HI_TOP
@@ -479,12 +480,14 @@ def cvm_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
     )
-    denom = (
-        (dec("n1") + F.col("n2"))
-        * (dec("n1") * F.col("n2"))
-        * (dec("n1") * F.col("n2"))
-    )
+    # exact integral div (decimal-widened) — see tv_distance_drift; a
+    # decimal '/' rounds HALF_UP at result scale before the floor, which
+    # can cross an integer boundary the oracle's exact '//' does not.
     return stat.select(
         "day_a",
-        F.floor(F.col("s") * F.lit(1000000) / denom).cast("long").alias("cvm_ppm"),
+        F.expr(
+            "CAST((s * 1000000) div ((CAST(n1 AS DECIMAL(38,0)) + n2)"
+            " * (CAST(n1 AS DECIMAL(19,0)) * n2)"
+            " * (CAST(n1 AS DECIMAL(19,0)) * n2)) AS BIGINT)"
+        ).alias("cvm_ppm"),
     ).orderBy("day_a")

@@ -268,16 +268,15 @@ def seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e7").alias("s7"),
         F.sum("e1").alias("s1"),
     )
+    # integral div mirrors the oracle's exact '//' (DuckDB and Spark both
+    # truncate toward zero; all operands nonnegative) — a double division's
+    # rounded quotient can floor differently once s*1e6 nears 2^53.
     return m.select(
         "event_type",
         F.col("n_eval").cast("long").alias("n_eval"),
-        F.floor(F.col("s7") * F.lit(1000) / F.col("n_eval")).cast("long").alias(
-            "mae7_milli"
-        ),
-        F.floor(F.col("s1") * F.lit(1000) / F.col("n_eval")).cast("long").alias(
-            "mae1_milli"
-        ),
-        F.floor(F.col("s7") * F.lit(1000000) / F.col("s1")).cast("long").alias(
+        F.expr("CAST(s7 * 1000 div n_eval AS BIGINT)").alias("mae7_milli"),
+        F.expr("CAST(s1 * 1000 div n_eval AS BIGINT)").alias("mae1_milli"),
+        F.expr("CAST(s7 * 1000000 div s1 AS BIGINT)").alias(
             "skill_vs_naive_ppm"
         ),
     ).orderBy("event_type")

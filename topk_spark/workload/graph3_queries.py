@@ -92,13 +92,10 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("node_a"),
             F.col("b").alias("node_b"),
             F.col("common").cast("long").alias("common_neighbors"),
-            F.floor(
-                F.col("common")
-                * F.lit(1000000)
-                / (F.col("da") + F.col("db") - F.col("common"))
-            )
-            .cast("long")
-            .alias("jaccard_ppm"),
+            # integral div mirrors the oracle's exact '//' (drift ppm notes)
+            F.expr(
+                "CAST(common * 1000000 div (da + db - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
         )
     )
     return topn(

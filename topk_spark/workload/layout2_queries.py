@@ -80,16 +80,15 @@ def delta_bitwidth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("bitwidth").cast("int").alias("bitwidth"),
             "cnt",
-            F.floor(F.col("cnt") * F.lit(1000000) / F.col("n"))
-            .cast("long")
-            .alias("share_ppm"),
-            F.floor(
-                (F.lit(64) * F.col("n") - F.col("delta_bits"))
-                * F.lit(1000000)
-                / (F.lit(64) * F.col("n"))
-            )
-            .cast("long")
-            .alias("total_savings_ppm"),
+            # integral div mirrors the oracle's exact '//' (decimal-widened
+            # where cnt·1e6 outgrows 2^53 at full-corpus row counts)
+            F.expr(
+                "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST((64 * CAST(n AS DECIMAL(38,0)) - delta_bits) * 1000000"
+                " div (64 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("total_savings_ppm"),
         )
         .orderBy("bitwidth")
     )
@@ -139,12 +138,14 @@ def rle_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_rows",
         "n_runs",
-        F.floor(F.col("n_rows") * F.lit(1000) / F.col("n_runs"))
-        .cast("long")
-        .alias("mean_run_milli"),
-        F.floor(F.col("n_runs") * F.lit(1000000) / F.col("n_rows"))
-        .cast("long")
-        .alias("rle_ratio_ppm"),
+        # integral div mirrors the oracle's exact '//' (decimal-widened)
+        F.expr(
+            "CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000 div n_runs AS BIGINT)"
+        ).alias("mean_run_milli"),
+        F.expr(
+            "CAST(CAST(n_runs AS DECIMAL(38,0)) * 1000000 div n_rows"
+            " AS BIGINT)"
+        ).alias("rle_ratio_ppm"),
     ).orderBy("event_type")
 
 
@@ -219,9 +220,10 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "plain_bits",
         "index_bits",
-        F.floor(F.col("card") * F.lit(1000000) / F.col("n_rows"))
-        .cast("long")
-        .alias("card_ratio_ppm"),
+        # integral div mirrors the oracle's exact '//' (decimal-widened)
+        F.expr(
+            "CAST(CAST(card AS DECIMAL(38,0)) * 1000000 div n_rows AS BIGINT)"
+        ).alias("card_ratio_ppm"),
         (
             (10 * F.col("card") <= F.col("n_rows"))
             & (F.col("index_bits") < F.col("plain_bits"))

@@ -286,14 +286,18 @@ def sentinel_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_zero",
             "n_negative",
-            F.floor(F.col("n_zero") * F.lit(1000000) / F.col("n"))
-            .cast("long")
-            .alias("zero_ppm"),
+            # integral div mirrors the oracle's exact '//' (decimal-widened:
+            # count·1e6 outgrows 2^53 at full-corpus row counts)
+            F.expr(
+                "CAST(CAST(n_zero AS DECIMAL(38,0)) * 1000000 div n"
+                " AS BIGINT)"
+            ).alias("zero_ppm"),
             "mode_value",
             "mode_count",
-            F.floor(F.col("mode_count") * F.lit(1000000) / F.col("n"))
-            .cast("long")
-            .alias("mode_ppm"),
+            F.expr(
+                "CAST(CAST(mode_count AS DECIMAL(38,0)) * 1000000 div n"
+                " AS BIGINT)"
+            ).alias("mode_ppm"),
             (F.col("mode_count") * 100 > F.col("n")).alias("mode_suspicious"),
         )
     )

@@ -10,8 +10,13 @@ uniform the repo already uses for masking/sampling schedules: the first 12
 hex chars of md5(doc_id) as a 48-bit integer, so the whole draw is
 deterministic and the DuckDB oracle replays it bit-for-bit.
 
-Integer discipline: q = (w·2⁴⁸) div (u+1) in BIGINT (w ≤ ~10⁴ keeps the
-product < 2⁶²; +1 guards the measure-zero u=0). Integer division collapses
+Integer discipline: q = (w·2⁴⁸) div (u+1) in BIGINT with the weight
+CLAMPED to w ≤ 2¹⁵−1, so the product is ≤ 2⁶³−2⁴⁸ and can never overflow
+signed 64-bit — Spark would wrap silently to negative priorities while
+DuckDB raises, corrupting the sample and diverging from the oracle the
+moment any document reaches 32 Ki chars. The clamp is applied identically
+in both engines (weight IS the clamped value, so the emitted rows agree
+too); +1 guards the measure-zero u=0. Integer division collapses
 near-ties, so the order includes doc_id as the deterministic tiebreak —
 documented deviation from real-valued DLT, irrelevant at 48-bit precision.
 """
@@ -28,19 +33,21 @@ from topk_spark.ops.topk import topn
 _M = 50  # sample size
 _SCALE = 1 << 48
 
+_W_CAP = (1 << 15) - 1  # max weight: cap·2^48 = 2^63 − 2^48 < BIGINT max
+
 _PRIORITY_ORACLE = f"""
 WITH u AS (
-  SELECT doc_id, source, n_chars,
+  SELECT doc_id, source, least(n_chars, {_W_CAP}) AS w,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
            AS u48
   FROM documents
 ),
 q AS (
-  SELECT doc_id, source, n_chars,
-         (n_chars * {_SCALE}) // (u48 + 1) AS priority
+  SELECT doc_id, source, w,
+         (w * {_SCALE}) // (u48 + 1) AS priority
   FROM u
 )
-SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+SELECT doc_id, source, CAST(w AS BIGINT) AS weight,
        CAST(priority AS BIGINT) AS priority
 FROM q
 ORDER BY priority DESC, doc_id
@@ -70,7 +77,8 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = d.select(
         "doc_id",
         "source",
-        F.col("n_chars").cast("long").alias("weight"),
+        F.least(F.col("n_chars").cast("long"), F.lit(_W_CAP).cast("long"))
+        .alias("weight"),
         u48.alias("u48"),
     ).selectExpr(
         "doc_id",
