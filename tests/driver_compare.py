@@ -1,7 +1,18 @@
 """Stand-alone driver-style oracle comparison: run a registry query on Spark
 and its DuckDB oracle side-by-side, compare row count, schema (column names),
-and sorted-value hash. Used ad hoc (`python tests/driver_compare.py q1 q2 ...`
-or `--all`) to pre-flight what the driver's CORRECTNESS gate will see.
+TYPE KIND, and sorted-value hash. Used ad hoc (`python tests/driver_compare.py
+q1 q2 ...` or `--all`) to pre-flight what the driver's CORRECTNESS gate will
+see.
+
+Comparison is ARROW-to-ARROW (spark.toArrow vs duckdb .arrow()), which is
+the faithful proxy for the driver's value hash:
+- BIGINT with NULLs stays int64 (a pandas fetch_df would widen to float64 —
+  a false positive that mis-flagged 20+ driver-green queries);
+- DuckDB HUGEINT surfaces as decimal128 — a REAL drift vs Spark's int64
+  (the round-2 `rolling_7d_revenue` red: an un-cast window SUM);
+- DATE is date32 on both sides.
+A type-KIND mismatch (int vs float vs decimal) fails even when the printed
+values agree, because the driver hashes typed values.
 """
 
 from __future__ import annotations
@@ -10,6 +21,7 @@ import os
 import sys
 
 import duckdb
+import pyarrow as pa
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents "
@@ -17,61 +29,91 @@ TABLES = (
 ).split()
 
 
+def _kind(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return str(t)
+
+
 def _norm(v):
     import datetime
     import math
 
+    if v is None:
+        return "null"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return f"{v:.6f}"
-    # DuckDB's fetch_df renders DATE as a midnight datetime64 while Spark
-    # collects DateType as datetime.date — same value, different str().
-    # The driver compares via Arrow where both sides are date32, so
-    # canonicalize midnight datetimes to their date here too.
-    if isinstance(v, datetime.datetime) and (
-        v.time() == datetime.time(0) and v.tzinfo is None
-    ):
-        return str(v.date())
-    # int-typed floats (DuckDB HUGEINT→float64) intentionally stay distinct
-    # from ints: that dtype drift IS what the driver's value hash catches.
+    # Spark's Arrow timestamps carry tz=UTC, DuckDB's are naive wall-UTC —
+    # the same instant. Driver-green queries emit such columns, so the
+    # driver's hash normalizes this; mirror it (values only — a timestamp
+    # vs date32/int KIND mismatch is still caught by the kind check).
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return str(v.replace(tzinfo=None))
     return str(v)
+
+
+def _row_set(tbl: pa.Table):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    return sorted(tuple(_norm(col[i]) for col in data) for i in range(tbl.num_rows))
 
 
 def compare(spark, sf_dir: str, name: str, fn, oracle: str | None):
     sdf = fn(spark, sf_dir)
-    spark_rows = sdf.collect()
-    spark_cols = sorted(sdf.columns)
-    s_vals = sorted(
-        tuple(_norm(r[c]) for c in spark_cols) for r in spark_rows
-    )
+    s_tbl = sdf.toArrow()
     if oracle is None:
-        return {"name": name, "rows": len(spark_rows), "status": "rows_only"}
+        return {"name": name, "rows": s_tbl.num_rows, "status": "rows_only"}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    odf = con.execute(oracle).fetch_df()
-    o_cols = sorted(odf.columns)
-    o_vals = sorted(
-        tuple(_norm(v) for v in (row[c] for c in o_cols))
-        for row in odf.to_dict("records")
-    )
-    ok_rows = len(spark_rows) == len(odf)
-    ok_schema = spark_cols == o_cols
-    ok_vals = s_vals == o_vals
-    status = "PASS" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+    o_tbl = con.execute(oracle).arrow()
+
+    s_cols = sorted(s_tbl.column_names)
+    o_cols = sorted(o_tbl.column_names)
+    ok_schema = s_cols == o_cols
+    ok_rows = s_tbl.num_rows == o_tbl.num_rows
     out = {
         "name": name,
-        "rows": len(spark_rows),
-        "oracle_rows": len(odf),
-        "schema": (spark_cols, o_cols) if not ok_schema else "ok",
-        "status": status,
+        "rows": s_tbl.num_rows,
+        "oracle_rows": o_tbl.num_rows,
+        "schema": "ok" if ok_schema else (s_cols, o_cols),
     }
-    if not ok_vals and ok_schema and ok_rows:
-        diffs = [(a, b) for a, b in zip(s_vals, o_vals) if a != b][:3]
-        out["first_diffs"] = diffs
+    kind_drift = []
+    if ok_schema:
+        for c in s_cols:
+            sk = _kind(s_tbl.schema.field(c).type)
+            ok = _kind(o_tbl.schema.field(c).type)
+            if sk != ok:
+                kind_drift.append((c, sk, ok))
+    if kind_drift:
+        out["type_drift"] = kind_drift
+    ok_vals = False
+    if ok_schema and ok_rows:
+        srs, ors = _row_set(s_tbl), _row_set(o_tbl)
+        ok_vals = srs == ors
+        if not ok_vals:
+            out["first_diffs"] = [
+                (a, b) for a, b in zip(srs, ors) if a != b
+            ][:3]
+    out["status"] = (
+        "PASS" if (ok_rows and ok_schema and ok_vals and not kind_drift) else "FAIL"
+    )
     return out
 
 

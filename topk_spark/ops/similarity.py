@@ -199,6 +199,36 @@ def _lloyd(X: "np.ndarray", k: int, seed: int, iters: int = 20) -> "np.ndarray":
     return C
 
 
+_TRAIN_SAMPLE_N = 65536
+
+
+def _train_sample(
+    v: DataFrame, seed: int, n: int = _TRAIN_SAMPLE_N, id_col: str = "vec_id"
+) -> "np.ndarray":
+    """Bounded training sample for quantizer fitting that is DETERMINISTIC
+    UNDER REPARTITIONING: the n rows with the smallest
+    xxhash64(id, seed) — a seeded uniform draw whose membership depends
+    only on ids, never on partition layout. A bare limit(n) takes
+    whichever partitions answer first, so the trained centroids (hence
+    all ANN output) could change with input partitioning. orderBy+limit
+    compiles to TakeOrderedAndProject — per-partition bounded heaps, no
+    global sort — so this stays one cheap pass at any corpus size.
+
+    The returned rows are re-sorted by id: _lloyd's k-means++ init indexes
+    into the sample array, so the ROW ORDER is part of the trained
+    quantizer — canonical id order makes it a pure function of the sample
+    SET (and matches the file order of an id-sorted corpus, keeping
+    centroids stable vs the earlier limit(n) draw on such corpora)."""
+    rows = (
+        v.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(n)
+        .select(id_col, "vv")
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    return np.asarray([r["vv"] for r in rows], dtype=np.float64)
+
+
 def _assign_cells(v: DataFrame, C: "np.ndarray") -> DataFrame:
     """(vec_id, vv, cell): nearest-centroid assignment in one map-side
     Arrow-batched pass; the (small) centroid matrix ships inside the task
@@ -395,10 +425,7 @@ def ivf_topk(
     v = corpus.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")
     )
-    sample = np.asarray(
-        [r["vv"] for r in v.select("vv").limit(65536).collect()],
-        dtype=np.float64,
-    )
+    sample = _train_sample(v, seed)
     C = _lloyd(sample, nlist, seed)
     assigned = _assign_cells(v, C)
 
@@ -449,6 +476,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., 2011) with asymmetric
     distance computation (ADC) — the third 100 TB path next to LSH and IVF,
@@ -476,9 +504,7 @@ def pq_topk(
     v = corpus.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")
     )
-    sample = np.asarray(
-        [r["vv"] for r in v.select("vv").limit(65536).collect()], dtype=np.float64
-    )
+    sample = _train_sample(v, seed)
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     d = sample.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
@@ -519,7 +545,19 @@ def pq_topk(
 
     encoded = v.mapInPandas(encode, code_schema)
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    # ADC is a serving-style operator: the per-query distance tables ship in
+    # the task closure, so the query set must be BOUNDED — an unbounded
+    # collect here would melt the driver on a corpus-sized query side.
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query set exceeds max_queries={max_queries}; "
+            "batch the queries or raise the bound explicitly"
+        )
     qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
     Q = np.asarray([r[query_vec_col] for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -537,17 +575,28 @@ def pq_topk(
     shortlist = max(k, rerank_factor * k)
 
     def adc_scan(batches):
+        # Partition-layout invariance: the per-batch partial top-k must cut
+        # under the SAME total order as the final merge (score DESC, vec_id
+        # ASC) — ADC's coarse codes produce many exact score ties, and an
+        # argpartition cut picks arbitrary tie members, so the surviving
+        # candidate set (hence the answer) would change with partitioning.
+        # Columns are pre-sorted by vec_id so a stable argsort on -score
+        # breaks ties by ascending id; self-matches are masked to -inf
+        # BEFORE the cut so the query's own vector never eats a slot.
         for batch in batches:
             if not len(batch):
                 continue
             ids = batch["vec_id"].to_numpy(dtype=np.int64)
-            codes = np.asarray(list(batch["codes"]), dtype=np.int64)  # (B, m)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            codes = np.asarray(list(batch["codes"]), dtype=np.int64)[order]
             # scores[q, b] = sum_j dt[q, j, codes[b, j]]
             scores = np.zeros((len(qids), len(ids)))
             for j in range(m):
                 scores += dt[:, j, :][:, codes[:, j]]
+            scores[ids[None, :] == qids[:, None]] = -np.inf
             kk = min(shortlist, len(ids))
-            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
             qi = np.repeat(qids, kk)
             bi = top.ravel()
             yield pd.DataFrame(
@@ -603,9 +652,7 @@ def ivf_cell_layout(
     v = corpus.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("vv")
     )
-    sample = np.asarray(
-        [r["vv"] for r in v.select("vv").limit(65536).collect()], dtype=np.float64
-    )
+    sample = _train_sample(v, seed)
     C = _lloyd(sample, nlist, seed)
     assigned = _assign_cells(v, C)
     # one file per cell directory: the probe read should open O(nprobe)
@@ -628,10 +675,10 @@ def ivf_probe_cells(
     quantizer (bounded sample, seeded: bit-identical centroids to the ones
     the layout was written with) and picks each query's nprobe nearest
     cells. Centroid training is the only corpus touch and is O(sample)."""
-    v = corpus.select(as_double_array("embedding").alias("vv"))
-    sample = np.asarray(
-        [r["vv"] for r in v.limit(65536).collect()], dtype=np.float64
+    v = corpus.select(
+        F.col("vec_id").alias("vec_id"), as_double_array("embedding").alias("vv")
     )
+    sample = _train_sample(v, seed)
     C = _lloyd(sample, nlist, seed)
     spark = corpus.sparkSession
     cent = spark.createDataFrame(

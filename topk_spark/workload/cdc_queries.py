@@ -41,8 +41,10 @@ SELECT f.user_id,
 FROM final f
 JOIN (
   SELECT user_id,
-         sum(CASE WHEN op IN ('I','U') THEN 1 ELSE 0 END) AS n_upserts,
-         sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+         CAST(sum(CASE WHEN op IN ('I','U') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_upserts,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deletes
   FROM log GROUP BY user_id
 ) s USING (user_id)
 WHERE f.op <> 'D'

@@ -329,7 +329,8 @@ shared AS (
 )
 SELECT g.doc_id,
        count(*) AS n_grams,
-       sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+       CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
        round(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 4) AS dup_frac
 FROM grams g JOIN shared s USING (gram)

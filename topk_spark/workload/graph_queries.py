@@ -62,7 +62,7 @@ base AS (SELECT (15 * {_SCALE} // 100) // count(*) AS b FROM nodes),
 r0 AS (
   SELECT node, {_SCALE} // (SELECT count(*) FROM nodes) AS r FROM nodes
 ),{",".join(steps)}
-SELECT node AS l_partkey, r AS rank_millionths
+SELECT node AS l_partkey, CAST(r AS BIGINT) AS rank_millionths
 FROM {prev}
 ORDER BY r DESC, node ASC
 LIMIT {_TOPN}

@@ -40,7 +40,8 @@ WITH quant AS ({_Q_SQL_DUCK}),
 qs AS (SELECT vec_id AS query_id, q AS qa FROM quant WHERE vec_id < {_N_QUERIES}),
 scored AS (
   SELECT qs.query_id, c.vec_id,
-         list_sum(list_transform(qs.qa, (x, i) -> x * c.q[i])) AS int_dot
+         CAST(list_sum(list_transform(qs.qa, (x, i) -> x * c.q[i]))
+              AS BIGINT) AS int_dot
   FROM qs JOIN quant c ON c.vec_id <> qs.query_id
 ),
 ranked AS (
@@ -116,7 +117,7 @@ def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOINEST_ORACLE = """
 WITH ok AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
 lk AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
-predicted AS (SELECT SUM(ok.c * lk.c) AS predicted_rows
+predicted AS (SELECT CAST(SUM(ok.c * lk.c) AS BIGINT) AS predicted_rows
               FROM ok JOIN lk ON ok.k = lk.k),
 actual AS (SELECT count(*) AS actual_rows
            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)

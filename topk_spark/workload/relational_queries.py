@@ -145,8 +145,9 @@ def metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRANK_ORACLE = """
 WITH per_user AS (
-  SELECT user_id, SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-    AS cents
+  SELECT user_id,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
   FROM events GROUP BY user_id
 )
 SELECT * FROM (

@@ -135,8 +135,10 @@ ev AS (
   FROM events CROSS JOIN mx
 )
 SELECT event_type,
-       SUM(cents // (CAST(1 AS BIGINT) << age_days)) AS decayed_cents,
-       SUM(CASE WHEN age_days = 0 THEN cents ELSE 0 END) AS today_cents
+       CAST(SUM(cents // (CAST(1 AS BIGINT) << age_days)) AS BIGINT)
+         AS decayed_cents,
+       CAST(SUM(CASE WHEN age_days = 0 THEN cents ELSE 0 END) AS BIGINT)
+         AS today_cents
 FROM ev
 GROUP BY event_type
 ORDER BY decayed_cents DESC, event_type ASC

@@ -23,12 +23,14 @@ WITH flags AS (
          max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS in_b
   FROM events GROUP BY user_id
 )
-SELECT SUM(in_a) AS card_a,
-       SUM(in_b) AS card_b,
-       SUM(in_a * in_b) AS card_intersect,
-       SUM(CASE WHEN in_a + in_b > 0 THEN 1 ELSE 0 END) AS card_union,
-       (SUM(in_a * in_b) * 1000000)
-         // SUM(CASE WHEN in_a + in_b > 0 THEN 1 ELSE 0 END) AS jaccard_ppm
+SELECT CAST(SUM(in_a) AS BIGINT) AS card_a,
+       CAST(SUM(in_b) AS BIGINT) AS card_b,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS card_intersect,
+       CAST(SUM(CASE WHEN in_a + in_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS card_union,
+       CAST((SUM(in_a * in_b) * 1000000)
+         // SUM(CASE WHEN in_a + in_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS jaccard_ppm
 FROM flags
 """
 
@@ -163,7 +165,7 @@ scored AS (
 )
 SELECT r_score || '-' || f_score || '-' || m_score AS segment,
        count(*) AS n_users,
-       SUM(monetary_cents) AS segment_cents
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
 FROM scored
 GROUP BY 1
 ORDER BY segment
@@ -245,9 +247,10 @@ per_session AS (
 )
 SELECT d,
        count(*) AS n_sessions,
-       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
-       (SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
-         // count(*) AS bounce_ppm
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+         // count(*) AS BIGINT) AS bounce_ppm
 FROM per_session
 GROUP BY d
 ORDER BY d
@@ -309,12 +312,12 @@ WITH first_seen AS (
   SELECT user_id, min(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id
 )
 SELECT CAST(e.ts AS DATE) AS d,
-       SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_d
+       CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_d
                 THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                ELSE 0 END) AS new_user_cents,
-       SUM(CASE WHEN CAST(e.ts AS DATE) > f.first_d
+                ELSE 0 END) AS BIGINT) AS new_user_cents,
+       CAST(SUM(CASE WHEN CAST(e.ts AS DATE) > f.first_d
                 THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                ELSE 0 END) AS returning_cents,
+                ELSE 0 END) AS BIGINT) AS returning_cents,
        count(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.first_d
                            THEN e.user_id END) AS new_users,
        count(DISTINCT CASE WHEN CAST(e.ts AS DATE) > f.first_d

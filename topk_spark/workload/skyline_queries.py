@@ -22,8 +22,8 @@ _CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
 _PARETO_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id,
-         SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END)
-           AS revenue_cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END)
+              AS BIGINT) AS revenue_cents,
          count(*) AS activity
   FROM events GROUP BY user_id
 )
@@ -79,14 +79,15 @@ def pareto_front_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ABC_ORACLE = f"""
 WITH per_type AS (
-  SELECT event_type, SUM({_CENTS}) AS cents
+  SELECT event_type, CAST(SUM({_CENTS}) AS BIGINT) AS cents
   FROM events GROUP BY event_type
 ),
 tot AS (SELECT SUM(cents) AS n FROM per_type),
 ranked AS (
   SELECT event_type, cents,
-         SUM(cents) OVER (ORDER BY cents DESC, event_type ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, event_type ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents
   FROM per_type
 )
 SELECT event_type, cents, cum_cents,

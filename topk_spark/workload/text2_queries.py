@@ -294,8 +294,8 @@ WITH vids AS (
 SELECT v.doc_id,
        CAST(v.n_frames AS INT) AS n_frames,
        CAST(count(*) AS INT) AS n_sampled,
-       SUM(16 + (v.doc_id + s.f) % 32) AS sum_width,
-       SUM(12 + (v.doc_id + 2 * s.f) % 24) AS sum_height
+       CAST(SUM(16 + (v.doc_id + s.f) % 32) AS BIGINT) AS sum_width,
+       CAST(SUM(12 + (v.doc_id + 2 * s.f) % 24) AS BIGINT) AS sum_height
 FROM vids v, generate_series(0, 8) AS s(f)
 WHERE s.f < v.n_frames AND s.f % 2 = 0
 GROUP BY v.doc_id, v.n_frames

@@ -26,7 +26,8 @@ def _cents_col():
 
 _FFILL_ORACLE = f"""
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS d, SUM({_CENTS}) AS cents
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
   FROM events GROUP BY event_type, CAST(ts AS DATE)
 ),
 days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
@@ -84,8 +85,9 @@ WITH first_seen AS (
 ),
 per_day AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
 SELECT d, new_users,
-       SUM(new_users) OVER (ORDER BY d
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_distinct_users
+       CAST(SUM(new_users) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_distinct_users
 FROM per_day ORDER BY d
 """
 
@@ -118,7 +120,7 @@ _WOW_ORACLE = f"""
 WITH weekly AS (
   SELECT event_type,
          CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
-         SUM({_CENTS}) AS cents
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, wk, cents,
@@ -177,7 +179,8 @@ WITH assign AS (
   FROM events GROUP BY user_id
 ),
 arms AS (
-  SELECT bucket, count(*) AS n_users, SUM(converted) AS n_converted
+  SELECT bucket, count(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
   FROM assign GROUP BY bucket
 ),
 wide AS (
@@ -260,7 +263,8 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANOMALY_ORACLE = f"""
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS d, SUM({_CENTS}) AS cents
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
   FROM events GROUP BY event_type, CAST(ts AS DATE)
 ),
 stats AS (
