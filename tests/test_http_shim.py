@@ -1,0 +1,116 @@
+"""Integration test for the HTTP shim (VERDICT round-2 item 8): the three
+reference routes + health (TopKController.kt:30-129) served by Flask's test
+client over a synthetic rollup tier, asserting the exact response envelope
+(camelCase wrapper keys, snake_case TopKResult item keys) and the
+reference's parameter-default behavior."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+flask = pytest.importorskip("flask")
+
+BASE = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+MIN = 60_000
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    from topk_spark.serve.http import create_app
+
+    # 3 restaurants x 4 items x 60 one-minute windows
+    rollup = (
+        spark.range(3 * 4 * 60)
+        .select(
+            F.concat(F.lit("R"), (F.col("id") % 3)).alias("restaurant_id"),
+            F.concat(F.lit("ITEM"), (F.col("id") % 4)).alias("menu_item_id"),
+            F.concat(F.lit("Item "), (F.col("id") % 4)).alias("menu_item_name"),
+            (F.lit(BASE) + (F.col("id") % 60) * MIN).alias("window_start"),
+            (F.lit(BASE) + ((F.col("id") % 60) + 1) * MIN).alias("window_end"),
+            (F.lit(1) + (F.col("id") % 4)).cast("long").alias("order_count"),
+            (F.lit(2) * (F.lit(1) + F.col("id") % 4)).cast("long").alias(
+                "sum_quantity"
+            ),
+            (F.lit(500) * (F.lit(1) + F.col("id") % 4)).cast("long").alias(
+                "sum_revenue_cents"
+            ),
+        )
+    )
+    app = create_app(spark, rollup)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        yield c
+
+
+def test_health(client):
+    r = client.get("/health")
+    assert r.status_code == 200
+    assert r.get_json()["status"] == "healthy"
+
+
+def test_restaurant_topk_route(client):
+    r = client.get(
+        "/api/v1/restaurants/R1/topk",
+        query_string={
+            "start_time": BASE,
+            "end_time": BASE + 60 * MIN,
+            "k": 2,
+        },
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    # envelope: Kotlin property names (TopKResponse, TopKController.kt:132)
+    assert set(body) == {"restaurantId", "startTime", "endTime", "k", "items"}
+    assert body["restaurantId"] == "R1"
+    assert body["k"] == 2
+    assert len(body["items"]) == 2
+    item = body["items"][0]
+    # items: snake_case @JsonProperty names (Models.kt:39-49)
+    assert set(item) == {
+        "restaurant_id", "menu_item_id", "menu_item_name", "rank",
+        "order_count", "total_quantity", "total_revenue_in_cents",
+        "window_start", "window_end",
+    }
+    assert item["rank"] == 1
+    # highest order_count item wins: ITEM3 (count 4/window)
+    assert item["menu_item_id"] == "ITEM3"
+
+
+def test_global_topk_route_sentinel(client):
+    r = client.get(
+        "/api/v1/restaurants/all/topk",
+        query_string={"start_time": BASE, "end_time": BASE + 60 * MIN},
+    )
+    body = r.get_json()
+    assert body["restaurantId"] == "ALL"
+    assert all(i["restaurant_id"] == "ALL" for i in body["items"])
+    assert body["k"] == 10  # default (TopKController.kt:38)
+    assert len(body["items"]) == 4  # only 4 items exist
+
+
+def test_revenue_route_and_all_passthrough(client):
+    r = client.get(
+        "/api/v1/restaurants/all/topk/revenue",
+        query_string={"start_time": BASE, "end_time": BASE + 60 * MIN, "k": 1},
+    )
+    body = r.get_json()
+    # reference echoes the raw 'all' segment (TopKController.kt:117)
+    assert body["restaurantId"] == "all"
+    assert body["items"][0]["restaurant_id"] == "ALL"
+    assert body["items"][0]["rank"] == 1
+    top = body["items"][0]
+    assert top["menu_item_id"] == "ITEM3"
+    assert top["total_revenue_in_cents"] == 3 * 60 * 2000
+
+
+def test_bad_params_fall_back_to_defaults(client):
+    # toLongOrNull() ?: default — malformed numbers are defaults, not 400s
+    r = client.get(
+        "/api/v1/restaurants/R0/topk",
+        query_string={"start_time": "oops", "end_time": "nope", "k": "x"},
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["k"] == 10
+    assert body["endTime"] - body["startTime"] == 3_600_000

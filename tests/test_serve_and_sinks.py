@@ -165,3 +165,64 @@ def test_health(spark):
     out = health(spark)
     assert out["status"] == "healthy"
     assert out["spark_version"]
+
+
+def test_kafka_wire_contract_byte_identical(spark):
+    """Round-3 contract pin (VERDICT item 6): the exact key/value BYTES the
+    Kafka sink frame produces for a full OrderEvent, against the
+    reference's serializers (TopKStreamingJob.kt:349-374: key =
+    eventId.toByteArray(), value = Jackson writeValueAsBytes — declaration-
+    order fields, null fields WRITTEN, no whitespace), plus the source's
+    full option contract (TopKStreamingJob.kt:221-237) without a broker.
+    A broker round-trip would layer on top; the frame and option dicts are
+    what the connector transports verbatim."""
+    import json
+
+    from topk_spark.io.sinks import kafka_sink_frame
+    from topk_spark.io.sources import (
+        kafka_source_options,
+        parse_json_events,
+    )
+    from topk_spark.schemas import ORDER_EVENT
+
+    row = (
+        "EVT-1", "ORD-1", None, "REST-7", "ITEM-3", None,
+        "Pad Thai", 2, 1299, 1704067200123,
+    )
+    df = spark.createDataFrame([row], ORDER_EVENT)
+    frame = kafka_sink_frame(df, "event_id", topic="restaurant-orders-raw")
+    out = frame.collect()[0]
+
+    # Key bytes: eventId.toByteArray() — UTF-8 of the id, nothing else.
+    assert bytes(out["key"]) == b"EVT-1"
+    # Value bytes: Jackson declaration order (Models.kt/TopKStreamingJob.kt
+    # field order == ORDER_EVENT schema order), nulls explicit, compact.
+    expected = (
+        '{"event_id":"EVT-1","order_id":"ORD-1","customer_id":null,'
+        '"restaurant_id":"REST-7","menu_item_id":"ITEM-3",'
+        '"category_id":null,"menu_item_name":"Pad Thai","quantity":2,'
+        '"price_in_cents":1299,"timestamp":1704067200123}'
+    )
+    assert out["value"] == expected
+    assert out["topic"] == "restaurant-orders-raw"
+
+    # Round-trip: the value frame re-parses to the typed record (P1/F5
+    # consume path) with every field intact, nulls included.
+    parsed = parse_json_events(
+        frame.select(F.col("value")), ORDER_EVENT
+    ).collect()[0]
+    assert tuple(parsed) == row
+
+    # Source option contract, broker-free.
+    opts = kafka_source_options(
+        "restaurant-orders", "localhost:9092", max_offsets_per_trigger=10_000
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "restaurant-orders",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    # json round-trip sanity: value is strict JSON
+    assert json.loads(out["value"])["customer_id"] is None

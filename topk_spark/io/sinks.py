@@ -156,10 +156,18 @@ def kafka_sink_frame(
     for top-k results — TopKStreamingJob.kt:277-293, KafkaConsumerTopKJob.kt:
     293-303), value = the full row as JSON. Attach
     `.writeStream.format("kafka")` (or batch `.write`) to publish; the frame
-    itself is broker-independent and unit-testable."""
+    itself is broker-independent and unit-testable.
+
+    ignoreNullFields=false: the reference serializes with Jackson, which
+    writes null fields explicitly ({"customer_id":null,...}) — Spark's
+    to_json default OMITS them, which would change the wire bytes for any
+    record with a null optional field (customer_id/category_id are nullable
+    in Models.kt:12,15)."""
     cols = [
         F.col(key_col).cast("string").cast("binary").alias("key"),
-        F.to_json(F.struct(*df.columns)).alias("value"),
+        F.to_json(
+            F.struct(*df.columns), {"ignoreNullFields": "false"}
+        ).alias("value"),
     ]
     if topic is not None:
         cols.append(F.lit(topic).alias("topic"))

@@ -66,6 +66,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # Kafka + JSON event stream (S1/S2/P1/F5)
 # ---------------------------------------------------------------------------
 
+def kafka_source_options(
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option contract of the Kafka source (S1,
+    TopKStreamingJob.kt:221-237), as a plain dict so the contract is
+    testable without a broker or the kafka connector jar:
+    - earliest offsets ↔ the reference's `setStartingOffsets(earliest)`;
+    - failOnDataLoss=false ↔ the reference's tolerance of expired offsets
+      (at-least-once posture, OffsetsInitializer.earliest());
+    - maxOffsetsPerTrigger is the Spark analog of Pinot's segment flush
+      thresholds (S7): it bounds micro-batch size so state/shuffle stay
+      sized for executor memory at any ingest rate."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     topic: str,
@@ -73,21 +99,13 @@ def read_kafka_stream(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming Kafka source (S1, TopKStreamingJob.kt:221-237).
-
-    `maxOffsetsPerTrigger` is the Spark analog of Pinot's segment flush
-    thresholds (S7): it bounds micro-batch size so state/shuffle stay sized
-    for executor memory at any ingest rate.
-    """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    """Streaming Kafka source (S1, TopKStreamingJob.kt:221-237); options
+    built by `kafka_source_options` (the broker-free testable contract)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        topic, bootstrap_servers, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

@@ -1,0 +1,106 @@
+"""HTTP shim over the serving facade — the reference's actual wire protocol
+(TopKController.kt:30-129) mapped onto serve/api.py.
+
+Routes, exactly as the reference registers them:
+- GET /health                                      (TopKController.kt:25-27)
+- GET /api/v1/restaurants/<id>/topk                (:30-63)
+- GET /api/v1/restaurants/all/topk                 (:66-95)
+- GET /api/v1/restaurants/<id>/topk/revenue        (:98-128; id 'all' → global)
+
+Envelope parity (TopKController.kt:132-138 `TopKResponse` + Models.kt:39-49
+`TopKResult`): the wrapper keys are the Kotlin property names
+(restaurantId/startTime/endTime/k/items — no @JsonProperty on the response
+class), while each item uses the snake_case @JsonProperty names, which are
+exactly this engine's DataFrame column names — so items serialize straight
+from `row.asDict()`.
+
+Defaults per TopKController.kt:34-38: start_time = now − 1 h,
+end_time = now, k = 10. Non-integer start_time/end_time/k fall back to the
+defaults (the reference's `toLongOrNull() ?: default` behavior, NOT a 400).
+Exceptions → 500 {"error": msg} (:57-61).
+
+Flask is imported lazily and guarded: the engine itself never requires an
+HTTP stack; `create_app` raises a clear error if Flask is absent.
+
+Serving-path posture: the rollup DataFrame handed to `create_app` should be
+the pre-ranked/materialized tier (serve/router.py) — each request then runs
+a partition-pruned bounded scan, which is what makes BENCH's
+serving_point_read p50 comparable to the reference's Pinot-indexed reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.serve import api as serve_api
+
+
+def _int_or(value: str | None, default: int) -> int:
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return default
+
+
+def create_app(spark: SparkSession, rollup: DataFrame):
+    """Build the Flask app serving the three reference routes + health over
+    the given rollup DataFrame (columns per serve/api.py contract)."""
+    try:
+        from flask import Flask, jsonify, request
+    except ImportError as exc:  # pragma: no cover - env without flask
+        raise RuntimeError(
+            "the HTTP shim needs flask; the typed facade in "
+            "topk_spark.serve.api works without it"
+        ) from exc
+
+    app = Flask("topk_spark_serve")
+
+    def _window(args) -> tuple[int, int, int]:
+        end = _int_or(args.get("end_time"), serve_api._now_ms())
+        start = _int_or(args.get("start_time"), end - 3_600_000)
+        k = _int_or(args.get("k"), 10)
+        return start, end, k
+
+    def _respond(restaurant_id: str, start: int, end: int, k: int,
+                 df: DataFrame):
+        items = [r.asDict() for r in df.collect()]
+        return jsonify(
+            {
+                "restaurantId": restaurant_id,
+                "startTime": start,
+                "endTime": end,
+                "k": k,
+                "items": items,
+            }
+        )
+
+    @app.errorhandler(Exception)
+    def _err(e):  # TopKController.kt:57-61 envelope
+        return jsonify({"error": str(e)}), 500
+
+    @app.get("/health")
+    def health():
+        return jsonify(serve_api.health(spark))
+
+    # Route order matters exactly as in Ktor: the literal 'all' segment is
+    # registered before the parameterized one.
+    @app.get("/api/v1/restaurants/all/topk")
+    def topk_all():
+        start, end, k = _window(request.args)
+        df = serve_api.topk_global(rollup, start, end, k)
+        return _respond("ALL", start, end, k, df)
+
+    @app.get("/api/v1/restaurants/<restaurant_id>/topk")
+    def topk_one(restaurant_id: str):
+        start, end, k = _window(request.args)
+        df = serve_api.topk_for_restaurant(rollup, restaurant_id, start, end, k)
+        return _respond(restaurant_id, start, end, k, df)
+
+    @app.get("/api/v1/restaurants/<restaurant_id>/topk/revenue")
+    def topk_revenue(restaurant_id: str):
+        start, end, k = _window(request.args)
+        df = serve_api.topk_by_revenue(rollup, restaurant_id, start, end, k)
+        # TopKController.kt:117: echo the raw path segment ('all' included)
+        return _respond(restaurant_id, start, end, k, df)
+
+    return app
