@@ -551,27 +551,6 @@ def distinct_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "distinct_hll",
-    tags=("A7", "A8"),
-    oracle=None,  # sketch estimates are engine-specific → rows-only check
-)
-def distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketched distinct customers per item analog (A7/A8): the real
-    sketch the reference declares but fakes (TopKStreamingJob.kt:168-169).
-    Build per 1h window, merge across windows, estimate — proving
-    re-aggregability (the property the rollup ladder needs at scale)."""
-    e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.window("ts", "1 hour").alias("w"), "event_type"
-    ).agg(hll_sketch("user_id").alias("sketch"))
-    return (
-        hourly.groupBy("event_type")
-        .agg(F.hll_union_agg("sketch").alias("sketch"))
-        .select(
-            "event_type", hll_estimate("sketch").alias("approx_unique_users")
-        )
-    )
 
 
 @register(

@@ -86,75 +86,6 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "simhash_neardup",
-    tags=("DD-simhash",),
-    oracle=None,
-)
-def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (hamming ≤ 6) via 16-bit chunk
-    bucketing + pigeonhole — one codegen'd pass to hash, tiny bucket joins.
-    (≤3 is the exact pigeonhole guarantee; ≤6 fits this corpus's bit-flip
-    profile at ~90% candidate recall.)"""
-    corpus = perturbed_corpus(spark, sf_dir, modulo=5)
-    return simhash_neardup_pairs(corpus, max_hamming=6).orderBy("id_a", "id_b")
-
-
-@register(
-    "lsh_ann_topk",
-    tags=("ANN-lsh",),
-    oracle=None,
-)
-def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane-LSH approximate top-10 neighbors for 5 query
-    vectors with exact in-bucket rerank — the sublinear ANN path (vs
-    cosine_topk's exact scan).
-
-    H=4/L=16 is tuned to THIS corpus's weak neighbor structure (true top-10
-    sit at cosine ≈0.3 ≈ 72° — recall theory 1-(1-p^H)^L with p=1-θ/π gives
-    0.89). A production embedding corpus with neighbors at cosine ≥0.8 gets
-    the same recall from H=12/L=8 at ~1/500th of the candidate volume."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = (
-        emb.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            as_double_array("embedding").alias("qv"),
-        )
-    )
-    return lsh_ann_topk(emb, queries, k=10, num_planes=4, num_tables=16).select(
-        "query_id", "vec_id", "score", "rank"
-    )
-
-
-@register(
-    "ivf_ann_topk",
-    tags=("ANN-ivf",),
-    oracle=None,
-)
-def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 neighbors for 5 query vectors: k-means coarse
-    quantization (nlist=16 cells), nprobe=6 nearest cells probed per query,
-    exact cosine rerank inside probed cells (~37% of the corpus touched —
-    tuned up from nprobe=4 for this synthetic corpus's near-uniform vectors;
-    recall floors are pinned by `ivf_ann_recall`).
-    The data-adaptive counterpart to lsh_ann_topk; at scale the corpus is
-    bucketed by cell at write time so probes are partition-pruned scans."""
-    from topk_spark.ops.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = (
-        emb.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            as_double_array("embedding").alias("qv"),
-        )
-    )
-    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=6).select(
-        "query_id", "vec_id", "score", "rank"
-    )
-
-
-@register(
     "neardup_cluster_dedup",
     tags=("DD-cluster",),
     oracle=f"""

@@ -229,30 +229,6 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_decode",
-    tags=("MM-decode",),
-    oracle=None,  # mapInPandas kernel (stubbed decode) — rows-only check
-)
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → typed metadata via the Arrow-batched mapInPandas
-    pipeline (stubbed decoder, real plumbing) joined back to doc metadata —
-    the multimodal ingest shape: blobs stay map-side, downstream reads only
-    typed columns."""
-    d = load_table(spark, sf_dir, "documents")
-    meta = decode_metadata(attach_binary_payload(d))
-    return (
-        meta.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "format")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_bytes").cast("long").alias("total_bytes"),
-            F.avg(F.col("width").cast("double")).alias("avg_width"),
-        )
-        .orderBy("source", "format")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Pixel-level multimodal: real resize and video frame sampling
 # ---------------------------------------------------------------------------
