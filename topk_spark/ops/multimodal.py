@@ -209,10 +209,25 @@ def make_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _decode_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-Arrow-batch decode: real container-header parse for image bytes,
-    deterministic fake for opaque (non-image) payloads. Pixel-level decode
-    (PIL) would replace `parse_image_header` here."""
-    meta = [parse_image_header(b) or _fake_decode(b) for b in batch["payload"]]
+    """Per-Arrow-batch decode. PNG payloads get a REAL pixel decode
+    (chunk walk → inflate → unfilter, `decode_png_pixels` — no imaging
+    library needed): width/height are the decoded ndarray's shape, so a
+    truncated or corrupt IDAT stream fails here instead of sailing through
+    on a plausible header. JPEG/GIF fall back to the container-header
+    parse (their fixture payloads are header-only), opaque payloads to the
+    deterministic fake."""
+
+    def one(b) -> tuple[str, int, int]:
+        bb = bytes(b)
+        if bb[:8] == _PNG_SIG:
+            try:
+                arr = decode_png_pixels(bb)
+                return "png", int(arr.shape[1]), int(arr.shape[0])
+            except (ValueError, zlib.error, struct.error):
+                pass  # malformed PNG: header parse / fake below
+        return parse_image_header(bb) or _fake_decode(bb)
+
+    meta = [one(b) for b in batch["payload"]]
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"].values,
