@@ -126,7 +126,22 @@ def main():
     reg = load_all()
     args = sys.argv[1:]
     names = list(reg) if args == ["--all"] else args
-    spark = get_spark("driver_compare")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # The driver imports __spark_entry__ into its OWN session — no UTC
+        # pin, no engine confs. SPARK_GRAFT_VANILLA=1 reproduces that
+        # (combine with TZ=<zone> to smoke out session-timezone-dependent
+        # queries); every query fn must self-apply what it needs
+        # (session.ensure_session_conf) to pass here.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("driver_compare_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("driver_compare")
     failures = 0
     for name in names:
         q = reg[name]

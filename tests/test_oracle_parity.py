@@ -10,13 +10,10 @@ sees them (VERDICT.md round-1 item 5). Set SPARK_GRAFT_TEST_SF_DIR to
 
 from __future__ import annotations
 
-import math
 import os
 
-import duckdb
 import pytest
 
-from topk_spark.io.sources import TABLES
 from topk_spark.workload import load_all
 
 # Module-local default: the driver's gate scale (other test modules keep the
@@ -33,55 +30,18 @@ ORACLED = [name for name, q in REGISTRY.items() if q.oracle is not None]
 ROWS_ONLY = [name for name, q in REGISTRY.items() if q.oracle is None]
 
 
-def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    return con
-
-
-def _normalize(val):
-    if isinstance(val, float):
-        if math.isnan(val):
-            return "NaN"
-        return f"{val:.10g}"
-    return str(val)
-
-
-def _row_set(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_normalize(r[i]) for i in order) for r in rows
-    )
-
-
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, sf_dir, name):
-    q = REGISTRY[name]
-    sdf = q.fn(spark, sf_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    """Arrow-to-Arrow comparison via tests/driver_compare.compare — the
+    faithful proxy for the driver's typed value hash. Stricter than the
+    earlier fetchall() form: DuckDB fetchall converts HUGEINT to Python
+    int LOSSLESSLY, hiding exactly the int64-vs-decimal128 drift that
+    made `rolling_7d_revenue` go red at the round-2 gate while this suite
+    stayed green. The Arrow path also checks type KINDS per column."""
+    from tests.driver_compare import compare
 
-    con = _duck(sf_dir)
-    cur = con.execute(q.oracle)
-    duck_cols = [d[0] for d in cur.description]
-    duck_rows = cur.fetchall()
-
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
-    )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
-    )
-    srs = _row_set(spark_cols, spark_rows)
-    drs = _row_set(duck_cols, duck_rows)
-    mismatch = [i for i, (a, b) in enumerate(zip(srs, drs)) if a != b][:5]
-    assert srs == drs, (
-        f"{name}: value mismatch at sorted rows {mismatch}; "
-        f"spark={[srs[i] for i in mismatch]} duck={[drs[i] for i in mismatch]}"
-    )
+    res = compare(spark, sf_dir, name, REGISTRY[name].fn, REGISTRY[name].oracle)
+    assert res["status"] == "PASS", res
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

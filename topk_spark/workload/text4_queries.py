@@ -238,3 +238,101 @@ def zipf_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+first_seen AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+per_doc AS (
+  SELECT gr.doc_id,
+         count(*) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM grams gr JOIN first_seen f USING (g)
+  GROUP BY gr.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY doc_id) AS r,
+         count(*) OVER () AS n
+  FROM per_doc
+)
+SELECT CAST((r - 1) * 10 // n AS INT) AS decile,
+       count(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) * 1000000 // SUM(n_grams) AS BIGINT) AS novelty_ppm
+FROM ranked
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+@register("ngram_novelty_decay", tags=("TXT-novelty", "curation"), oracle=_NOVELTY_ORACLE)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diminishing-novelty curve: for each corpus-position decile (docs in
+    doc_id order), the exact-ppm share of distinct 3-grams appearing for
+    the FIRST time in that decile's documents — the curation signal behind
+    'later crawl snapshots add less' (the marginal-value curve a data
+    buyer reads before paying for snapshot N+1). Sibling of
+    heaps_vocab_growth (corpus-level vocab curve) at per-doc resolution,
+    re-aggregated to a fixed 10-row output at any corpus size.
+
+    Plan: one explode scan → distinct (doc, gram) → per-gram min(doc_id)
+    (the first-appearance reduction, same shuffle key as the dedup
+    family) → per-doc novel counts. The only global window runs over the
+    PER-DOC table (one row per doc, never grams), and the decile is exact
+    rank arithmetic ((r-1)*10 div n) — no ntile, no percentile
+    interpolation. Ratios in integral div, matching the oracle's '//'."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    ranked = per_doc.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    return (
+        ranked.groupBy(F.expr("CAST((r - 1) * 10 div n AS INT)").alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(n_novel * 1000000 div n_grams AS BIGINT)"),
+        )
+        .orderBy("decile")
+    )
