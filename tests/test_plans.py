@@ -218,3 +218,17 @@ def test_queries_apply_confs_to_foreign_sessions():
             assert vanilla.conf.get(k) == v
     finally:
         pass  # shared session: leave confs applied, do not stop
+
+
+def test_novelty_curve_no_cartesian_single_gram_shuffle(spark, sf_dir):
+    """ngram_novelty_decay (round 3): the first-appearance reduction and
+    the per-doc novel count must both key on the gram — no cartesian or
+    nested-loop pairing anywhere — and the decile window must run AFTER
+    the per-doc aggregate (window input is one row per doc, never grams)."""
+    plan = plan_of("ngram_novelty_decay", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # gram join is an equi-join (shuffled or broadcast, either is keyed)
+    assert "Join" in plan
+    # the global window exists exactly once (decile rank over per-doc rows)
+    assert plan.count("Window") >= 1

@@ -199,6 +199,13 @@ def _lloyd(X: "np.ndarray", k: int, seed: int, iters: int = 20) -> "np.ndarray":
     return C
 
 
+# Bump whenever quantizer training changes its OUTPUT for the same input
+# (sample membership/order, Lloyd seeding/iterations): on-disk cell/code
+# layouts key on it, so storage written by older training code is never
+# probed with centroids from newer code. v2 = round-3 hash-membership
+# sample in canonical id order.
+ANN_TRAIN_VERSION = 2
+
 _TRAIN_SAMPLE_N = 65536
 
 

@@ -10,20 +10,13 @@ tie-breaks use md5 hex (identical string in Spark and DuckDB).
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.layout import materialize_once, write_partitioned_daily
 from topk_spark.workload import register
-
-
-def _layout_root(sf_dir: str, leaf: str) -> str:
-    sf = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), "topk_spark_layout", sf, leaf)
+from topk_spark.workload.layout_queries import _layout_root  # shared cache key
 
 
 _PROVENANCE_ORACLE = """

@@ -35,9 +35,19 @@ _WEEK_LO, _WEEK_HI = "2024-01-08", "2024-01-14"
 _UID_LO, _UID_HI = 100, 199
 
 
-def _layout_root(sf_dir: str, leaf: str) -> str:
-    sf = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), "topk_spark_layout", sf, leaf)
+def _layout_root(sf_dir: str, leaf: str, version: int = 1) -> str:
+    """Materialize-once cache root. Keyed by a fingerprint of the RESOLVED
+    dataset path (not its basename — two sf_dirs named alike must not
+    collide) and a caller version (bump when the builder's OUTPUT changes,
+    so a layout written by older code is never silently reused)."""
+    import hashlib
+
+    fp = hashlib.blake2b(
+        os.path.realpath(sf_dir).encode(), digest_size=8
+    ).hexdigest()
+    return os.path.join(
+        tempfile.gettempdir(), "topk_spark_layout", f"{fp}_v{version}", leaf
+    )
 
 
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -367,16 +367,20 @@ def ivf_pruned_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the probed directories — query-time IO is nprobe/nlist of the
     corpus and the corpus never shuffles at query time. Recall floors are
     ivf_ann_recall's (identical cells ⇒ identical candidate sets)."""
-    import os
-    import tempfile
-
     from topk_spark.ops.layout import materialize_once
-    from topk_spark.ops.similarity import ivf_cell_layout, ivf_probe_cells
+    from topk_spark.ops.similarity import (
+        ANN_TRAIN_VERSION,
+        ivf_cell_layout,
+        ivf_probe_cells,
+    )
+    from topk_spark.workload.layout_queries import _layout_root
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sf = os.path.basename(os.path.normpath(sf_dir))
+    # version = quantizer-training version: the cell layout on disk must
+    # have been written by the SAME training code the probe path retrains
+    # with, or probes and storage disagree on cell boundaries.
     path = materialize_once(
-        os.path.join(tempfile.gettempdir(), "topk_spark_layout", sf, "ivf_cells"),
+        _layout_root(sf_dir, "ivf_cells", version=ANN_TRAIN_VERSION),
         lambda p: ivf_cell_layout(emb, p, nlist=16, seed=7),
     )
     stored = spark.read.parquet(path)
