@@ -21,7 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 from topk_spark.io.sources import load_table
 from topk_spark.workload import register
 
+# Hard bound on the greedy driver loop: each round costs one anti-join +
+# aggregate + 1-row collect, and the oracle unrolls exactly this many CTE
+# rounds — generalizing to large round counts needs a different shape
+# (e.g. the lazy-greedy/priority-queue formulation), not a bigger constant.
 _ROUNDS = 3
+_MAX_ROUNDS = 16
+
+
+def _check_rounds(n: int) -> int:
+    if n > _MAX_ROUNDS:
+        raise ValueError(
+            f"greedy cover is a per-round driver loop; {n} rounds exceeds "
+            f"the supported bound {_MAX_ROUNDS} — use a submodular-maximization "
+            "formulation that batches rounds instead"
+        )
+    return n
 
 _COVER_ORACLE = """
 WITH toks AS (
@@ -84,7 +99,7 @@ def greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked: list[tuple[int, str, int]] = []
     covered = None
     remaining = st
-    for rnd in range(1, _ROUNDS + 1):
+    for rnd in range(1, _check_rounds(_ROUNDS) + 1):
         gains = remaining.groupBy("source").agg(F.count("*").alias("gain"))
         top = gains.orderBy(F.desc("gain"), F.asc("source")).limit(1).collect()
         if not top:
