@@ -180,9 +180,11 @@ def kafka_sink_options(topic: str, bootstrap_servers: str, checkpoint: str) -> d
 
 def to_kafka_records(df: DataFrame, key_col: str) -> DataFrame:
     """Project a typed stream into Kafka key/value records (P2 + S3 key
-    semantics: key = event identity for partition affinity)."""
+    semantics: key = event identity for partition affinity). Null fields
+    are written explicitly, matching the reference's Jackson serializer —
+    same contract as io.sinks.kafka_sink_frame."""
     cols = [c for c in df.columns if c not in ("event_ts",)]
     return df.select(
         F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*cols)).alias("value"),
+        F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("value"),
     )
