@@ -349,6 +349,11 @@ def _regressions_vs_last_round(
                 cand = json.load(fh)
         except (OSError, ValueError):
             continue
+        # The driver wraps this script's JSON line under "parsed"
+        # ({n, rc, cpus, sf, tail, parsed}); accept the bare form too so a
+        # locally-saved bench output also works as a baseline.
+        if isinstance(cand.get("parsed"), dict):
+            cand = cand["parsed"]
         if cand.get("sf") == sf and isinstance(cand.get("queries"), dict):
             prior = cand["queries"]
             break

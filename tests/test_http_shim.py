@@ -114,3 +114,24 @@ def test_bad_params_fall_back_to_defaults(client):
     body = r.get_json()
     assert body["k"] == 10
     assert body["endTime"] - body["startTime"] == 3_600_000
+
+
+def test_unknown_route_is_404_not_500(client):
+    # the reference wraps only the handler body in try/catch — Ktor still
+    # answers 404 itself for unknown paths (review finding, round 3)
+    assert client.get("/nope").status_code == 404
+    assert client.post("/health").status_code == 405
+
+
+def test_defaults_are_independent(client):
+    # start_time defaults to now-1h regardless of a caller-supplied
+    # end_time (TopKController.kt:34-35) — NOT to end_time-1h
+    import time
+
+    r = client.get(
+        "/api/v1/restaurants/R0/topk", query_string={"end_time": BASE}
+    )
+    body = r.get_json()
+    assert body["endTime"] == BASE
+    now_ms = time.time() * 1000
+    assert abs(body["startTime"] - (now_ms - 3_600_000)) < 60_000

@@ -168,6 +168,23 @@ def compact_zorder(
     )
 
 
+def layout_cache_root(sf_dir: str, leaf: str, version: int = 1) -> str:
+    """Canonical materialize-once cache root, shared by every layout
+    side-output. Keyed by a fingerprint of the RESOLVED dataset path (not
+    its basename — two sf_dirs named alike must not collide) and a caller
+    version (bump when the builder's OUTPUT changes, so a layout written
+    by older code is never silently reused)."""
+    import hashlib
+    import tempfile
+
+    fp = hashlib.blake2b(
+        os.path.realpath(sf_dir).encode(), digest_size=8
+    ).hexdigest()
+    return os.path.join(
+        tempfile.gettempdir(), "topk_spark_layout", f"{fp}_v{version}", leaf
+    )
+
+
 def materialize_once(path: str, build) -> str:
     """Write-once cache guard for layout side-outputs: `build(path)` runs
     only if `path` lacks a parquet _SUCCESS marker. Queries that demonstrate

@@ -603,7 +603,23 @@ def pq_topk(
                 scores += dt[:, j, :][:, codes[:, j]]
             scores[ids[None, :] == qids[:, None]] = -np.inf
             kk = min(shortlist, len(ids))
-            top = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+            # O(B) argpartition per query, then order only the boundary
+            # tie-group under (score DESC, id ASC): cand from nonzero() is
+            # id-ascending, so a stable sort on -score breaks ties by id —
+            # same total order as the final rank, without sorting the
+            # whole batch (a full argsort is O(B log B) per query and
+            # dominates at large batches × many queries).
+            top = np.empty((len(qids), kk), dtype=np.int64)
+            for qrow in range(len(qids)):
+                s = scores[qrow]
+                if kk < len(s):
+                    part = np.argpartition(-s, kk - 1)[:kk]
+                    b = s[part].min()
+                else:
+                    b = -np.inf
+                cand = np.nonzero(s >= b)[0]
+                order = cand[np.argsort(-s[cand], kind="stable")]
+                top[qrow] = order[:kk]
             qi = np.repeat(qids, kk)
             bi = top.ravel()
             yield pd.DataFrame(

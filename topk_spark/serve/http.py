@@ -56,8 +56,13 @@ def create_app(spark: SparkSession, rollup: DataFrame):
     app = Flask("topk_spark_serve")
 
     def _window(args) -> tuple[int, int, int]:
-        end = _int_or(args.get("end_time"), serve_api._now_ms())
-        start = _int_or(args.get("start_time"), end - 3_600_000)
+        # Reference defaults are INDEPENDENT (TopKController.kt:34-38):
+        # startTime = now-1h and endTime = now each fall back on their own —
+        # a request carrying only end_time=X still gets start = now-1h,
+        # NOT X-1h.
+        now = serve_api._now_ms()
+        end = _int_or(args.get("end_time"), now)
+        start = _int_or(args.get("start_time"), now - 3_600_000)
         k = _int_or(args.get("k"), 10)
         return start, end, k
 
@@ -76,6 +81,13 @@ def create_app(spark: SparkSession, rollup: DataFrame):
 
     @app.errorhandler(Exception)
     def _err(e):  # TopKController.kt:57-61 envelope
+        # Only handler-body failures map to 500 — the reference wraps just
+        # the queryService call, so Ktor still answers 404/405 itself for
+        # unknown routes/methods. Let Flask's HTTPExceptions pass through.
+        from werkzeug.exceptions import HTTPException
+
+        if isinstance(e, HTTPException):
+            return e
         return jsonify({"error": str(e)}), 500
 
     @app.get("/health")

@@ -51,26 +51,16 @@ def perturbed_hsh(spark, sf_dir: str, modulo: int = 5, shingle_n: int = 3):
     kernel scan; materializing once per (sf, modulo, n) matches the
     production discipline of building signatures once per corpus
     snapshot."""
-    import hashlib
-    import os
-    import tempfile
-
-    from topk_spark.ops.layout import materialize_once
+    from topk_spark.ops.layout import layout_cache_root, materialize_once
     from topk_spark.ops.sig_kernels import SIG_KERNEL_VERSION, hashed_shingles
 
     corpus = perturbed_corpus(spark, sf_dir, modulo=modulo)
-    # Cache key must identify the DATASET (full resolved path, not basename —
-    # two sf_dirs named alike must not collide) and the HASH-KERNEL VERSION
-    # (a kernel change must invalidate caches written by the old code).
-    fp = hashlib.blake2b(
-        os.path.realpath(sf_dir).encode(), digest_size=8
-    ).hexdigest()
+    # Canonical cache key (ops.layout.layout_cache_root): dataset-path
+    # fingerprint + version — versioned by the HASH-KERNEL so a kernel
+    # change never silently reuses a cache written by old code.
     path = materialize_once(
-        os.path.join(
-            tempfile.gettempdir(),
-            "topk_spark_layout",
-            f"{fp}_v{SIG_KERNEL_VERSION}",
-            f"pert{modulo}_hsh{shingle_n}",
+        layout_cache_root(
+            sf_dir, f"pert{modulo}_hsh{shingle_n}", version=SIG_KERNEL_VERSION
         ),
         lambda p: hashed_shingles(corpus, "doc_id", "text", shingle_n)
         .write.mode("overwrite")

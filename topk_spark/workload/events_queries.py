@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from topk_spark.io.sources import load_table
 from topk_spark.ops.dedup import dedup_first_seen
 from topk_spark.ops.rollup import merge_rollup, reaggregate, windowed_rollup
-from topk_spark.ops.sketches import distinct_by_group, exact_distinct, hll_estimate, hll_sketch
+from topk_spark.ops.sketches import exact_distinct
 from topk_spark.ops.timeparts import floor_to_window_ms, hour_of_day, iso_dayofweek
 from topk_spark.ops.topk import global_topk, rank_topk, topn
 from topk_spark.workload import register

@@ -269,14 +269,20 @@ def seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e1").alias("s1"),
     )
     # integral div mirrors the oracle's exact '//' (DuckDB and Spark both
-    # truncate toward zero; all operands nonnegative) — a double division's
-    # rounded quotient can floor differently once s*1e6 nears 2^53.
+    # truncate toward zero; all operands nonnegative), decimal-widened:
+    # s7/s1 are cent-error SUMs, so s*1e6 outgrows BIGINT at full scale
+    # while DuckDB's HUGEINT stays exact — the widening keeps both engines
+    # exact instead of Spark wrapping silently.
     return m.select(
         "event_type",
         F.col("n_eval").cast("long").alias("n_eval"),
-        F.expr("CAST(s7 * 1000 div n_eval AS BIGINT)").alias("mae7_milli"),
-        F.expr("CAST(s1 * 1000 div n_eval AS BIGINT)").alias("mae1_milli"),
-        F.expr("CAST(s7 * 1000000 div s1 AS BIGINT)").alias(
-            "skill_vs_naive_ppm"
-        ),
+        F.expr(
+            "CAST(CAST(s7 AS DECIMAL(38,0)) * 1000 div n_eval AS BIGINT)"
+        ).alias("mae7_milli"),
+        F.expr(
+            "CAST(CAST(s1 AS DECIMAL(38,0)) * 1000 div n_eval AS BIGINT)"
+        ).alias("mae1_milli"),
+        F.expr(
+            "CAST(CAST(s7 AS DECIMAL(38,0)) * 1000000 div s1 AS BIGINT)"
+        ).alias("skill_vs_naive_ppm"),
     ).orderBy("event_type")

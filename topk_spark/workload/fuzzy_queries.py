@@ -20,9 +20,7 @@ from topk_spark.io.sources import load_table
 from topk_spark.ops.fuzzy_dedup import (
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
-    simhash_neardup_pairs,
 )
-from topk_spark.ops.similarity import as_double_array, lsh_ann_topk
 from topk_spark.workload import register
 from topk_spark.workload.corpora import PERT_OFFSET as _PERT_OFFSET
 from topk_spark.workload.corpora import perturbed_corpus  # noqa: F401 (re-export)

@@ -10,8 +10,6 @@ table that is written once per day and read thousands of times.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -35,19 +33,9 @@ _WEEK_LO, _WEEK_HI = "2024-01-08", "2024-01-14"
 _UID_LO, _UID_HI = 100, 199
 
 
-def _layout_root(sf_dir: str, leaf: str, version: int = 1) -> str:
-    """Materialize-once cache root. Keyed by a fingerprint of the RESOLVED
-    dataset path (not its basename — two sf_dirs named alike must not
-    collide) and a caller version (bump when the builder's OUTPUT changes,
-    so a layout written by older code is never silently reused)."""
-    import hashlib
-
-    fp = hashlib.blake2b(
-        os.path.realpath(sf_dir).encode(), digest_size=8
-    ).hexdigest()
-    return os.path.join(
-        tempfile.gettempdir(), "topk_spark_layout", f"{fp}_v{version}", leaf
-    )
+# Canonical scheme lives next to materialize_once; re-exported here for
+# the workload modules that historically import it from this module.
+from topk_spark.ops.layout import layout_cache_root as _layout_root  # noqa: E402
 
 
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from topk_spark.io.sources import load_table
-from topk_spark.ops.multimodal import attach_binary_payload, decode_metadata
 from topk_spark.workload import register
 from topk_spark.workload.events_queries import _ES
 
