@@ -339,15 +339,22 @@ def _regressions_vs_last_round(
 
     here = os.path.dirname(os.path.abspath(__file__))
     prior = None
-    for path in sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-        reverse=True,
-    ):
+    # Only files matching the _r<N> pattern participate (a stray
+    # BENCH_rerun.json must not crash the sort key), and any non-dict or
+    # malformed content is skipped — this gate must never be able to abort
+    # a bench run whose timings already completed.
+    numbered = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            numbered.append((int(m.group(1)), path))
+    for _, path in sorted(numbered, reverse=True):
         try:
             with open(path) as fh:
                 cand = json.load(fh)
         except (OSError, ValueError):
+            continue
+        if not isinstance(cand, dict):
             continue
         # The driver wraps this script's JSON line under "parsed"
         # ({n, rc, cpus, sf, tail, parsed}); accept the bare form too so a

@@ -69,9 +69,11 @@ def topk_for_restaurant(
     restaurant_id, menu_item_id, menu_item_name, window_start, window_end,
     order_count, sum_quantity, sum_revenue_cents."""
     # independent defaults (TopKController.kt:34-38): start falls back to
-    # now-1h even when end_ms is caller-supplied — not to end_ms-1h
-    end_ms = end_ms if end_ms is not None else _now_ms()
-    start_ms = start_ms if start_ms is not None else _now_ms() - 3_600_000
+    # now-1h even when end_ms is caller-supplied — not to end_ms-1h.
+    # One clock read: both-default must give exactly [now-1h, now].
+    now = _now_ms()
+    end_ms = end_ms if end_ms is not None else now
+    start_ms = start_ms if start_ms is not None else now - 3_600_000
     base = _range_filter(rollup, start_ms, end_ms).filter(
         F.col("restaurant_id") == F.lit(restaurant_id)  # F1
     )
@@ -98,9 +100,11 @@ def topk_global(
     """Global top-k by order_count (QueryService.kt:69-94): aggregate across
     all restaurants per item, sentinel restaurant_id='ALL'."""
     # independent defaults (TopKController.kt:34-38): start falls back to
-    # now-1h even when end_ms is caller-supplied — not to end_ms-1h
-    end_ms = end_ms if end_ms is not None else _now_ms()
-    start_ms = start_ms if start_ms is not None else _now_ms() - 3_600_000
+    # now-1h even when end_ms is caller-supplied — not to end_ms-1h.
+    # One clock read: both-default must give exactly [now-1h, now].
+    now = _now_ms()
+    end_ms = end_ms if end_ms is not None else now
+    start_ms = start_ms if start_ms is not None else now - 3_600_000
     base = _range_filter(rollup, start_ms, end_ms)
     agg = _aggregate_range(base, ["menu_item_id"])
     ranked = global_topk(
@@ -126,9 +130,11 @@ def topk_by_revenue(
     """Top-k re-ranked by revenue (QueryService.kt:99-129); 'all' → global
     (F4 optional-predicate composition, TopKController.kt:108)."""
     # independent defaults (TopKController.kt:34-38): start falls back to
-    # now-1h even when end_ms is caller-supplied — not to end_ms-1h
-    end_ms = end_ms if end_ms is not None else _now_ms()
-    start_ms = start_ms if start_ms is not None else _now_ms() - 3_600_000
+    # now-1h even when end_ms is caller-supplied — not to end_ms-1h.
+    # One clock read: both-default must give exactly [now-1h, now].
+    now = _now_ms()
+    end_ms = end_ms if end_ms is not None else now
+    start_ms = start_ms if start_ms is not None else now - 3_600_000
     base = _range_filter(rollup, start_ms, end_ms)
     is_global = restaurant_id.lower() == "all"
     if not is_global:

@@ -180,11 +180,13 @@ def kafka_sink_options(topic: str, bootstrap_servers: str, checkpoint: str) -> d
 
 def to_kafka_records(df: DataFrame, key_col: str) -> DataFrame:
     """Project a typed stream into Kafka key/value records (P2 + S3 key
-    semantics: key = event identity for partition affinity). Null fields
-    are written explicitly, matching the reference's Jackson serializer —
-    same contract as io.sinks.kafka_sink_frame."""
+    semantics: key = event identity for partition affinity). Delegates to
+    io.sinks.kafka_sink_frame so there is exactly ONE wire serializer —
+    the byte contract (key = id bytes, value = JSON with explicit nulls,
+    TopKStreamingJob.kt:349-419) is pinned once, in its tests. The
+    internal event_ts column is stripped first: it is engine plumbing,
+    not part of the reference's record."""
+    from topk_spark.io.sinks import kafka_sink_frame
+
     cols = [c for c in df.columns if c not in ("event_ts",)]
-    return df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("value"),
-    )
+    return kafka_sink_frame(df.select(*cols), key_col)

@@ -231,7 +231,9 @@ m AS (
 SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
        CAST(s7 * 1000 // n_eval AS BIGINT) AS mae7_milli,
        CAST(s1 * 1000 // n_eval AS BIGINT) AS mae1_milli,
-       CAST(s7 * 1000000 // s1 AS BIGINT) AS skill_vs_naive_ppm
+       CAST(CASE WHEN s7 > s1 * 9000000000000 THEN NULL
+                 ELSE s7 * 1000000 // s1 END AS BIGINT)
+         AS skill_vs_naive_ppm
 FROM m
 ORDER BY event_type
 """
@@ -269,10 +271,12 @@ def seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e1").alias("s1"),
     )
     # integral div mirrors the oracle's exact '//' (DuckDB and Spark both
-    # truncate toward zero; all operands nonnegative), decimal-widened:
-    # s7/s1 are cent-error SUMs, so s*1e6 outgrows BIGINT at full scale
-    # while DuckDB's HUGEINT stays exact — the widening keeps both engines
-    # exact instead of Spark wrapping silently.
+    # truncate toward zero; all operands nonnegative), decimal-widened so
+    # the PRODUCT never overflows. The QUOTIENT can still outgrow int64
+    # (Spark's `div` returns LongType and wraps even on decimal operands)
+    # when the baseline error s1 is pathologically tiny vs s7, so both
+    # engines NULL the skill ratio past quotient 9e18/1e6 = 9e12 — a
+    # million-to-one "skill" carries no information anyway.
     return m.select(
         "event_type",
         F.col("n_eval").cast("long").alias("n_eval"),
@@ -283,6 +287,9 @@ def seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(s1 AS DECIMAL(38,0)) * 1000 div n_eval AS BIGINT)"
         ).alias("mae1_milli"),
         F.expr(
-            "CAST(CAST(s7 AS DECIMAL(38,0)) * 1000000 div s1 AS BIGINT)"
+            "CAST(CASE WHEN CAST(s7 AS DECIMAL(38,0))"
+            " > CAST(s1 AS DECIMAL(38,0)) * 9000000000000 THEN NULL"
+            " ELSE CAST(s7 AS DECIMAL(38,0)) * 1000000 div s1 END"
+            " AS BIGINT)"
         ).alias("skill_vs_naive_ppm"),
     ).orderBy("event_type")
