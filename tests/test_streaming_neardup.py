@@ -1,0 +1,190 @@
+"""Streaming MinHash near-dup suppression (streaming/neardup.py): the
+stateful band-bucket operator must flag constructed near-duplicates
+(last-word-dropped copies, the corpora.py recipe) against their originals,
+keep originals unflagged, honor first-seen canonical election across
+micro-batches, and bound per-bucket state."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from topk_spark.io.sources import load_table
+from topk_spark.streaming.neardup import (
+    _bucket_update,
+    band_signature_rows,
+    neardup_match_stream,
+)
+
+_SCHEMA = "doc_id long, text string"
+_PERT = 100_000
+
+
+def _write_batch(src: str, i: int, rows: list[dict]) -> None:
+    os.makedirs(src, exist_ok=True)
+    p = os.path.join(src, f"batch_{i:03d}.json")
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    os.utime(p, (1000 + i, 1000 + i))
+
+
+def _corpus_rows(spark, sf_dir: str, modulo: int = 25) -> list[dict]:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % modulo == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    return [{"doc_id": r["doc_id"], "text": r["text"]} for r in d]
+
+
+def _drop_last_word(text: str) -> str:
+    return " ".join(text.split()[:-1])
+
+
+def _drain(spark, tmp_path, src: str) -> pd.DataFrame:
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    out = os.path.join(str(tmp_path), "out")
+    q = (
+        neardup_match_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .dropDuplicates(["id", "dup_of"])
+        .toPandas()
+    )
+
+
+def test_perturbed_copies_flagged_against_originals(spark, tmp_path, sf_dir):
+    """Originals in batch 1, last-word-dropped copies in batch 2: every
+    copy must be flagged as a dup of exactly its original (3-gram Jaccard
+    ≈0.97 → est_ppm well above the 0.6 threshold); no original flagged."""
+    src = os.path.join(str(tmp_path), "src")
+    rows = _corpus_rows(spark, sf_dir)
+    assert len(rows) >= 5
+    _write_batch(src, 0, rows)
+    _write_batch(
+        src,
+        1,
+        [
+            {"doc_id": r["doc_id"] + _PERT, "text": _drop_last_word(r["text"])}
+            for r in rows
+        ],
+    )
+    matches = _drain(spark, tmp_path, src)
+    # every perturbed copy flagged, with a match at-or-through its own
+    # original's cluster. The corpus itself contains genuine near-dup
+    # ORIGINALS (e.g. docs 0 and 50 at sf0.001, 3-gram J=0.95), so a
+    # copy may be attributed to the cluster's canonical rather than its
+    # literal source, and similar originals may legitimately flag each
+    # other — first-seen-wins only promises dup_of < id.
+    assert (matches["dup_of"] < matches["id"]).all()
+    per_copy = matches.groupby("id")["dup_of"].agg(set)
+    flagged_any = set(matches["id"])
+    canonical_of = {}  # original id -> its cluster canonical (if flagged)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        oid = r["doc_id"]
+        if oid in per_copy.index:
+            canonical_of[oid] = min(per_copy.loc[oid])
+    for r in rows:
+        cid = r["doc_id"] + _PERT
+        assert cid in flagged_any, f"copy {cid} not flagged"
+        acceptable = {r["doc_id"], canonical_of.get(r["doc_id"], -1)}
+        assert per_copy.loc[cid] & acceptable, (
+            f"copy {cid} flagged against {per_copy.loc[cid]}, "
+            f"expected one of {acceptable}"
+        )
+    assert (matches["est_ppm"] >= 600_000).all()
+
+
+def test_single_batch_smaller_id_wins(spark, tmp_path, sf_dir):
+    """Both versions in ONE micro-batch: the smaller id (the original) is
+    elected canonical deterministically, the larger flagged."""
+    src = os.path.join(str(tmp_path), "src")
+    rows = _corpus_rows(spark, sf_dir)[:5]
+    both = rows + [
+        {"doc_id": r["doc_id"] + _PERT, "text": _drop_last_word(r["text"])}
+        for r in rows
+    ]
+    _write_batch(src, 0, both)
+    matches = _drain(spark, tmp_path, src)
+    # every copy flagged; anything else flagged (the corpus's genuine
+    # original-pair near-dups, e.g. 0/50) must still respect smaller-id
+    # canonical election
+    assert {r["doc_id"] + _PERT for r in rows} <= set(matches["id"])
+    assert (matches["dup_of"] < matches["id"]).all()
+
+
+def test_bucket_state_is_bounded():
+    """Unit-drive the state-transition kernel: with max_bucket=2, a bucket
+    fed 5 mutually-distinct signatures stores only the first two
+    canonicals; later docs matching canonical #1 still flag against it."""
+    import numpy as np
+
+    class FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    num_perm = 8
+    update = _bucket_update(num_perm, est_threshold=0.75, max_bucket=2)
+
+    def sig(vals):
+        return np.asarray(vals, dtype=">u8").tobytes()
+
+    distinct = [sig([i * 10 + j for j in range(num_perm)]) for i in range(5)]
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "id": pd.Series(range(5), dtype="int64"),
+            "band_id": pd.Series([0] * 5, dtype="int32"),
+            "sig": distinct,
+        }
+    )
+    out = list(update((0, 0), iter([pdf]), st))
+    assert out == []  # nothing similar → no matches
+    ids, blob = st._v
+    assert ids == [0, 1]  # bucket capped at 2 canonicals
+
+    # a near-copy of canonical 0 (7/8 components equal) still flags
+    near = sig([0, 1, 2, 3, 4, 5, 6, 999])
+    pdf2 = pd.DataFrame(
+        {
+            "id": pd.Series([99], dtype="int64"),
+            "band_id": pd.Series([0], dtype="int32"),
+            "sig": [near],
+        }
+    )
+    out2 = pd.concat(list(update((0, 0), iter([pdf2]), st)))
+    assert list(out2["id"]) == [99]
+    assert list(out2["dup_of"]) == [0]
+    assert int(out2["est_ppm"].iloc[0]) == 7 * 1_000_000 // 8
+
+
+def test_band_signature_rows_shape(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(10)
+    rows = band_signature_rows(d, bands=16, num_perm=64).collect()
+    assert len(rows) == 10 * 16
+    assert all(len(bytes(r["sig"])) == 64 * 8 for r in rows)

@@ -1,0 +1,228 @@
+"""Streaming near-duplicate suppression — MinHash-LSH band buckets as
+KEYED STREAMING STATE.
+
+The reference dedups streams EXACTLY (event-id equality,
+TopKStreamingJob.kt:87-119); the batch half of this engine dedups corpora
+APPROXIMATELY (ops/fuzzy_dedup.py). This operator is their fusion, the
+shape a crawl-ingest pipeline needs: suppress near-duplicate documents AT
+INGEST TIME, before they are stored or shuffled anywhere, with bounded
+per-bucket state.
+
+Dataflow (one streaming query, no joins):
+
+    docs stream ──mapInPandas──▶ (id, band_id, band_hash, sig)   B rows/doc
+            ──groupBy(band_id, band_hash)──▶ applyInPandasWithState
+            ──▶ (id, dup_of, est_ppm, band_id) match stream
+
+Per (band_id, band_hash) bucket the state holds up to `max_bucket`
+canonical (id, signature) entries. An arriving doc whose signature agrees
+with a stored one on ≥ `est_threshold` of the `num_perm` MinHash
+components is emitted as a near-duplicate of that canonical (the MinHash
+estimator: P[component equal] = Jaccard); otherwise it becomes a canonical
+itself (until the bucket cap). Earlier-batch docs are canonical by
+arrival, within a batch the smaller id wins — deterministic under
+availableNow drains.
+
+The SAME pair can surface through several bands; the match stream is
+therefore at-least-once per pair and consumers take
+`dropDuplicates(["id", "dup_of"])` (batch drain) or treat any match as
+"suppress". This mirrors the batch pipeline, where band candidates are
+uniond then verified once.
+
+Scale posture: the only shuffle keys are (band_id, band_hash) — hashes,
+never text. State per bucket is ≤ max_bucket × num_perm × 8 bytes
+(default 8 × 64 × 8 = 4 KiB) regardless of corpus size; bucket count is
+bounded by the hash space actually touched, hash-spread across executors
+(RocksDB store in production). Signatures ride the band rows (B copies)
+so no second pass or join re-derives them — at B=16/P=64 that is 8 KiB
+per document of shuffle, still orders below the text it replaces.
+
+Relation to batch: `ops/fuzzy_dedup.minhash_neardup_pairs` finds all
+pairs within a static corpus; this operator enforces first-seen-wins
+against an unbounded stream. Same kernels (`ops/sig_kernels`), same
+banding math, so thresholds tuned offline transfer directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from topk_spark.ops.sig_kernels import (
+    _perm_constants,
+    _shingle_hash_u64,
+    _tokens,
+    _u64_to_i64,
+)
+
+BAND_SIG_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("band_id", IntegerType(), False),
+        StructField("band_hash", LongType(), False),
+        StructField("sig", BinaryType(), False),  # num_perm big-endian u64s
+    ]
+)
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("dup_of", LongType(), False),
+        StructField("est_ppm", LongType(), False),
+        StructField("band_id", IntegerType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType()), True),
+        StructField("sigs", BinaryType(), True),  # concatenated signatures
+    ]
+)
+
+
+def band_signature_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band_id, band_hash, sig) rows — B per doc, each carrying the
+    full signature so the stateful verify needs no join. Same shingle/
+    permutation/banding math as ops.sig_kernels.minhash_band_rows (batch
+    thresholds transfer); empty docs emit nothing."""
+    rows_per_band = num_perm // bands
+    A, C = _perm_constants(num_perm)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for batch in batches:
+            out_id: list[int] = []
+            out_band: list[int] = []
+            out_hash: list[int] = []
+            out_sig: list[bytes] = []
+            for i, text in zip(batch[id_col], batch[text_col]):
+                toks = _tokens(text)
+                if toks == [""]:
+                    continue
+                H = _shingle_hash_u64(toks, shingle_n, memo)
+                sig = (A[:, None] * H[None, :] + C[:, None]).min(axis=1)
+                sb = sig.astype(">u8").tobytes()
+                for b in range(bands):
+                    chunk = sb[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
+                    out_id.append(int(i))
+                    out_band.append(b)
+                    out_hash.append(
+                        int.from_bytes(blake2b(chunk, digest_size=8).digest(), "big")
+                    )
+                    out_sig.append(sb)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "band_id": pd.Series(out_band, dtype="int32"),
+                    "band_hash": _u64_to_i64(np.array(out_hash, dtype=np.uint64)),
+                    "sig": out_sig,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, BAND_SIG_SCHEMA)
+
+
+def _bucket_update(num_perm: int, est_threshold: float, max_bucket: int):
+    """Build the per-bucket GroupState update function. Split out so the
+    state-transition logic is unit-testable without a streaming query."""
+
+    def update(
+        group_key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, sig_blob = state.get
+            ids = list(ids)
+            stored = (
+                np.frombuffer(sig_blob, dtype=">u8")
+                .reshape(len(ids), num_perm)
+                .copy()
+                if ids
+                else np.empty((0, num_perm), dtype=">u8")
+            )
+        else:
+            ids, stored = [], np.empty((0, num_perm), dtype=">u8")
+
+        out_id: list[int] = []
+        out_dup: list[int] = []
+        out_ppm: list[int] = []
+        out_band: list[int] = []
+        dirty = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # smaller id first: deterministic canonical election per batch
+            pdf = pdf.sort_values("id")
+            for rid, band_id, sb in zip(pdf["id"], pdf["band_id"], pdf["sig"]):
+                sig = np.frombuffer(bytes(sb), dtype=">u8")
+                if len(ids):
+                    eq = (stored == sig[None, :]).sum(axis=1)
+                    j = int(eq.argmax())
+                    if eq[j] >= est_threshold * num_perm:
+                        out_id.append(int(rid))
+                        out_dup.append(int(ids[j]))
+                        out_ppm.append(int(eq[j]) * 1_000_000 // num_perm)
+                        out_band.append(int(band_id))
+                        continue  # suppressed: do NOT become a canonical
+                if int(rid) not in ids and len(ids) < max_bucket:
+                    ids.append(int(rid))
+                    stored = np.vstack([stored, sig[None, :]])
+                    dirty = True
+        if dirty:
+            state.update((ids, stored.astype(">u8").tobytes()))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "dup_of": pd.Series(out_dup, dtype="int64"),
+                    "est_ppm": pd.Series(out_ppm, dtype="int64"),
+                    "band_id": pd.Series(out_band, dtype="int32"),
+                }
+            )
+
+    return update
+
+
+def neardup_match_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.6,
+    max_bucket: int = 8,
+) -> DataFrame:
+    """Streaming near-dup matches: (id, dup_of, est_ppm, band_id), at
+    least once per matching band. Attach any sink; batch-drain consumers
+    finish with dropDuplicates(["id", "dup_of"])."""
+    rows = band_signature_rows(
+        docs, id_col, text_col, shingle_n, num_perm, bands
+    )
+    return rows.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _bucket_update(num_perm, est_threshold, max_bucket),
+        MATCH_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
