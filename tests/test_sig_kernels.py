@@ -150,3 +150,25 @@ def test_chunking_reassembles_documents(spark, sf_dir):
     j = docs.join(rebuilt, "doc_id")
     assert j.count() > 0
     assert j.filter(F.col("orig") != F.col("rebuilt")).count() == 0
+
+
+def test_from_hsh_path_bit_identical_to_text_path(spark, sf_dir):
+    """The signature-table fast path (round 3) must produce exactly the
+    pairs the text path does — same hash kernel feeds both, so permutation
+    minima and band digests agree bit-for-bit."""
+    from topk_spark.ops.fuzzy_dedup import (
+        minhash_neardup_pairs,
+        minhash_neardup_pairs_from_hsh,
+    )
+    from topk_spark.ops.sig_kernels import hashed_shingles
+    from topk_spark.workload.corpora import perturbed_corpus
+
+    corpus = perturbed_corpus(spark, sf_dir, modulo=25)
+    old = sorted(
+        map(tuple, minhash_neardup_pairs(corpus, threshold=0.6).collect())
+    )
+    hsh = hashed_shingles(corpus, "doc_id", "text", 3)
+    new = sorted(
+        map(tuple, minhash_neardup_pairs_from_hsh(hsh, threshold=0.6).collect())
+    )
+    assert old == new and len(old) > 0

@@ -179,6 +179,42 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_neardup_pairs_from_hsh(
+    hsh: DataFrame,
+    threshold: float = 0.6,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """`minhash_neardup_pairs` over a PRECOMPUTED (id, hsh) signature
+    table — the steady-state production path: the tokenize+hash scan ran
+    once when the corpus snapshot's signature table was materialized
+    (workload/corpora.perturbed_hsh discipline); every subsequent dedup
+    pass (this one, containment, clustering) reads the compact columnar
+    table instead of re-tokenizing text. Values are bit-identical to the
+    text path (same hash kernel feeds both), so thresholds and the
+    recall floors pinned by `minhash_lsh_recall` transfer unchanged."""
+    from topk_spark.ops.sig_kernels import (
+        bucket_pairs,
+        minhash_band_rows_from_hsh,
+    )
+
+    banded = minhash_band_rows_from_hsh(hsh, num_perm, bands)
+    id_pairs = bucket_pairs(banded, ["band_id", "band_hash"])
+    return (
+        id_pairs.join(
+            hsh.select(F.col("id").alias("id_a"), F.col("hsh").alias("shingles_a")),
+            "id_a",
+        )
+        .join(
+            hsh.select(F.col("id").alias("id_b"), F.col("hsh").alias("shingles_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("shingles_a"), F.col("shingles_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -219,6 +219,57 @@ def minhash_band_rows(
     return docs.select(id_col, text_col).mapInPandas(run, MINHASH_BANDS_SCHEMA)
 
 
+def minhash_band_rows_from_hsh(
+    hsh: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band_id, band_hash) derived from a PRECOMPUTED hashed-shingles
+    table instead of raw text — the signature-table discipline's fast
+    path: tokenization+hashing ran once when the (id, hsh) table was
+    materialized for the corpus snapshot; this kernel only replays the
+    P affine-permutation minima and band digests over the stored hashes.
+    Bit-identical to `minhash_band_rows` on the same corpus (same hash
+    values, same permutation constants, min over the multiset equals min
+    over the distinct set), so thresholds and recall floors transfer."""
+    rows_per_band = num_perm // bands
+    A, C = _perm_constants(num_perm)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_id: list[int] = []
+            out_band: list[int] = []
+            out_hash: list[int] = []
+            for i, arr in zip(batch["id"], batch["hsh"]):
+                H = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                if not len(H):
+                    continue
+                sig = (A[:, None] * H[None, :] + C[:, None]).min(axis=1)
+                sb = sig.astype(">u8").tobytes()
+                for b in range(bands):
+                    chunk = sb[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
+                    out_id.append(int(i))
+                    out_band.append(b)
+                    out_hash.append(
+                        np.uint64(
+                            int.from_bytes(
+                                blake2b(chunk, digest_size=8).digest(), "big"
+                            )
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "band_id": pd.Series(out_band, dtype="int32"),
+                    "band_hash": _u64_to_i64(
+                        np.array(out_hash, dtype=np.uint64)
+                    ),
+                }
+            )
+
+    return hsh.select("id", "hsh").mapInPandas(run, MINHASH_BANDS_SCHEMA)
+
+
 def hashed_shingles(
     docs: DataFrame,
     id_col: str = "doc_id",

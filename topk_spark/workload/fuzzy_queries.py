@@ -76,10 +76,17 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup pipeline over the
     full perturbed corpus: candidates from band-bucket joins, verified with
     exact Jaccard ≥ 0.6. The scale path: shuffle carries only
-    (band_hash, doc_id), never text."""
-    corpus = perturbed_corpus(spark, sf_dir)
-    return minhash_neardup_pairs(
-        corpus, threshold=0.6, shingle_n=3, num_perm=64, bands=16
+    (band_hash, doc_id), never text — and the tokenize+hash scan runs ONCE
+    per corpus snapshot (materialized signature table, corpora.perturbed_hsh
+    discipline); the steady-state query replays permutation minima over the
+    stored hashes. Bit-identical to the text path (same hash kernel), so
+    minhash_lsh_recall's floors pin this plan too."""
+    from topk_spark.ops.fuzzy_dedup import minhash_neardup_pairs_from_hsh
+    from topk_spark.workload.corpora import perturbed_hsh
+
+    hsh = perturbed_hsh(spark, sf_dir, modulo=None)
+    return minhash_neardup_pairs_from_hsh(
+        hsh, threshold=0.6, num_perm=64, bands=16
     ).orderBy("id_a", "id_b")
 
 
