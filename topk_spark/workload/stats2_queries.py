@@ -23,7 +23,7 @@ fabricated-value anomalies.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.timeparts import iso_dayofweek
@@ -885,3 +885,119 @@ def price_ending_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overrepresented"),
     )
     return topn(scored, [F.desc("cnt"), F.asc("ending")], _ENDING_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: exact order-statistic clamping (round 3)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, {_CENTS} AS cents FROM events
+),
+vals AS (
+  SELECT event_type, cents, count(*) AS cnt
+  FROM c GROUP BY event_type, cents
+),
+cum AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM vals
+),
+bounds AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN cumc >= (n * 5 + 99) // 100 THEN cents END)
+              AS BIGINT) AS lo_cents,
+         CAST(min(CASE WHEN cumc >= (n * 95 + 99) // 100 THEN cents END)
+              AS BIGINT) AS hi_cents,
+         CAST(min(n) AS BIGINT) AS n
+  FROM cum GROUP BY event_type
+)
+SELECT v.event_type, b.n, b.lo_cents, b.hi_cents,
+       CAST(SUM(v.cnt * least(greatest(v.cents, b.lo_cents), b.hi_cents))
+            AS BIGINT) AS winsorized_sum_cents,
+       CAST(SUM(v.cnt * v.cents) AS BIGINT) AS raw_sum_cents,
+       CAST(SUM(CASE WHEN v.cents < b.lo_cents THEN v.cnt ELSE 0 END)
+            AS BIGINT) AS n_clamped_low,
+       CAST(SUM(CASE WHEN v.cents > b.hi_cents THEN v.cnt ELSE 0 END)
+            AS BIGINT) AS n_clamped_high
+FROM vals v JOIN bounds b USING (event_type)
+GROUP BY v.event_type, b.n, b.lo_cents, b.hi_cents
+ORDER BY v.event_type
+"""
+
+
+@register(
+    "winsorized_revenue_stats",
+    tags=("stats", "hygiene", "winsorize"),
+    oracle=_WINSOR_ORACLE,
+)
+def winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (P5/P95-clamped) revenue per event type, EXACT: the clamp
+    bounds are order statistics — the value at 1-based rank ceil(0.05·n)
+    and ceil(0.95·n) — taken from the distinct-value CDF, so no per-row
+    ranking, no percentile interpolation, and no floats anywhere. The
+    clamped sum is computed per distinct value (cnt·clamp(c)), never per
+    row. This is the preprocessing complement of robust_outlier_filter:
+    clamping keeps every row (training pipelines winsorize features they
+    cannot afford to drop), filtering removes them.
+
+    100 TB posture: one partial+final count on (type, cents) — the value
+    domain, not the row count — then windows and joins over that bounded
+    table only. Identical rank arithmetic on both engines (integer ceil
+    via (n·q+99) div 100), so the value hash pins the convention."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    vals = (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = vals.withColumn("cumc", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cumc") >= F.expr("(n * 5 + 99) div 100"), F.col("cents")
+            )
+        ).alias("lo_cents"),
+        F.min(
+            F.when(
+                F.col("cumc") >= F.expr("(n * 95 + 99) div 100"), F.col("cents")
+            )
+        ).alias("hi_cents"),
+        F.min("n").alias("n"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+    return (
+        vals.join(bounds, "event_type")
+        .groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(F.col("cnt") * clamped).cast("long").alias(
+                "winsorized_sum_cents"
+            ),
+            F.sum(F.col("cnt") * F.col("cents")).cast("long").alias(
+                "raw_sum_cents"
+            ),
+            F.sum(F.when(F.col("cents") < F.col("lo_cents"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi_cents"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+        .select(
+            "event_type", "n", "lo_cents", "hi_cents", "winsorized_sum_cents",
+            "raw_sum_cents", "n_clamped_low", "n_clamped_high",
+        )
+        .orderBy("event_type")
+    )
