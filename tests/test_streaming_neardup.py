@@ -188,3 +188,28 @@ def test_band_signature_rows_shape(spark, sf_dir):
     rows = band_signature_rows(d, bands=16, num_perm=64).collect()
     assert len(rows) == 10 * 16
     assert all(len(bytes(r["sig"])) == 64 * 8 for r in rows)
+
+
+def test_state_survives_checkpoint_restart(spark, tmp_path, sf_dir):
+    """Drain originals, STOP, then drain copies in a second query run on
+    the same checkpoint: canonicals must persist in the state store, so
+    copies still flag against originals ingested before the restart."""
+    src = os.path.join(str(tmp_path), "src")
+    rows = _corpus_rows(spark, sf_dir)[:5]
+    _write_batch(src, 0, rows)
+    first = _drain(spark, tmp_path, src)  # run 1: originals only
+    assert len(first) == 0 or (first["dup_of"] < first["id"]).all()
+    _write_batch(
+        src,
+        1,
+        [
+            {"doc_id": r["doc_id"] + _PERT, "text": _drop_last_word(r["text"])}
+            for r in rows
+        ],
+    )
+    matches = _drain(spark, tmp_path, src)  # run 2: same checkpoint
+    flagged = set(matches["id"])
+    for r in rows:
+        assert r["doc_id"] + _PERT in flagged, (
+            f"copy of {r['doc_id']} not flagged after restart"
+        )
