@@ -328,3 +328,120 @@ def anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Additive decomposition: trend / weekly-seasonal / remainder (round 3)
+# ---------------------------------------------------------------------------
+
+_STL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+tr AS (
+  SELECT *,
+         CASE WHEN count(*) OVER w7 = 7 THEN
+           CAST(SUM(cents) OVER w7 * 1000 // 7 AS BIGINT)
+         END AS trend_milli
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, cents * 1000 - trend_milli AS detrended_milli,
+         CAST(isodow(d) AS INT) AS dow
+  FROM tr
+),
+seas AS (
+  SELECT event_type, dow,
+         CAST(SUM(detrended_milli) // count(*) AS BIGINT) AS seasonal_milli
+  FROM det WHERE detrended_milli IS NOT NULL
+  GROUP BY event_type, dow
+)
+SELECT det.event_type, det.d, det.cents, det.trend_milli,
+       seas.seasonal_milli,
+       det.detrended_milli - seas.seasonal_milli AS remainder_milli
+FROM det JOIN seas USING (event_type, dow)
+ORDER BY det.event_type, det.d
+"""
+
+
+@register(
+    "stl_decompose_daily", tags=("TS-decompose", "timeseries"), oracle=_STL_ORACLE
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/remainder decomposition of daily revenue per
+    event type — the classical-decomposition shape of STL with exact
+    integer arithmetic: trend = centered 7-day moving mean in milli-cents
+    (integral div; NULL at the 3-day edges where the window is partial,
+    matching textbook practice), weekly seasonal = per-ISO-dow mean of the
+    detrended series, remainder = what neither explains. Completes the
+    forecasting family (EWMA level, Brown trend, Theil-Sen slope,
+    seasonal-naive baseline) with the diagnostic that SHOWS the seasonal
+    structure those models assume.
+
+    Plan: windows and aggregates run over the daily rollup (types × days
+    rows) — the fact table is touched once by the partial+final daily
+    aggregation; everything downstream is O(calendar), broadcast-joined
+    back by (type, dow). Integral div mirrors the oracle's exact '//';
+    DuckDB and Spark truncate identically and the detrended means can be
+    negative only symmetrically (both engines truncate toward zero)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        ).agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    # window sum as a named column first so the integral-div expr can see it
+    tr = (
+        daily.withColumn("s7", F.sum("cents").over(w7))
+        .withColumn("n7", F.count("*").over(w7))
+        .withColumn(
+            "trend_milli",
+            F.when(F.col("n7") == 7, F.expr("CAST(s7 * 1000 div 7 AS BIGINT)")),
+        )
+        .drop("s7", "n7")
+    )
+    from topk_spark.ops.timeparts import iso_dayofweek
+
+    det = tr.withColumn(
+        "detrended_milli", F.col("cents") * 1000 - F.col("trend_milli")
+    ).withColumn("dow", iso_dayofweek("d"))
+    seas = (
+        det.filter(F.col("detrended_milli").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("detrended_milli").alias("sd"),
+            F.count("*").alias("nd"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            F.expr("CAST(sd div nd AS BIGINT)").alias("seasonal_milli"),
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "d",
+            "cents",
+            "trend_milli",
+            "seasonal_milli",
+            (F.col("detrended_milli") - F.col("seasonal_milli")).alias(
+                "remainder_milli"
+            ),
+        )
+        .orderBy("event_type", "d")
+    )
