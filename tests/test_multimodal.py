@@ -100,3 +100,44 @@ def test_decode_kernel_uses_pixel_path_for_png():
     assert rows[2][1:] == (200, 100)
     # corrupt stream: zlib fails → fallback still answers, no crash
     assert rows[3][0] in ("png", "jpeg", "webp")
+
+
+def test_png_decode_rejects_inflate_bomb():
+    """decode_png_pixels runs on the default decode path, so a payload
+    whose IDAT inflates past the header-announced buffer (or whose header
+    announces absurd dims) must raise BEFORE allocating (round-3 review
+    finding), and _decode_kernel must fall back cleanly."""
+    import struct
+    import zlib
+
+    import pandas as pd
+    import pytest
+
+    from topk_spark.ops.multimodal import (
+        _PNG_SIG,
+        _decode_kernel,
+        decode_png_pixels,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # header announces 3x2 but the IDAT inflates to 10 MB of zeros
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+    bomb = chunk(b"IDAT", zlib.compress(b"\x00" * (10 << 20), 9))
+    payload = _PNG_SIG + ihdr + bomb + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="larger than header"):
+        decode_png_pixels(payload)
+
+    # absurd announced dims refuse before any inflation
+    huge = chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png_pixels(_PNG_SIG + huge + chunk(b"IEND", b""))
+
+    out = _decode_kernel(
+        pd.DataFrame({"doc_id": [1], "payload": [payload]})
+    )
+    assert len(out) == 1  # fallback answered, no crash

@@ -213,3 +213,72 @@ def test_state_survives_checkpoint_restart(spark, tmp_path, sf_dir):
         assert r["doc_id"] + _PERT in flagged, (
             f"copy of {r['doc_id']} not flagged after restart"
         )
+
+
+def test_rearrival_of_canonical_never_self_matches():
+    """At-least-once sources replay: a stored canonical arriving again
+    must NOT emit (id, dup_of=id) — a suppress-all consumer would drop
+    the only copy (round-3 review finding)."""
+    import numpy as np
+
+    class FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    num_perm = 8
+    update = _bucket_update(num_perm, est_threshold=0.75, max_bucket=4)
+    s = np.asarray(range(num_perm), dtype=">u8").tobytes()
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "id": pd.Series([7], dtype="int64"),
+            "band_id": pd.Series([0], dtype="int32"),
+            "sig": [s],
+        }
+    )
+    assert list(update((0, 0), iter([pdf]), st)) == []  # stored as canonical
+    out = list(update((0, 0), iter([pdf.copy()]), st))  # exact replay
+    assert out == [], f"self-match emitted: {out}"
+
+
+def test_chunked_group_still_elects_smallest_id():
+    """The GroupState iterator can hand one bucket's batch as MULTIPLE
+    chunks; the kernel must sort globally, not per chunk — a larger id in
+    an earlier chunk must not become canonical (round-3 review finding)."""
+    import numpy as np
+
+    class FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    num_perm = 8
+    update = _bucket_update(num_perm, est_threshold=0.75, max_bucket=4)
+    s = np.asarray(range(num_perm), dtype=">u8").tobytes()
+    chunk1 = pd.DataFrame(
+        {"id": pd.Series([500], dtype="int64"),
+         "band_id": pd.Series([0], dtype="int32"), "sig": [s]}
+    )
+    chunk2 = pd.DataFrame(
+        {"id": pd.Series([3], dtype="int64"),
+         "band_id": pd.Series([0], dtype="int32"), "sig": [s]}
+    )
+    st = FakeState()
+    out = pd.concat(list(update((0, 0), iter([chunk1, chunk2]), st)))
+    # id 3 (global smallest) is canonical; 500 flagged against it
+    assert list(out["id"]) == [500] and list(out["dup_of"]) == [3]

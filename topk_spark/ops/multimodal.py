@@ -310,6 +310,14 @@ def decode_png_pixels(b: bytes) -> np.ndarray:
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     w, h = struct.unpack(">II", b[16:24])
+    # Inflate-bomb guard: this runs on the DEFAULT decode path for any
+    # PNG-signature payload, so the expected pixel-buffer size must be
+    # bounded BEFORE inflating (zlib compresses ~1000:1 — a small crafted
+    # IDAT could otherwise allocate GBs per row). The header dims bound
+    # the buffer exactly: h rows of (1 filter byte + w pixels).
+    expected = h * (w + 1)
+    if expected > 64 * 1024 * 1024:
+        raise ValueError(f"PNG dims {w}x{h} exceed the decode cap")
     i, idat = 8, []
     while i + 8 <= len(b):
         (length,) = struct.unpack(">I", b[i : i + 4])
@@ -319,7 +327,10 @@ def decode_png_pixels(b: bytes) -> np.ndarray:
         if tag == b"IEND":
             break
         i += 12 + length  # len + tag + body + crc
-    raw = zlib.decompress(b"".join(idat))
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if d.unconsumed_tail or d.decompress(b"", 1):
+        raise ValueError("IDAT stream larger than header dimensions")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
     if not (rows[:, 0] == 0).all():
         raise ValueError("unsupported PNG filter")

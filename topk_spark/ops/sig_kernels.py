@@ -166,6 +166,30 @@ HASHED_SHINGLES_SCHEMA = StructType(
 )
 
 
+def sig_band_hashes(
+    H: "np.ndarray", A: "np.ndarray", C: "np.ndarray", bands: int, rows_per_band: int
+) -> tuple[bytes, list[int]]:
+    """Permutation minima + per-band blake2b digests over a doc's shingle
+    hashes — THE single implementation every MinHash path shares (batch
+    text, batch from-hsh, streaming): a kernel change lands here once and
+    all paths stay bit-identical by construction (and SIG_KERNEL_VERSION
+    gets bumped once). Returns (signature bytes big-endian u64s, one
+    unsigned 64-bit digest per band)."""
+    sig = (A[:, None] * H[None, :] + C[:, None]).min(axis=1)
+    sb = sig.astype(">u8").tobytes()
+    hashes = [
+        int.from_bytes(
+            blake2b(
+                sb[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8],
+                digest_size=8,
+            ).digest(),
+            "big",
+        )
+        for b in range(bands)
+    ]
+    return sb, hashes
+
+
 def minhash_band_rows(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -192,20 +216,11 @@ def minhash_band_rows(
                 if toks == [""]:
                     continue
                 H = _shingle_hash_u64(toks, shingle_n, memo)
-                # P×S affine then min over shingles → P signature minima.
-                sig = (A[:, None] * H[None, :] + C[:, None]).min(axis=1)
-                sb = sig.astype(">u8").tobytes()
-                for b in range(bands):
-                    chunk = sb[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
+                _, hashes = sig_band_hashes(H, A, C, bands, rows_per_band)
+                for b, hv in enumerate(hashes):
                     out_id.append(int(i))
                     out_band.append(b)
-                    out_hash.append(
-                        np.uint64(
-                            int.from_bytes(
-                                blake2b(chunk, digest_size=8).digest(), "big"
-                            )
-                        )
-                    )
+                    out_hash.append(np.uint64(hv))
             yield pd.DataFrame(
                 {
                     "id": pd.Series(out_id, dtype="int64"),
@@ -244,19 +259,11 @@ def minhash_band_rows_from_hsh(
                 H = np.asarray(arr, dtype=np.int64).astype(np.uint64)
                 if not len(H):
                     continue
-                sig = (A[:, None] * H[None, :] + C[:, None]).min(axis=1)
-                sb = sig.astype(">u8").tobytes()
-                for b in range(bands):
-                    chunk = sb[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
+                _, hashes = sig_band_hashes(H, A, C, bands, rows_per_band)
+                for b, hv in enumerate(hashes):
                     out_id.append(int(i))
                     out_band.append(b)
-                    out_hash.append(
-                        np.uint64(
-                            int.from_bytes(
-                                blake2b(chunk, digest_size=8).digest(), "big"
-                            )
-                        )
-                    )
+                    out_hash.append(np.uint64(hv))
             yield pd.DataFrame(
                 {
                     "id": pd.Series(out_id, dtype="int64"),

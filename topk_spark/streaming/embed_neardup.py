@@ -74,33 +74,40 @@ def _bucket_update(threshold: float, max_bucket: int):
 
         out = {"id": [], "dup_of": [], "cos_milli": [], "table_id": []}
         dirty = False
-        for pdf in pdfs:
-            if not len(pdf):
+        # concat-then-sort: see streaming/neardup.py — per-chunk sorts
+        # break deterministic smaller-id canonical election when one
+        # bucket's batch spans multiple Arrow chunks
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks).sort_values("id")
+        for rid, tid, vec in zip(batch["id"], batch["table_id"], batch["vec"]):
+            v = np.asarray(vec, dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n == 0:
                 continue
-            pdf = pdf.sort_values("id")  # deterministic canonical election
-            for rid, tid, vec in zip(pdf["id"], pdf["table_id"], pdf["vec"]):
-                v = np.asarray(vec, dtype=np.float64)
-                n = np.linalg.norm(v)
-                if n == 0:
+            v = v / n
+            if stored is not None and len(ids):
+                cos = stored @ v
+                # never match a re-arrival against itself (see neardup.py)
+                for k, cid in enumerate(ids):
+                    if cid == int(rid):
+                        cos[k] = -np.inf
+                j = int(cos.argmax())
+                if cos[j] >= threshold:
+                    out["id"].append(int(rid))
+                    out["dup_of"].append(int(ids[j]))
+                    out["cos_milli"].append(int(np.floor(cos[j] * 1000)))
+                    out["table_id"].append(int(tid))
                     continue
-                v = v / n
-                if stored is not None and len(ids):
-                    cos = stored @ v
-                    j = int(cos.argmax())
-                    if cos[j] >= threshold:
-                        out["id"].append(int(rid))
-                        out["dup_of"].append(int(ids[j]))
-                        out["cos_milli"].append(int(np.floor(cos[j] * 1000)))
-                        out["table_id"].append(int(tid))
-                        continue
-                if int(rid) not in ids and len(ids) < max_bucket:
-                    ids.append(int(rid))
-                    stored = (
-                        v[None, :]
-                        if stored is None
-                        else np.vstack([stored, v[None, :]])
-                    )
-                    dirty = True
+            if int(rid) not in ids and len(ids) < max_bucket:
+                ids.append(int(rid))
+                stored = (
+                    v[None, :]
+                    if stored is None
+                    else np.vstack([stored, v[None, :]])
+                )
+                dirty = True
         if dirty:
             state.update((ids, stored.astype(np.float64).tobytes()))
         if out["id"]:

@@ -46,7 +46,6 @@ banding math, so thresholds tuned offline transfer directly.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from hashlib import blake2b
 
 import numpy as np
 import pandas as pd
@@ -66,6 +65,7 @@ from topk_spark.ops.sig_kernels import (
     _shingle_hash_u64,
     _tokens,
     _u64_to_i64,
+    sig_band_hashes,
 )
 
 BAND_SIG_SCHEMA = StructType(
@@ -121,15 +121,11 @@ def band_signature_rows(
                 if toks == [""]:
                     continue
                 H = _shingle_hash_u64(toks, shingle_n, memo)
-                sig = (A[:, None] * H[None, :] + C[:, None]).min(axis=1)
-                sb = sig.astype(">u8").tobytes()
-                for b in range(bands):
-                    chunk = sb[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
+                sb, hashes = sig_band_hashes(H, A, C, bands, rows_per_band)
+                for b, hv in enumerate(hashes):
                     out_id.append(int(i))
                     out_band.append(b)
-                    out_hash.append(
-                        int.from_bytes(blake2b(chunk, digest_size=8).digest(), "big")
-                    )
+                    out_hash.append(hv)
                     out_sig.append(sb)
             yield pd.DataFrame(
                 {
@@ -168,26 +164,39 @@ def _bucket_update(num_perm: int, est_threshold: float, max_bucket: int):
         out_ppm: list[int] = []
         out_band: list[int] = []
         dirty = False
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # smaller id first: deterministic canonical election per batch
-            pdf = pdf.sort_values("id")
-            for rid, band_id, sb in zip(pdf["id"], pdf["band_id"], pdf["sig"]):
-                sig = np.frombuffer(bytes(sb), dtype=">u8")
-                if len(ids):
-                    eq = (stored == sig[None, :]).sum(axis=1)
-                    j = int(eq.argmax())
-                    if eq[j] >= est_threshold * num_perm:
-                        out_id.append(int(rid))
-                        out_dup.append(int(ids[j]))
-                        out_ppm.append(int(eq[j]) * 1_000_000 // num_perm)
-                        out_band.append(int(band_id))
-                        continue  # suppressed: do NOT become a canonical
-                if int(rid) not in ids and len(ids) < max_bucket:
-                    ids.append(int(rid))
-                    stored = np.vstack([stored, sig[None, :]])
-                    dirty = True
+        # Concatenate the group's chunks BEFORE sorting: the GroupState
+        # iterator hands one bucket's micro-batch rows as multiple Arrow
+        # chunks, and per-chunk sorts would elect canonicals in chunk
+        # arrival order — nondeterministic under repartitioning and able
+        # to emit dup_of > id. The concat trades bounded-chunk memory for
+        # the determinism contract; bucket row counts are bounded by the
+        # batch's bucket membership (the same skew max_bucket caps).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks).sort_values("id")
+        for rid, band_id, sb in zip(batch["id"], batch["band_id"], batch["sig"]):
+            sig = np.frombuffer(bytes(sb), dtype=">u8")
+            if len(ids):
+                eq = (stored == sig[None, :]).sum(axis=1)
+                # a re-arrival of a stored canonical must not match
+                # ITSELF (at-least-once sources replay): self rows would
+                # emit (id, dup_of=id) and a suppress-all consumer would
+                # drop the only copy
+                for k, cid in enumerate(ids):
+                    if cid == int(rid):
+                        eq[k] = -1
+                j = int(eq.argmax())
+                if eq[j] >= est_threshold * num_perm:
+                    out_id.append(int(rid))
+                    out_dup.append(int(ids[j]))
+                    out_ppm.append(int(eq[j]) * 1_000_000 // num_perm)
+                    out_band.append(int(band_id))
+                    continue  # suppressed: do NOT become a canonical
+            if int(rid) not in ids and len(ids) < max_bucket:
+                ids.append(int(rid))
+                stored = np.vstack([stored, sig[None, :]])
+                dirty = True
         if dirty:
             state.update((ids, stored.astype(">u8").tobytes()))
         if out_id:
