@@ -233,3 +233,115 @@ def centroid_assign_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Instance-level kNN label-agreement audit (round 3)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_NQ = 64  # deterministic evaluation sample: vec_id < 64
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS own_label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_KNN_NQ}
+),
+scored AS (
+  SELECT q.query_id, q.own_label, v.vec_id, v.label,
+         round(list_inner_product(q.qv, v.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(v.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]))), 6) AS score
+  FROM q, embeddings v
+  WHERE v.vec_id != q.query_id
+),
+rk AS (
+  SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, own_label, label, count(*) AS c
+  FROM rk WHERE rnk <= {_KNN_K}
+  GROUP BY query_id, own_label, label
+),
+maj AS (
+  SELECT query_id, own_label, label AS knn_label
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY c DESC, label ASC) AS vr
+        FROM votes)
+  WHERE vr = 1
+)
+SELECT own_label AS label,
+       count(*) AS n_eval,
+       CAST(SUM(CASE WHEN knn_label = own_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST(SUM(CASE WHEN knn_label = own_label THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS agree_ppm
+FROM maj
+GROUP BY own_label
+ORDER BY label
+"""
+
+
+@register("knn_label_agreement", tags=("MINE-knn", "governance"), oracle=_KNN_ORACLE)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-level label-noise audit: for a deterministic evaluation
+    sample (vec_id < {nq}), does each vector's {k}-NN majority label agree
+    with its OWN label? Per-label agreement in exact ppm. The instance
+    sibling of centroid_assign_accuracy — kNN voting catches label noise
+    that per-class centroids smooth over (multi-modal classes, boundary
+    mislabels); the leave-one-out protocol (self excluded) is the
+    standard noisy-label detector (Confident-Learning-style audits run
+    exactly this sweep at corpus scale).
+
+    Plan: broadcast the {nq}-row query sample against one corpus map
+    scan (no corpus shuffle — the cosine_topk discipline), bounded-heap
+    top-{k} per query, then all aggregation on the ≤ {nq}·{k}-row vote
+    table. Ranking uses the 6-dp-rounded score both engines compute
+    bit-identically; majority ties break toward the smaller label."""
+    from topk_spark.ops.topk import rank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        _dbl("embedding").alias("qv"),
+    )
+    v = emb.select("vec_id", "label", _dbl("embedding").alias("vv"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "own_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("qv"), F.col("vv")), 6).alias("score"),
+        )
+    )
+    top = rank_topk(
+        scored, ["query_id"], [F.desc("score"), F.asc("vec_id")], _KNN_K
+    )
+    votes = top.groupBy("query_id", "own_label", "label").agg(
+        F.count("*").alias("c")
+    )
+    w_maj = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("label"))
+    maj = (
+        votes.withColumn("vr", F.row_number().over(w_maj))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "own_label", F.col("label").alias("knn_label"))
+    )
+    agree = (F.col("knn_label") == F.col("own_label")).cast("long")
+    return (
+        maj.groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(agree).cast("long").alias("n_agree"),
+        )
+        .withColumn(
+            "agree_ppm", F.expr("CAST(n_agree * 1000000 div n_eval AS BIGINT)")
+        )
+        .orderBy("label")
+    )
