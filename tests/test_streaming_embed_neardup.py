@@ -21,6 +21,22 @@ _SCHEMA = "vec_id long, embedding array<double>"
 _PERT = 1_000_000
 
 
+class FakeState:
+    """Minimal GroupState stub for unit-driving _bucket_update."""
+
+    exists = False
+    _v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+
 def _write_batch(src: str, i: int, rows: list[dict]) -> None:
     os.makedirs(src, exist_ok=True)
     p = os.path.join(src, f"batch_{i:03d}.json")
@@ -93,18 +109,6 @@ def test_noisy_copies_flagged_originals_kept(spark, tmp_path, sf_dir):
 
 
 def test_bucket_state_bounded_and_cosine_exact():
-    class FakeState:
-        exists = False
-        _v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
-
     update = _bucket_update(threshold=0.9, max_bucket=2)
     e = np.eye(4)
     st = FakeState()
@@ -130,3 +134,38 @@ def test_bucket_state_bounded_and_cosine_exact():
     out = pd.concat(list(update((0, 0), iter([pdf2]), st)))
     assert list(out["id"]) == [9] and list(out["dup_of"]) == [1]
     assert int(out["cos_milli"].iloc[0]) == 999
+
+
+def test_rearrival_of_canonical_never_self_matches():
+    """Replayed canonical must not emit (id, dup_of=id) — the embedding
+    mirror of the text operator's regression test."""
+    update = _bucket_update(threshold=0.9, max_bucket=4)
+    e = np.eye(4)
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "id": pd.Series([7], dtype="int64"),
+            "table_id": pd.Series([0], dtype="int32"),
+            "vec": [e[0]],
+        }
+    )
+    assert list(update((0, 0), iter([pdf]), st)) == []
+    assert list(update((0, 0), iter([pdf.copy()]), st)) == []
+
+
+def test_chunked_group_still_elects_smallest_id():
+    """Multiple chunks for one bucket: global sort must elect the smallest
+    id canonical (the embedding mirror of the text regression test)."""
+    update = _bucket_update(threshold=0.9, max_bucket=4)
+    e = np.eye(4)
+    chunk1 = pd.DataFrame(
+        {"id": pd.Series([500], dtype="int64"),
+         "table_id": pd.Series([0], dtype="int32"), "vec": [e[0]]}
+    )
+    chunk2 = pd.DataFrame(
+        {"id": pd.Series([3], dtype="int64"),
+         "table_id": pd.Series([0], dtype="int32"), "vec": [e[0]]}
+    )
+    st = FakeState()
+    out = pd.concat(list(update((0, 0), iter([chunk1, chunk2]), st)))
+    assert list(out["id"]) == [500] and list(out["dup_of"]) == [3]

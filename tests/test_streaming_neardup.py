@@ -23,6 +23,22 @@ _SCHEMA = "doc_id long, text string"
 _PERT = 100_000
 
 
+class FakeState:
+    """Minimal GroupState stub for unit-driving _bucket_update."""
+
+    exists = False
+    _v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+
 def _write_batch(src: str, i: int, rows: list[dict]) -> None:
     os.makedirs(src, exist_ok=True)
     p = os.path.join(src, f"batch_{i:03d}.json")
@@ -136,18 +152,6 @@ def test_bucket_state_is_bounded():
     canonicals; later docs matching canonical #1 still flag against it."""
     import numpy as np
 
-    class FakeState:
-        exists = False
-        _v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
-
     num_perm = 8
     update = _bucket_update(num_perm, est_threshold=0.75, max_bucket=2)
 
@@ -221,18 +225,6 @@ def test_rearrival_of_canonical_never_self_matches():
     the only copy (round-3 review finding)."""
     import numpy as np
 
-    class FakeState:
-        exists = False
-        _v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
-
     num_perm = 8
     update = _bucket_update(num_perm, est_threshold=0.75, max_bucket=4)
     s = np.asarray(range(num_perm), dtype=">u8").tobytes()
@@ -254,18 +246,6 @@ def test_chunked_group_still_elects_smallest_id():
     chunks; the kernel must sort globally, not per chunk — a larger id in
     an earlier chunk must not become canonical (round-3 review finding)."""
     import numpy as np
-
-    class FakeState:
-        exists = False
-        _v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
 
     num_perm = 8
     update = _bucket_update(num_perm, est_threshold=0.75, max_bucket=4)

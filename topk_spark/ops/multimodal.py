@@ -316,6 +316,10 @@ def decode_png_pixels(b: bytes) -> np.ndarray:
     # IDAT could otherwise allocate GBs per row). The header dims bound
     # the buffer exactly: h rows of (1 filter byte + w pixels).
     expected = h * (w + 1)
+    # expected == 0 would make zlib's max_length UNLIMITED (CPython treats
+    # 0 as "no bound"), re-opening the bomb via a zero-height IHDR.
+    if expected == 0 or w == 0:
+        raise ValueError(f"PNG dims {w}x{h} are degenerate")
     if expected > 64 * 1024 * 1024:
         raise ValueError(f"PNG dims {w}x{h} exceed the decode cap")
     i, idat = 8, []

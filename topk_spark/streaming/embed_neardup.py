@@ -55,6 +55,9 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+# Per-(bucket, micro-batch) arrival bound — see streaming/neardup.py
+_MAX_BUCKET_BATCH = 4096
+
 
 def _bucket_update(threshold: float, max_bucket: int):
     """Per-bucket GroupState transition; split out for unit tests."""
@@ -74,13 +77,13 @@ def _bucket_update(threshold: float, max_bucket: int):
 
         out = {"id": [], "dup_of": [], "cos_milli": [], "table_id": []}
         dirty = False
-        # concat-then-sort: see streaming/neardup.py — per-chunk sorts
-        # break deterministic smaller-id canonical election when one
-        # bucket's batch spans multiple Arrow chunks
+        # concat-then-sort with an explicit arrival cap: see
+        # streaming/neardup.py — per-chunk sorts break deterministic
+        # smaller-id canonical election; the cap bounds hot-bucket memory
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return
-        batch = pd.concat(chunks).sort_values("id")
+        batch = pd.concat(chunks).sort_values("id").head(_MAX_BUCKET_BATCH)
         for rid, tid, vec in zip(batch["id"], batch["table_id"], batch["vec"]):
             v = np.asarray(vec, dtype=np.float64)
             n = np.linalg.norm(v)

@@ -93,6 +93,11 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+# Per-(bucket, micro-batch) row bound for the deterministic concat-sort:
+# max_bucket caps STORED canonicals, not arrivals, so a flood of
+# near-identical docs into one bucket needs its own cap (see _bucket_update).
+_MAX_BUCKET_BATCH = 4096
+
 
 def band_signature_rows(
     docs: DataFrame,
@@ -168,13 +173,16 @@ def _bucket_update(num_perm: int, est_threshold: float, max_bucket: int):
         # iterator hands one bucket's micro-batch rows as multiple Arrow
         # chunks, and per-chunk sorts would elect canonicals in chunk
         # arrival order — nondeterministic under repartitioning and able
-        # to emit dup_of > id. The concat trades bounded-chunk memory for
-        # the determinism contract; bucket row counts are bounded by the
-        # batch's bucket membership (the same skew max_bucket caps).
+        # to emit dup_of > id. The concat holds one bucket's batch rows at
+        # once, so the hot-bucket memory is bounded EXPLICITLY below: past
+        # _MAX_BUCKET_BATCH rows (smallest ids kept — deterministic), the
+        # overflow is ignored for this bucket this batch; those docs still
+        # surface through their other B-1 bands, so the cost is a sliver
+        # of recall on a pathological flood, never memory.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return
-        batch = pd.concat(chunks).sort_values("id")
+        batch = pd.concat(chunks).sort_values("id").head(_MAX_BUCKET_BATCH)
         for rid, band_id, sb in zip(batch["id"], batch["band_id"], batch["sig"]):
             sig = np.frombuffer(bytes(sb), dtype=">u8")
             if len(ids):

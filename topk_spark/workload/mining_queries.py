@@ -288,7 +288,7 @@ ORDER BY label
 @register("knn_label_agreement", tags=("MINE-knn", "governance"), oracle=_KNN_ORACLE)
 def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance-level label-noise audit: for a deterministic evaluation
-    sample (vec_id < {nq}), does each vector's {k}-NN majority label agree
+    sample (vec_id < 64), does each vector's 5-NN majority label agree
     with its OWN label? Per-label agreement in exact ppm. The instance
     sibling of centroid_assign_accuracy — kNN voting catches label noise
     that per-class centroids smooth over (multi-modal classes, boundary
@@ -296,9 +296,9 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard noisy-label detector (Confident-Learning-style audits run
     exactly this sweep at corpus scale).
 
-    Plan: broadcast the {nq}-row query sample against one corpus map
+    Plan: broadcast the 64-row query sample against one corpus map
     scan (no corpus shuffle — the cosine_topk discipline), bounded-heap
-    top-{k} per query, then all aggregation on the ≤ {nq}·{k}-row vote
+    top-5 per query, then all aggregation on the ≤ 320-row vote
     table. Ranking uses the 6-dp-rounded score both engines compute
     bit-identically; majority ties break toward the smaller label."""
     from topk_spark.ops.topk import rank_topk
