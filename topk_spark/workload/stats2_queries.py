@@ -1001,3 +1001,89 @@ def winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-7 autocorrelation gate: is the weekly seasonality REAL? (round 3)
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT a.event_type, a.cents AS x, b.cents AS y
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d = a.d + INTERVAL 7 DAY
+),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       CAST(sign(n * sxy - sx * sy) AS INT) AS acf_sign,
+       (4 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+          >= (n * sxx - sx * sx) * (n * syy - sy * sy)
+        AND n * sxy - sx * sy > 0) AS weekly_seasonal
+FROM m
+ORDER BY event_type
+"""
+
+
+@register(
+    "weekly_autocorr_gate", tags=("stats", "timeseries", "TS-acf"), oracle=_ACF_ORACLE
+)
+def weekly_autocorr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation gate per event type: pair each day's revenue
+    with the same weekday one week later, and decide — division- and
+    sqrt-free, the rolling_corr_gate discipline — whether the weekly
+    autocorrelation is positive and strong (r ≥ 1/2 via the
+    cross-multiplied 4·cov² ≥ varx·vary test with a positive-covariance
+    guard). This is the SIGNIFICANCE test for the seasonality that
+    stl_decompose_daily visualizes and seasonal_naive_mae exploits: run
+    the gate first; if weekly_seasonal is false, the seasonal-naive
+    baseline and the per-dow seasonal terms are fitting noise.
+
+    100 TB posture: the fact reduces to the daily rollup before the
+    self-join; pairs are an equi-join on (type, day+7) over that tiny
+    series; one final aggregate per type. Sufficient statistics ride
+    DECIMAL128/HUGEINT so the squares never wrap."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(_cents_col()).cast("long").alias("cents")
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("cents").alias("x"))
+    b = daily.select(
+        "event_type", F.date_sub("d", 7).alias("da"), F.col("cents").alias("y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        a.join(b, ["event_type", "da"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(dec("x") * F.col("y")).alias("sxy"),
+            F.sum(dec("x") * F.col("x")).alias("sxx"),
+            F.sum(dec("y") * F.col("y")).alias("syy"),
+        )
+    )
+    cov_n = F.col("n") * F.col("sxy") - dec("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - dec("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - dec("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.signum(cov_n).cast("int").alias("acf_sign"),
+        (
+            (F.lit(4).cast("decimal(38,0)") * cov_n * cov_n >= varx_n * vary_n)
+            & (cov_n > 0)
+        ).alias("weekly_seasonal"),
+    ).orderBy("event_type")
