@@ -38,15 +38,18 @@ def register(
     return deco
 
 
-# The driver verifies queries in registration order under a cap (rounds 1-2
+# The driver verifies queries in registration order under a cap (rounds 1-3
 # checked exactly the first 50), so load_all() orders the registry to spend
 # each round's cap on queries that still lack a driver CORRECTNESS row:
 #
-#   tier 0 — never-driver-checked queries from the families the round-2
-#            verdict called out as never-sampled (drift/stat monitoring,
-#            MMR, mining, multimodal audio/resize/patchify/video, graph,
-#            forecast, IVM, SCD2/CDC, z-order/layout, round-2d stats) —
-#            ~54 names, sized to the 50-query cap;
+#   tier 0 — forced re-samples (_FORCE_RESAMPLE: queries whose only driver
+#            row predates a fix — the round-2 `rolling_7d_revenue` HUGEINT
+#            red, fixed at behavior_queries.py:380 but never re-sampled),
+#            then never-driver-checked queries from the families the
+#            round-3 verdict called out as still-unsampled (streaming
+#            drains, behavior2, text3/4/5, setstats, governance, sketch2/3,
+#            curation, stl/timeseries) — sized past the 50-query cap so the
+#            cap, not the list, cuts;
 #   tier 1 — every other never-driver-checked query;
 #   tier 2 — queries already hash-verified (or rows-only-checked) in a prior
 #            round, read dynamically from CORRECTNESS_r*.json at repo root so
@@ -55,23 +58,26 @@ def register(
 # _R1_VERIFIED is the static fallback when no CORRECTNESS files are readable
 # (e.g. the repo checked out elsewhere): the keys of CORRECTNESS_r01.json.
 _PRIORITY_MODULES: tuple[str, ...] = (
-    "drift_queries",
-    "mmr_queries",
-    "mining_queries",
-    "multimodal2_queries",
-    "graph_queries",
-    "graph2_queries",
-    "graph3_queries",
-    "forecast_queries",
-    "forecast2_queries",
-    "ivm_queries",
-    "cdc_queries",
-    "layout_queries",
-    "layout2_queries",
-    "stats2_queries",
-    "changepoint_queries",
+    "streaming_drain_queries",
+    "behavior2_queries",
+    "text3_queries",
+    "text4_queries",
+    "text5_queries",
+    "setstats_queries",
+    "governance_queries",
+    "sketch2_queries",
+    "sketch3_queries",
     "timeseries_queries",
+    "curation_queries",
+    "io_queries",
+    "search_queries",
+    "profiling2_queries",
 )
+
+# Queries with a stale driver row that must face the gate again: the fix
+# landed AFTER their last sample, so ordering must treat them as unverified
+# (they sort ahead of even tier-0 so a capped pass cannot miss them).
+_FORCE_RESAMPLE: frozenset[str] = frozenset({"rolling_7d_revenue"})
 
 _R1_VERIFIED: frozenset[str] = frozenset({
     "topk_revenue_raw_24h", "rollup_1m", "merge_rollup_1h",
@@ -118,6 +124,7 @@ def load_all() -> dict[str, Query]:
     CORRECTNESS pass lands on queries that still lack a row (tiers documented
     at _PRIORITY_MODULES above)."""
     from topk_spark.workload import (  # noqa: F401
+        streaming_drain_queries,
         cdc_queries,
         graph_queries,
         sketch3_queries,
@@ -175,10 +182,12 @@ def load_all() -> dict[str, Query]:
         setstats_queries,
     )
 
-    verified = _driver_verified()
+    verified = _driver_verified() - _FORCE_RESAMPLE
     prio = {m: i for i, m in enumerate(_PRIORITY_MODULES)}
 
     def tier(name: str) -> tuple[int, int]:
+        if name in _FORCE_RESAMPLE:
+            return (0, -1)
         if name in verified:
             return (2, 0)
         mod = REGISTRY[name].fn.__module__.rsplit(".", 1)[-1]
