@@ -141,3 +141,76 @@ def test_png_decode_rejects_inflate_bomb():
         pd.DataFrame({"doc_id": [1], "payload": [payload]})
     )
     assert len(out) == 1  # fallback answered, no crash
+
+
+def test_gif_lzw_roundtrip_and_pixel_truth():
+    """Round-4 (VERDICT item 6): GIF decode is REAL LZW pixel decode, parity
+    with the PNG path. Roundtrip across sizes (incl. streams long enough to
+    cross code-width growth and the 4095-entry table reset), pixel truth
+    beats a lying screen descriptor, and malformed streams fall back."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from topk_spark.ops.multimodal import (
+        _decode_kernel,
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        decode_gif_pixels,
+        encode_gif,
+        encode_gif_header,
+    )
+
+    # LZW codec roundtrip: literals, KwKwK (deferred-entry), table reset
+    for pat in (b"\x03", b"\x00" * 9000, b"\x01\x01\x02" * 4000,
+                bytes(range(4)) * 3000):
+        assert _lzw_decode_gif(_lzw_encode_gif(pat, 2), 2, len(pat)) == pat
+
+    # full encode→decode: dims AND pixel content from the decoded buffer
+    b = encode_gif(47, 31, seed=b"g")
+    arr = decode_gif_pixels(b)
+    assert arr.shape == (31, 47)
+    row_src = hashlib.sha256(b"g").digest()
+    expect = bytes((row_src * 2)[x] & 3 for x in range(47))
+    assert bytes(arr[0]) == expect and bytes(arr[-1]) == expect
+
+    # lying screen descriptor: the image-descriptor/LZW payload is 5x4 but
+    # the logical screen announces 200x100 — pixel truth must win
+    honest = encode_gif(5, 4, seed=b"h")
+    liar = honest[:6] + struct.pack("<HH", 200, 100) + honest[10:]
+    assert decode_gif_pixels(liar).shape == (4, 5)
+
+    out = _decode_kernel(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "payload": [honest, liar, encode_gif_header(10, 12)],
+        })
+    )
+    rows = {int(r.doc_id): (r.format, r.width, r.height)
+            for r in out.itertuples()}
+    assert rows[1] == ("gif", 5, 4)
+    assert rows[2] == ("gif", 5, 4)  # pixel truth, not the lying screen desc
+    assert rows[3] == ("gif", 10, 12)  # header-only payload: header parse
+
+
+def test_gif_decode_guards():
+    """Truncated LZW streams, absent image data, and absurd descriptor dims
+    raise ValueError (never allocate first), mirroring the PNG bomb guard."""
+    import struct
+
+    import pytest
+
+    from topk_spark.ops.multimodal import decode_gif_pixels, encode_gif
+
+    full = encode_gif(40, 40, seed=b"x")
+    with pytest.raises(ValueError):
+        decode_gif_pixels(full[: len(full) // 2])
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif_pixels(b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3b")
+    huge = (
+        b"GIF89a" + struct.pack("<HHBBB", 0, 0, 0, 0, 0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0) + b"\x02"
+    )
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_gif_pixels(huge)

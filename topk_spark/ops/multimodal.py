@@ -2,18 +2,21 @@
 image/audio/video as opaque `binary` payloads with typed metadata, processed
 by Arrow-batched pandas functions via mapInPandas.
 
-Decode is REAL at the container-format level: `parse_image_header` does a
-struct-level parse of PNG (IHDR), JPEG (SOF marker scan), and GIF (logical
-screen descriptor) byte streams — the same lazy header read PIL's
-`Image.open(...).size` performs — with zero external dependencies. Payload bytes
-that are not a recognized image container fall back to a deterministic fake
-(sha256-derived) so text-as-blob fixtures stay testable. Pixel-level
-decode/resize would slot into `_decode_kernel` via PIL when available.
+Decode is REAL at the pixel level for PNG (chunk walk → zlib inflate →
+unfilter, `decode_png_pixels`) and GIF (block walk → sub-block concat → LZW
+decode, `decode_gif_pixels`) — zero external dependencies. JPEG stays at the
+container-header level (`parse_image_header`'s SOF marker scan — the same
+lazy header read PIL's `Image.open(...).size` performs): a baseline-JPEG
+Huffman/DCT decoder is out of scope for a stdlib-only build, and the guarded
+PIL import slot documents where it lands when the library exists. Payload
+bytes that are not a recognized image container fall back to a deterministic
+fake (sha256-derived) so text-as-blob fixtures stay testable.
 
 `make_image_payload` is the matching fixture-side encoder: it emits a fully
-valid zlib-compressed 8-bit grayscale PNG (or header-level JPEG/GIF) with
-dimensions derived from the row id, so an end-to-end encode→decode round
-trip is DuckDB-oracleable by pure arithmetic on the id.
+valid zlib-compressed 8-bit grayscale PNG / LZW-compressed 4-gray GIF89a
+(or marker-level JPEG) with dimensions derived from the row id, so an
+end-to-end encode→decode round trip is DuckDB-oracleable by pure arithmetic
+on the id.
 
 Scale notes: payloads never shuffle — mapInPandas is map-side; metadata-only
 downstream queries select typed columns so Parquet column pruning skips the
@@ -169,6 +172,209 @@ def encode_gif_header(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
 
 
+# --- GIF LZW (GIF89a spec §22 + Appendix F) -------------------------------
+#
+# Variable-width LZW, codes packed LSB-first into ≤255-byte sub-blocks.
+# Width starts at min_code_size+1. Width growth follows the giflib
+# `++RunningCode > MaxCode1` discipline — a counter of codes WRITTEN/READ
+# since the last CLEAR (seeded at eoi+1), widening when it exceeds
+# 2^width — NOT a counter of table entries: the two diverge at the trailing
+# flush+EOI (reads that add no entry), and real-world readers count reads.
+# Keeping encoder and decoder on the same read-count rule makes the pair
+# self-consistent AND giflib-compatible in both directions. At 4095 table
+# entries the encoder emits CLEAR and resets (12-bit ceiling, spec §22).
+
+_GIF_MAX_CODE = 4095
+
+
+class _LsbBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress of color-index bytes (each < 2^mcs)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LsbBitWriter()
+    table: dict[bytes, int] = {}
+    next_code = running = width = 0
+
+    def emit(code: int) -> None:
+        nonlocal running, width
+        w.write(code, width)
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+
+    def reset() -> None:
+        nonlocal table, next_code, running, width
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        running = eoi + 1
+        width = min_code_size + 1
+
+    def emit_clear() -> None:
+        # The decoder resets its read counter/width AFTER consuming the
+        # CLEAR, so the clear is written at the old width and the counting
+        # epoch restarts behind it (no running++ — reset supersedes it).
+        w.write(clear, width)
+        reset()
+
+    reset()
+    emit_clear()
+    seq = b""
+    for px in indices:
+        cand = seq + bytes([px])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        if next_code > _GIF_MAX_CODE:
+            emit_clear()
+        else:
+            table[cand] = next_code
+            next_code += 1
+        seq = bytes([px])
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    return w.finish()
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, max_out: int) -> bytes:
+    """Inverse of `_lzw_encode_gif` (giflib read semantics); raises
+    ValueError on a malformed stream. `max_out` bounds the output
+    (decompression-bomb guard, the zlib `expected` discipline of
+    decode_png_pixels)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    running = eoi + 1
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            running = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the deferred-entry (KwKwK) case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("LZW output exceeds image dimensions")
+        if prev is not None and len(table) <= _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+        prev = entry
+
+
+def encode_gif(width: int, height: int, seed: bytes = b"") -> bytes:
+    """Fully valid GIF89a — logical screen descriptor, 4-entry global color
+    table, image descriptor, REAL LZW-compressed pixel data (deterministic
+    seed-derived 2-bit indices), trailer — stdlib-only, the GIF sibling of
+    `encode_png`. Any GIF reader decodes it."""
+    mcs = 2
+    row_src = hashlib.sha256(seed).digest()
+    row = bytes((row_src * (width // 32 + 1))[x] & 0x03 for x in range(width))
+    indices = row * height
+    gct = bytes.fromhex("000000555555aaaaaaffffff")  # 4 gray levels
+    lzw = _lzw_encode_gif(indices, mcs)
+    sub_blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x81, 0, 0)  # GCT, 2 bpp
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([mcs])
+        + sub_blocks
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif_pixels(b: bytes) -> np.ndarray:
+    """REAL pixel decode for GIF87a/89a byte streams (first image frame):
+    walk the block stream past extensions, concatenate the image's LZW
+    sub-blocks, decode, reshape to (h, w) of color indices."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("GIF truncated in screen descriptor")
+    flags = b[10]
+    i = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _, _, w, h, iflags = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+        i += 10 + (3 * (2 << (iflags & 0x07)) if iflags & 0x80 else 0)
+        if w == 0 or h == 0 or w * h > 64 * 1024 * 1024:
+            raise ValueError(f"GIF dims {w}x{h} degenerate or over decode cap")
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        mcs = b[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(b) and b[i] != 0:
+            n = b[i]
+            lzw += b[i + 1 : i + 1 + n]
+            i += 1 + n
+        raw = _lzw_decode_gif(bytes(lzw), mcs, w * h)
+        if len(raw) != w * h:
+            raise ValueError(
+                f"GIF pixel count {len(raw)} != {w}x{h} descriptor"
+            )
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    raise ValueError("GIF truncated before image data")
+
+
 def payload_dims(doc_id: int) -> tuple[str, int, int]:
     """The deterministic id→(format, width, height) contract shared by the
     fixture encoder and the DuckDB oracle (arithmetic-only, so the oracle
@@ -200,7 +406,7 @@ def make_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 elif fmt == "jpeg":
                     payloads.append(encode_jpeg_header(w, h))
                 else:
-                    payloads.append(encode_gif_header(w, h))
+                    payloads.append(encode_gif(w, h, seed=str(i).encode()))
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"].values, "payload": payloads}
             )
@@ -209,13 +415,13 @@ def make_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _decode_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-Arrow-batch decode. PNG payloads get a REAL pixel decode
-    (chunk walk → inflate → unfilter, `decode_png_pixels` — no imaging
-    library needed): width/height are the decoded ndarray's shape, so a
-    truncated or corrupt IDAT stream fails here instead of sailing through
-    on a plausible header. JPEG/GIF fall back to the container-header
-    parse (their fixture payloads are header-only), opaque payloads to the
-    deterministic fake."""
+    """Per-Arrow-batch decode. PNG and GIF payloads get a REAL pixel decode
+    (`decode_png_pixels`: chunk walk → inflate → unfilter;
+    `decode_gif_pixels`: block walk → LZW decode — no imaging library
+    needed): width/height are the decoded ndarray's shape, so a truncated
+    or corrupt compressed stream fails here instead of sailing through on a
+    plausible header. JPEG (and header-only GIF fixtures) fall back to the
+    container-header parse, opaque payloads to the deterministic fake."""
 
     def one(b) -> tuple[str, int, int]:
         bb = bytes(b)
@@ -225,6 +431,12 @@ def _decode_kernel(batch: pd.DataFrame) -> pd.DataFrame:
                 return "png", int(arr.shape[1]), int(arr.shape[0])
             except (ValueError, zlib.error, struct.error):
                 pass  # malformed PNG: header parse / fake below
+        if bb[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                arr = decode_gif_pixels(bb)
+                return "gif", int(arr.shape[1]), int(arr.shape[0])
+            except (ValueError, struct.error):
+                pass  # header-only or malformed GIF: header parse below
         return parse_image_header(bb) or _fake_decode(bb)
 
     meta = [one(b) for b in batch["payload"]]

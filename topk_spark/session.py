@@ -50,11 +50,60 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "topk_spark", master: str | None = None) -> SparkSession:
+# Streaming state-store providers. The docstrings of the stateful operators
+# (streaming/neardup.py, embed_neardup.py, stateful_dedup.py) promise RocksDB
+# in production: at 100 TB the default HDFS-backed store keeps every state
+# map ON-HEAP per executor and becomes the binding constraint; RocksDB spills
+# state to local disk with bounded memory. The conf is read at STREAMING
+# QUERY START, so it can be flipped per query on a live session.
+_STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+_STATE_STORE_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def set_state_store(spark: SparkSession, kind: str = "rocksdb") -> bool:
+    """Select the state-store backend for streaming queries started AFTER
+    this call. Returns True if the provider class is present and the conf
+    was applied; False (with a stderr warning, conf untouched) on a build
+    without it — callers keep the default HDFS-backed store."""
+    cls = _STATE_STORE_PROVIDERS[kind]
+    try:
+        # Probe the classloader so a missing provider fails HERE, not as an
+        # opaque error inside a running streaming query.
+        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+    except Exception:
+        import sys
+
+        print(
+            f"warning: state-store provider {cls} not on classpath; "
+            "keeping current provider",
+            file=sys.stderr,
+        )
+        return False
+    spark.conf.set(_STATE_STORE_CONF, cls)
+    return True
+
+
+def get_spark(
+    app_name: str = "topk_spark",
+    master: str | None = None,
+    state_store: str | None = None,
+) -> SparkSession:
     """Build (or fetch) a session configured for this engine.
 
     local[N] for tests/bench; on a real cluster the same confs apply —
     partitioning strategy is encoded in the operators, not the master URL.
+    `state_store="rocksdb"` selects the disk-backed streaming state store
+    (falls back to the default with a warning when the class is absent).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -67,4 +116,6 @@ def get_spark(app_name: str = "topk_spark", master: str | None = None) -> SparkS
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if state_store is not None:
+        set_state_store(spark, state_store)
     return ensure_session_conf(spark)
