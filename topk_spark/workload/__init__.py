@@ -79,14 +79,14 @@ _PRIORITY_MODULES: tuple[str, ...] = (
 # (they sort ahead of even tier-0 so a capped pass cannot miss them).
 _FORCE_RESAMPLE: frozenset[str] = frozenset({"rolling_7d_revenue"})
 
+# (Names pruned from the registry in later rounds are dropped from this
+# snapshot too — tier() only consults it for names still registered.)
 _R1_VERIFIED: frozenset[str] = frozenset({
     "topk_revenue_raw_24h", "rollup_1m", "merge_rollup_1h",
-    "reagg_rollup_total", "topk_per_key", "topk_global",
-    "latest_window_ranked", "filter_eq_project", "time_range_contained",
-    "time_parts", "window_floor_alignment", "dedup_first_seen",
-    "distinct_exact", "distinct_hll", "revenue_by_hour", "pricing_summary",
+    "topk_per_key", "filter_eq_project", "dedup_first_seen",
+    "distinct_hll", "revenue_by_hour", "pricing_summary",
     "top_customers", "brand_revenue", "customers_without_orders",
-    "nations_with_big_suppliers", "union_active_users", "running_revenue",
+    "nations_with_big_suppliers", "running_revenue",
     "token_stats", "quality_score", "docs_exact_dedup", "doc_fingerprint",
     "multimodal_binary_meta", "cosine_topk", "semantic_dedup",
     "embedding_neardup_pairs", "serve_topk_restaurant", "serve_topk_global",

@@ -454,45 +454,3 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vc").alias("hi_cents"),
         )
     )
-
-
-@register(
-    "trending_daily_topk",
-    tags=("topk", "timeseries"),
-    oracle="""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS event_date, event_type,
-         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_cents
-  FROM events GROUP BY 1, 2
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY event_date
-                               ORDER BY rev_cents DESC, event_type) AS rnk
-  FROM daily
-)
-SELECT event_date, event_type, rev_cents, rnk
-FROM ranked WHERE rnk <= 3
-""",
-)
-def trending_daily_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 event types per day by revenue — top-k WITHIN each time
-    bucket (the 'trending now' query every Pinot deployment serves).
-    Aggregate-then-rank: the fact collapses to O(days × types) rows
-    before the window, and Spark's WindowGroupLimit pushes the rank<=3
-    cut below the final shuffle. Ties broken lexically for determinism."""
-    e = load_table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(F.to_date("ts").alias("event_date"), "event_type")
-        .agg(
-            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
-            .cast("long")
-            .alias("rev_cents")
-        )
-    )
-    w = Window.partitionBy("event_date").orderBy(
-        F.desc("rev_cents"), F.asc("event_type")
-    )
-    return (
-        daily.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-    )

@@ -17,10 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.dedup import dedup_first_seen
-from topk_spark.ops.rollup import merge_rollup, reaggregate, windowed_rollup
+from topk_spark.ops.rollup import merge_rollup, windowed_rollup
 from topk_spark.ops.sketches import exact_distinct
-from topk_spark.ops.timeparts import floor_to_window_ms, hour_of_day, iso_dayofweek
-from topk_spark.ops.topk import global_topk, rank_topk, topn
+from topk_spark.ops.timeparts import floor_to_window_ms, hour_of_day
+from topk_spark.ops.topk import global_topk, rank_topk
 from topk_spark.workload import register
 
 # ---------------------------------------------------------------------------
@@ -195,49 +195,6 @@ def merge_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "reagg_rollup_total",
-    tags=("A5",),
-    oracle=f"""
-WITH {_ES},
-r1m AS (
-  SELECT event_type,
-         CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS window_start,
-         CAST(SUM(quantity) AS BIGINT) AS sum_quantity,
-         CAST(SUM(revenue_cents) AS BIGINT) AS sum_revenue_cents,
-         count(*) AS order_count
-  FROM es GROUP BY event_type, date_trunc('minute', ts)
-)
-SELECT event_type,
-       CAST(SUM(sum_quantity) AS BIGINT) AS sum_quantity,
-       CAST(SUM(sum_revenue_cents) AS BIGINT) AS sum_revenue_cents,
-       CAST(SUM(order_count) AS BIGINT) AS order_count
-FROM r1m GROUP BY event_type
-""",
-)
-def reagg_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query-time re-aggregation over the rollup tier (A5 — the
-    "Top 10 (Rollup)" sample pattern, pinot/README.md:5): sums of sums are
-    exactly re-aggregable, so serving queries never touch raw events."""
-    from topk_spark.ops.rollup import reaggregate
-
-    es = order_stream(spark, sf_dir)
-    r1m = windowed_rollup(
-        es,
-        "ts",
-        ["event_type"],
-        [
-            F.sum("quantity").cast("long").alias("sum_quantity"),
-            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
-            F.count("*").alias("order_count"),
-        ],
-        "1 minute",
-    )
-    return reaggregate(
-        r1m, ["event_type"], ["sum_quantity", "sum_revenue_cents"], "order_count"
-    )
-
-
 # ---------------------------------------------------------------------------
 # Top-K family (K1-K5) and grouping (G3/G4)
 # ---------------------------------------------------------------------------
@@ -278,93 +235,6 @@ def topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "user_id", "revenue_cents", "order_count", "rank")
 
 
-@register(
-    "topk_global",
-    tags=("K3", "G4"),
-    oracle=f"""
-WITH {_ES},
-g AS (
-  SELECT user_id,
-         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
-         count(*) AS order_count
-  FROM es GROUP BY user_id
-)
-SELECT 'ALL' AS restaurant_id, user_id, revenue_cents, order_count,
-       CAST(row_number() OVER (ORDER BY revenue_cents DESC, user_id ASC) AS INT) AS rank
-FROM g
-ORDER BY rank
-LIMIT 10
-""",
-)
-def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k with the 'ALL' sentinel (K3,
-    KafkaConsumerTopKJob.kt:274-291). Limit-then-rank avoids the single-key
-    hotspot of the reference's `keyBy {{ "global" }}` (G4)."""
-    es = order_stream(spark, sf_dir)
-    g = es.groupBy("user_id").agg(
-        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
-        F.count("*").alias("order_count"),
-    )
-    out = global_topk(g, [F.desc("revenue_cents"), F.asc("user_id")], 10)
-    return out.select(
-        "restaurant_id", "user_id", "revenue_cents", "order_count", "rank"
-    ).orderBy("rank")
-
-
-@register(
-    "latest_window_ranked",
-    tags=("K5", "K4"),
-    oracle=f"""
-WITH {_ES},
-r1h AS (
-  SELECT event_type,
-         CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start,
-         CAST(epoch_ms(date_trunc('hour', ts)) + 3600000 AS BIGINT) AS window_end,
-         count(*) AS order_count,
-         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
-  FROM es GROUP BY event_type, date_trunc('hour', ts)
-),
-rk AS (
-  SELECT *, CAST(row_number() OVER
-         (PARTITION BY window_start
-          ORDER BY order_count DESC, event_type ASC) AS INT) AS rank
-  FROM r1h
-)
-SELECT event_type, window_start, window_end, order_count, revenue_cents, rank
-FROM rk WHERE rank <= 3
-ORDER BY window_end DESC, rank ASC, event_type ASC
-LIMIT 12
-""",
-)
-def latest_window_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-window ranked read (K5, QueryService.kt:59-60): rank items
-    within each 1h window, then the serving sort
-    `ORDER BY window_end DESC, rank ASC LIMIT k` — mixed-direction sort+limit.
-    """
-    es = order_stream(spark, sf_dir)
-    r1h = windowed_rollup(
-        es,
-        "ts",
-        ["event_type"],
-        [
-            F.count("*").alias("order_count"),
-            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
-        ],
-        "1 hour",
-    ).drop("hour_of_day", "day_of_week")
-    ranked = rank_topk(
-        r1h, ["window_start"], [F.desc("order_count"), F.asc("event_type")], 3
-    )
-    return topn(
-        ranked.select(
-            "event_type", "window_start", "window_end", "order_count",
-            "revenue_cents", "rank",
-        ),
-        [F.desc("window_end"), F.asc("rank"), F.asc("event_type")],
-        12,
-    )
-
-
 # ---------------------------------------------------------------------------
 # Filters / projections / scalar derivations (F1-F4, P7-P9)
 # ---------------------------------------------------------------------------
@@ -384,108 +254,6 @@ def filter_eq_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "value"
-    )
-
-
-@register(
-    "time_range_contained",
-    tags=("F2", "F4"),
-    oracle=f"""
-WITH {_ES},
-r1m AS (
-  SELECT event_type,
-         CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS window_start,
-         CAST(epoch_ms(date_trunc('minute', ts)) + 60000 AS BIGINT) AS window_end,
-         count(*) AS order_count,
-         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
-  FROM es GROUP BY event_type, date_trunc('minute', ts)
-)
-SELECT event_type, count(*) AS n_windows,
-       CAST(SUM(order_count) AS BIGINT) AS order_count,
-       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
-FROM r1m
-WHERE window_start >= 1704844800000 AND window_end <= 1705708800000
-GROUP BY event_type
-""",
-)
-def time_range_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed-containment time-range filter (F2, QueryService.kt:56-57):
-    window_start >= start AND window_end <= end — both bounds inside, not
-    overlap. Literals: [2024-01-10, 2024-01-20) UTC."""
-    es = order_stream(spark, sf_dir)
-    r1m = windowed_rollup(
-        es,
-        "ts",
-        ["event_type"],
-        [
-            F.count("*").alias("order_count"),
-            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
-        ],
-        "1 minute",
-    )
-    return (
-        r1m.filter(
-            (F.col("window_start") >= 1704844800000)
-            & (F.col("window_end") <= 1705708800000)
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum("order_count").cast("long").alias("order_count"),
-            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
-        )
-    )
-
-
-@register(
-    "time_parts",
-    tags=("P8",),
-    oracle="""
-SELECT event_id,
-       CAST(hour(ts) AS INT) AS hour_of_day,
-       CAST(isodow(ts) AS INT) AS day_of_week,
-       CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
-FROM events
-WHERE event_id % 100 = 0
-""",
-)
-def time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day + ISO day-of-week derivations (P8,
-    TopKStreamingJob.kt:162-179). Spark's Sunday-first dayofweek is converted
-    to ISO 1=Mon..7=Sun; session TZ pinned UTC (SURVEY §7 risk 3)."""
-    e = load_table(spark, sf_dir, "events")
-    return e.filter(F.col("event_id") % 100 == 0).select(
-        "event_id",
-        hour_of_day("ts").alias("hour_of_day"),
-        iso_dayofweek("ts").alias("day_of_week"),
-        F.unix_millis("ts").alias("ts_ms"),
-    )
-
-
-@register(
-    "window_floor_alignment",
-    tags=("P7", "T3"),
-    oracle="""
-SELECT CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS wstart_window,
-       CAST(floor(epoch_ms(ts) / 60000) * 60000 AS BIGINT) AS wstart_manual,
-       count(*) AS n
-FROM events
-WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
-GROUP BY 1, 2
-""",
-)
-def window_floor_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pin that Spark's window() start equals the reference's manual
-    epoch-floor `(ts/60000)*60000` (P7, KafkaConsumerTopKJob.kt:145-150) —
-    both columns must agree on every row."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
-        .groupBy(
-            F.unix_millis(F.window("ts", "1 minute").start).alias("wstart_window"),
-            floor_to_window_ms("ts", 60_000).alias("wstart_manual"),
-        )
-        .agg(F.count("*").alias("n"))
     )
 
 
@@ -527,27 +295,6 @@ def dedup_first_seen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("event_type").agg(
         F.count("*").alias("survivors"),
         F.sum("revenue_cents").cast("long").alias("revenue_cents"),
-    )
-
-
-@register(
-    "distinct_exact",
-    tags=("A6",),
-    oracle="""
-SELECT event_type,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
-       count(*) AS n_events
-FROM events
-GROUP BY event_type
-""",
-)
-def distinct_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct customers per item analog (A6 — the reference's
-    per-window MutableSet union, TopKStreamingJob.kt:79,130,144)."""
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        exact_distinct("user_id").alias("unique_users"),
-        F.count("*").alias("n_events"),
     )
 
 
@@ -601,84 +348,4 @@ def revenue_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("order_count").cast("long").alias("order_count"),
         )
         .orderBy("hour_of_day")
-    )
-
-
-@register(
-    "rollup_ladder_reconciliation",
-    tags=("A5", "A9", "audit"),
-    oracle=f"""
-WITH {_ES}
-SELECT event_type,
-       CAST(SUM(revenue_cents) AS BIGINT) AS raw_cents,
-       CAST(SUM(revenue_cents) AS BIGINT) AS via_1m_cents,
-       CAST(SUM(revenue_cents) AS BIGINT) AS via_1h_cents,
-       count(*) AS raw_rows,
-       count(*) AS via_1m_rows,
-       true AS ladder_lossless
-FROM es
-GROUP BY event_type
-ORDER BY event_type
-""",
-)
-def rollup_ladder_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier-integrity audit for the pre-aggregation ladder: the SAME totals
-    computed three ways — raw events, through the 1-minute rollup, and
-    through the 1-hour merge-rollup — with a lossless flag that is true
-    only when all three agree. The oracle states the ground truth (raw
-    totals repeated, flag true), so any leak in windowed_rollup /
-    merge_rollup / reaggregate (a dropped window, a double-counted
-    boundary, an overflow) breaks the driver hash — the reconciliation
-    job every rollup-serving store runs before trusting a tier.
-
-    100 TB posture: each tier total is a partial+final aggregate of its
-    own (already tiny) tier; the raw pass is the only full scan."""
-    es = order_stream(spark, sf_dir)
-    raw = es.groupBy("event_type").agg(
-        F.sum("revenue_cents").cast("long").alias("raw_cents"),
-        F.count("*").alias("raw_rows"),
-    )
-    r1m = windowed_rollup(
-        es,
-        "ts",
-        ["event_type"],
-        [
-            F.sum("revenue_cents").cast("long").alias("sum_revenue_cents"),
-            F.count("*").alias("order_count"),
-        ],
-        "1 minute",
-    ).drop("hour_of_day", "day_of_week", "window_end")
-    via_1m = reaggregate(
-        r1m, ["event_type"], ["sum_revenue_cents"], count_col="order_count"
-    ).select(
-        "event_type",
-        F.col("sum_revenue_cents").alias("via_1m_cents"),
-        F.col("order_count").alias("via_1m_rows"),
-    )
-    r1h = merge_rollup(
-        r1m.withColumnRenamed("order_count", "order_count_1m"),
-        ["event_type"],
-        ["sum_revenue_cents", "order_count_1m"],
-        target_window_ms=3_600_000,
-    )
-    via_1h = r1h.groupBy("event_type").agg(
-        F.sum("sum_revenue_cents").cast("long").alias("via_1h_cents")
-    )
-    return (
-        raw.join(via_1m, "event_type")
-        .join(via_1h, "event_type")
-        .select(
-            "event_type",
-            "raw_cents",
-            "via_1m_cents",
-            "via_1h_cents",
-            "raw_rows",
-            "via_1m_rows",
-            (
-                (F.col("raw_cents") == F.col("via_1m_cents"))
-                & (F.col("via_1m_cents") == F.col("via_1h_cents"))
-                & (F.col("raw_rows") == F.col("via_1m_rows"))
-            ).alias("ladder_lossless"),
-        )
-        .orderBy("event_type")
     )

@@ -11,8 +11,8 @@ should be judged against.
   (same correctly-rounded ops in the same order), rounded to 4 decimals
   only as a guard.
 - ``theil_sen_slope``: median of all pairwise day-slopes per series (the
-  robust trend that one outlier day cannot move, unlike
-  value_time_regression's OLS). Slopes are exact milli-cents/day floors;
+  robust trend that one outlier day cannot move, unlike an OLS
+  least-squares fit). Slopes are exact milli-cents/day floors;
   the median is the ⌈n/2⌉-th smallest — pure integer selection.
 - ``seasonal_naive_mae``: MAE of the "same weekday last week" forecast vs
   the naive "yesterday" forecast, and their skill ratio in ppm — the

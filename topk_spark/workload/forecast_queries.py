@@ -1,6 +1,6 @@
 """Forecasting layer over the rollup ladder: exponentially-weighted level
-per event type — the next step after `trending_decayed_topk` (decay scoring)
-and `value_time_regression` (least-squares trend): a *recursive* smoother,
+per event type — the next step after `trending_decayed_topk` (decay
+scoring) and `theil_sen_slope` (trend fitting): a *recursive* smoother,
 i.e. an operator whose value depends on fold ORDER, expressed so both
 engines run the identical left fold.
 

@@ -19,58 +19,6 @@ from topk_spark.workload import register
 
 
 @register(
-    "doc_repetition_ratio",
-    tags=("TXT-repetition",),
-    oracle="""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS w
-  FROM documents
-  WHERE doc_id % 3 = 0
-),
-g AS (
-  SELECT doc_id,
-         list_transform(range(1, len(w) - 1),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
-  FROM t
-  WHERE len(w) >= 3
-)
-SELECT doc_id,
-       CAST(len(grams) AS BIGINT) AS n_trigrams,
-       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
-       round(1.0 - len(list_distinct(grams)) / len(grams), 4) AS repetition_ratio
-FROM g
-""",
-)
-def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-trigram fraction per document — the repetition quality signal
-    (high ratio = boilerplate/spam) large-corpus filters threshold on. All
-    array expressions (split → transform → array_distinct), zero shuffles:
-    a pure map over the scan, so it runs at ingest bandwidth at any scale."""
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ", -1)
-    g = (
-        d.filter(F.col("doc_id") % 3 == 0)
-        .select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(0, size(w)-3),"
-                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
-            ).alias("grams"),
-        )
-    )
-    n_total = F.size("grams").cast("long")
-    n_distinct = F.size(F.array_distinct("grams")).cast("long")
-    return g.select(
-        "doc_id",
-        n_total.alias("n_trigrams"),
-        n_distinct.alias("n_distinct"),
-        F.round(F.lit(1.0) - n_distinct / n_total, 4).alias("repetition_ratio"),
-    )
-
-
-@register(
     "source_cap_sample",
     tags=("PIPE-domaincap",),
     oracle="""

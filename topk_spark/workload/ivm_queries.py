@@ -4,8 +4,8 @@ the full fact table, and prove the maintained result equals the full
 recompute (the oracle applies the delta to the data and aggregates from
 scratch; the Spark side touches only the base aggregate and the delta).
 
-This is the batch form of what `retraction_rollup` does for streams and
-`mv_incremental_refresh` does for appends — here with DELETES, the case
+This is the batch form of what `retraction_rollup` does for streams —
+here with DELETES, the case
 that forces signed arithmetic on every distributive measure:
 
     maintained = agg(base) ⊕ agg(inserts) ⊖ agg(deletes)

@@ -19,11 +19,7 @@ from topk_spark.ops.layout import (
     compact_range_sorted,
     compact_zorder,
     materialize_once,
-    quantize_col,
-    quantize_sql,
     write_partitioned_daily,
-    zorder_sql,
-    zorder_value,
 )
 from topk_spark.workload import register
 
@@ -153,75 +149,6 @@ def zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zorder_cluster_stats",
-    tags=("layout", "zorder"),
-    oracle=f"""
-WITH base AS (
-  SELECT user_id, {_VC_EXPR} AS value_cents, event_id FROM events
-),
-b AS (
-  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
-         min(value_cents) AS vlo, max(value_cents) AS vhi
-  FROM base
-),
-z AS (
-  SELECT user_id, value_cents, event_id,
-         {zorder_sql(quantize_sql("user_id", "ulo", "uhi"),
-                     quantize_sql("value_cents", "vlo", "vhi"))} AS zval
-  FROM base, b
-),
-t AS (
-  SELECT *, ntile(16) OVER (ORDER BY zval, event_id) AS tile FROM z
-)
-SELECT tile, count(*) AS n,
-       min(user_id) AS uid_lo, max(user_id) AS uid_hi,
-       min(value_cents) AS vc_lo, max(value_cents) AS vc_hi
-FROM t GROUP BY tile
-""",
-)
-def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantize (user_id, value_cents) onto a common 256-cell grid,
-    Morton-interleave into z-values, split the z-sorted order into 16
-    equal tiles (= the 16 files `compact_zorder` would write), and report
-    each tile's bounding box in BOTH dimensions. The boxes are narrow in
-    user_id AND value_cents simultaneously — the property that makes
-    parquet min/max stats selective on both columns after one clustering
-    pass. Quantization + interleave are pure built-in arithmetic
-    (whole-stage codegen), recomputed term-for-term by the DuckDB oracle.
-    The global ntile here is the oracle-checkable stand-in for
-    repartitionByRange(z): same cut points, driver-free at scale."""
-    e = load_table(spark, sf_dir, "events")
-    base = e.select(
-        "user_id", _value_cents_col().alias("value_cents"), "event_id"
-    )
-    bounds = base.agg(
-        F.min("user_id").alias("ulo"),
-        F.max("user_id").alias("uhi"),
-        F.min("value_cents").alias("vlo"),
-        F.max("value_cents").alias("vhi"),
-    )
-    qa = quantize_col(F.col("user_id"), F.col("ulo"), F.col("uhi"))
-    qb = quantize_col(F.col("value_cents"), F.col("vlo"), F.col("vhi"))
-    z = (
-        base.crossJoin(F.broadcast(bounds))
-        .withColumn("zval", zorder_value(qa, qb))
-        .select("user_id", "value_cents", "event_id", "zval")
-    )
-    tile = F.ntile(16).over(Window.orderBy("zval", "event_id"))
-    return (
-        z.withColumn("tile", tile)
-        .groupBy("tile")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("user_id").alias("uid_lo"),
-            F.max("user_id").alias("uid_hi"),
-            F.min("value_cents").alias("vc_lo"),
-            F.max("value_cents").alias("vc_hi"),
-        )
-    )
-
-
-@register(
     "zorder_pruned_scan",
     tags=("layout", "zorder", "pruning"),
     oracle=f"""
@@ -280,49 +207,6 @@ def _mv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(p),
     )
     return spark.read.parquet(path)
-
-
-@register(
-    "mv_incremental_refresh",
-    tags=("layout", "mv"),
-    oracle="""
-SELECT date_trunc('hour', ts) AS hour,
-       count(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
-         AS sum_value_cents
-FROM events
-GROUP BY 1
-""",
-)
-def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MV maintenance: the frozen pre-cutover hourly MV is
-    merged with an aggregate of ONLY the delta (events at/after the
-    cutover) — count and sum re-aggregate exactly (the same mergeability
-    that powers the rollup ladder), so the refresh cost is O(delta), not
-    O(history). The oracle recomputes the MV from ALL events; a hash
-    match proves merge(old MV, agg(delta)) == agg(everything). At 100 TB
-    this is the difference between a nightly refresh reading one day and
-    reading three years."""
-    base = _mv_base(spark, sf_dir)
-    delta = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("ts") >= F.lit(_MV_CUTOVER).cast("timestamp"))
-        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
-            .cast("long")
-            .alias("sum_value_cents"),
-        )
-    )
-    return (
-        base.unionByName(delta)
-        .groupBy("hour")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value_cents").alias("sum_value_cents"),
-        )
-    )
 
 
 # ---------------------------------------------------------------------------

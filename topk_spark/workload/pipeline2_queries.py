@@ -138,23 +138,6 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pack_sequences_greedy",
-    tags=("PIPE-pack",),
-    # First-fit greedy packing needs a sequential scan with carried state —
-    # not SQL-expressible → rows-only driver check; semantics pinned by
-    # tests/test_packing.py against a pure-Python oracle.
-)
-def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-fit greedy packing per shard (packs never overflow 8192 chars;
-    documents never straddle packs) via Arrow-batched applyInPandas — the
-    stateful sibling of `pack_sequences_chunked`."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return pack_greedy(docs, "doc_id", "n_chars", 8192, 16).select(
-        "doc_id", "shard", "pos", "pack_id"
-    )
-
-
 _PACK_VALIDITY_METRICS = [
     "docs_packed_exactly_once",
     "no_pack_overflow",
@@ -170,8 +153,8 @@ _PACK_VALIDITY_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
     "pack_greedy_validity", tags=("PIPE-pack",), oracle=_PACK_VALIDITY_ORACLE
 )
 def pack_greedy_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-signal companion for `pack_sequences_greedy` (whose sequential
-    state is not SQL-expressible): the packing's DEFINING invariants,
+    """Hard-signal contract for the greedy sequence packer (ops/packing.py,
+    whose sequential state is not SQL-expressible): the packing's DEFINING invariants,
     checked distributedly and emitted as (metric, ok) rows against a
     constant-true oracle — the same bound-style contract as the ANN recall
     queries. Violating any invariant (a doc dropped/duplicated, a pack

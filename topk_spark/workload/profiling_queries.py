@@ -176,61 +176,3 @@ def dq_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Grouped least-squares trend via exact integer moments
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "value_time_regression",
-    tags=("stats", "profiling"),
-    oracle="""
-WITH pts AS (
-  SELECT event_type,
-         CAST(epoch_us(ts) // 60000000 AS BIGINT) AS x,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
-  FROM events
-),
-m AS (
-  SELECT event_type,
-         count(*) AS n,
-         SUM(CAST(x AS HUGEINT)) AS sx,
-         SUM(CAST(y AS HUGEINT)) AS sy,
-         SUM(CAST(x AS HUGEINT) * x) AS sxx,
-         SUM(CAST(x AS HUGEINT) * y) AS sxy
-  FROM pts GROUP BY event_type
-)
-SELECT event_type, n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 10) AS slope_cents_per_min
-FROM m
-""",
-)
-def value_time_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group least-squares trend (is this event type's value drifting
-    over the month?) computed from EXACT integer moments: x = epoch
-    minutes, y = cents, and Σx, Σy, Σx², Σxy accumulate as decimal(38,0)
-    (DuckDB: hugeint) — so unlike `regr_slope`, whose double accumulation
-    is partition-order-dependent, the slope here is bit-identical at any
-    parallelism: the only float op is the final exact-int division, which
-    IEEE rounds identically in both engines. One partial+final aggregate;
-    the moments are the classic distributed-regression sufficient
-    statistics (mergeable, rollup-ladder compatible)."""
-    e = load_table(spark, sf_dir, "events")
-    pts = e.select(
-        "event_type",
-        (F.unix_micros("ts") / F.lit(60_000_000)).cast("long").alias("x"),
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
-    )
-    d38 = "decimal(38,0)"
-    m = pts.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("x").cast(d38)).alias("sx"),
-        F.sum(F.col("y").cast(d38)).alias("sy"),
-        F.sum((F.col("x").cast(d38) * F.col("x"))).alias("sxx"),
-        F.sum((F.col("x").cast(d38) * F.col("y"))).alias("sxy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    return m.select(
-        "event_type",
-        "n",
-        F.round(num / den, 10).alias("slope_cents_per_min"),
-    )

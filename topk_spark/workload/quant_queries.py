@@ -127,33 +127,6 @@ FROM predicted, actual
 """
 
 
-@register("join_size_estimate", tags=("planner", "stats"), oracle=_JOINEST_ORACLE)
-def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-cardinality math as a query: |A ⋈ B| = Σ_k c_A(k)·c_B(k),
-    computed from the two per-key count histograms and checked against
-    the executed join's count — the formula a cost-based optimizer uses
-    from sampled histograms, here exact. The histogram join moves one
-    count-row per key instead of full payloads; the output hash pins
-    predicted == actual."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("c_o"))
-    lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("c_l"))
-    predicted = (
-        ok.join(lk, "k")
-        .agg(F.sum(F.col("c_o") * F.col("c_l")).alias("predicted_rows"))
-    )
-    actual = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .agg(F.count("*").alias("actual_rows"))
-    )
-    return predicted.crossJoin(actual).select(
-        "predicted_rows",
-        "actual_rows",
-        (F.col("predicted_rows") == F.col("actual_rows")).alias("exact_match"),
-    )
-
-
 _PQ_METRICS = ["n_queries_eq_5", "recall_avg_ge_0.85", "recall_min_ge_0.7"]
 
 
@@ -211,40 +184,3 @@ FROM ranked
 GROUP BY dim
 ORDER BY dim
 """
-
-
-@register("embedding_dim_quartiles", tags=("ANN-profile",), oracle=_DIMQ_ORACLE)
-def embedding_dim_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Q1/median/Q3 per embedding dimension (first 8 dims) as ORDER
-    STATISTICS — selected raw values, never interpolated, so the floats
-    hash-match across engines (no arithmetic touches them). The
-    vector-column profile a quantizer or normalizer is calibrated from;
-    degenerate (constant or skewed) dimensions show up immediately.
-
-    100 TB posture: one explode to (dim, value) rows — 8× the vector
-    count, bounded by the profiled dim subset — then per-dim rank
-    windows; at extreme scale the same selection runs on the per-dim
-    distinct-value CDF (the trimmed_mean_exact decomposition)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    vals = emb.select(
-        F.posexplode(F.slice(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"), 1, _QDIMS)).alias("p", "v")
-    ).select((F.col("p") + 1).alias("dim"), "v")
-    from pyspark.sql import Window
-
-    wr = Window.partitionBy("dim").orderBy("v")
-    ranked = vals.withColumn("r", F.row_number().over(wr)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("dim"))
-    )
-    q1 = F.floor((F.col("n") + 3) / 4)
-    med = F.floor((F.col("n") + 1) / 2)
-    q3 = F.floor((3 * F.col("n") + 1) / 4)
-    return (
-        ranked.groupBy("dim")
-        .agg(
-            F.min(F.when(F.col("r") == q1, F.col("v"))).alias("q1"),
-            F.min(F.when(F.col("r") == med, F.col("v"))).alias("median"),
-            F.min(F.when(F.col("r") == q3, F.col("v"))).alias("q3"),
-        )
-        .select(F.col("dim").cast("int").alias("dim"), "q1", "median", "q3")
-        .orderBy("dim")
-    )

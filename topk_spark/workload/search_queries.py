@@ -103,29 +103,6 @@ ORDER BY d.doc_id
 """
 
 
-@register("posting_search_and_not", tags=("SEARCH", "boolean"), oracle=_SEARCH_ORACLE)
-def posting_search_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean text search — vector AND stream AND NOT slow — in ONE
-    corpus pass: tokenize in-projection and evaluate all three term
-    memberships as map-side array_contains predicates (no explode, no
-    shuffle, no join; whole-stage codegen end to end). This is the
-    index-free plan; once the posting-list table from
-    inverted_index_postings is materialized (bucketed by token), the same
-    query becomes three partition-pruned posting joins — that switch is a
-    storage decision, not a semantic one."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), _TOKEN_RE)
-    return (
-        docs.filter(
-            F.array_contains(toks, "vector")
-            & F.array_contains(toks, "stream")
-            & ~F.array_contains(toks, "slow")
-        )
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
-    )
-
-
 _DECAY_ORACLE = """
 WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
 ev AS (

@@ -11,7 +11,7 @@ running-max sweep — O(n log n), one shuffle — that survives 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.skyline import pareto_front_2d
@@ -97,37 +97,3 @@ SELECT event_type, cents, cum_cents,
 FROM ranked, tot
 ORDER BY cents DESC, event_type ASC
 """
-
-
-@register("abc_classification", tags=("analytics", "contribution"), oracle=_ABC_ORACLE)
-def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ABC / 80-20 analysis: rank keys by revenue, cumulative share
-    thresholds at 80% (A) and 95% (B) evaluated as exact integer
-    cross-multiplication (cum·100 ≤ total·p) — no float division, no
-    rounding ambiguity at the class boundaries. The cumulative window runs
-    over the aggregated key table (bounded), never raw events; the total
-    is a 1-row broadcast."""
-    ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
-            "cents"
-        )
-    )
-    tot = per_type.agg(F.sum("cents").alias("n"))
-    w = Window.orderBy(F.desc("cents"), F.asc("event_type")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return (
-        per_type.withColumn("cum_cents", F.sum("cents").over(w))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "cents",
-            "cum_cents",
-            F.when(F.col("cum_cents") * 100 <= F.col("n") * 80, "A")
-            .when(F.col("cum_cents") * 100 <= F.col("n") * 95, "B")
-            .otherwise("C")
-            .alias("abc_class"),
-        )
-        .orderBy(F.desc("cents"), F.asc("event_type"))
-    )

@@ -326,50 +326,6 @@ ORDER BY d
 """
 
 
-@register("rolling_corr_gate", tags=("stats", "timeseries"), oracle=_ROLLCORR_ORACLE)
-def rolling_corr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-day rolling correlation gate between purchase and click daily
-    revenue: the sign of the covariance and a |r| ≥ 1/2 flag, both decided
-    without division or sqrt (cross-multiplied sufficient statistics —
-    module comment). Sufficient statistics are BIGINT window sums over the
-    daily rollup; the squares ride DECIMAL128.
-
-    100 TB posture: the fact reduces to one row per day before any window;
-    the rolling frame is ROWS-bounded over that tiny series."""
-    from pyspark.sql import Window as W
-
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        F.sum(
-            F.when(F.col("event_type") == "purchase", _cents_col()).otherwise(0)
-        ).alias("x"),
-        F.sum(
-            F.when(F.col("event_type") == "click", _cents_col()).otherwise(0)
-        ).alias("y"),
-    )
-    win = W.orderBy("d").rowsBetween(-(_RW - 1), 0)
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    w = daily.select(
-        "d",
-        F.count("*").over(win).alias("n"),
-        F.sum("x").over(win).alias("sx"),
-        F.sum("y").over(win).alias("sy"),
-        F.sum(dec("x") * F.col("x")).over(win).alias("sxx"),
-        F.sum(dec("y") * F.col("y")).over(win).alias("syy"),
-        F.sum(dec("x") * F.col("y")).over(win).alias("sxy"),
-    ).filter(F.col("n") == _RW)
-    cov_n = F.col("n") * F.col("sxy") - dec("sx") * F.col("sy")
-    varx_n = F.col("n") * F.col("sxx") - dec("sx") * F.col("sx")
-    vary_n = F.col("n") * F.col("syy") - dec("sy") * F.col("sy")
-    return w.select(
-        "d",
-        F.signum(cov_n).cast("int").alias("cov_sign"),
-        (F.lit(4).cast("decimal(38,0)") * cov_n * cov_n >= varx_n * vary_n).alias(
-            "strong_corr"
-        ),
-    ).orderBy("d")
-
-
 # ---------------------------------------------------------------------------
 # Wilson lower-bound rate gate, division- and sqrt-free
 # ---------------------------------------------------------------------------
@@ -445,34 +401,6 @@ SELECT CAST(dow AS INT) AS dow, hr, cnt,
 FROM cells CROSS JOIN tot CROSS JOIN mx
 ORDER BY dow, hr
 """
-
-
-@register("hour_of_week_profile", tags=("timeseries", "seasonality"), oracle=_HOW_ORACLE)
-def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 168-cell hour-of-week load profile (ISO dow × hour) with exact
-    ppm shares and the peak cell flagged — the seasonality template an
-    anomaly baseline or capacity planner divides by. One partial+final
-    count; the total and max are broadcast scalars over 168 rows."""
-    e = load_table(spark, sf_dir, "events")
-    cells = (
-        e.select(iso_dayofweek("ts").alias("dow"), F.hour("ts").cast("int").alias("hr"))
-        .groupBy("dow", "hr")
-        .agg(F.count("*").alias("cnt"))
-    )
-    tot = cells.agg(F.sum("cnt").alias("n"), F.max("cnt").alias("m"))
-    return (
-        cells.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("dow").cast("int").alias("dow"),
-            "hr",
-            "cnt",
-            F.floor(F.col("cnt") * F.lit(1000000) / F.col("n"))
-            .cast("long")
-            .alias("share_ppm"),
-            (F.col("cnt") == F.col("m")).alias("is_peak"),
-        )
-        .orderBy("dow", "hr")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -851,42 +779,6 @@ LIMIT {_ENDING_TOP}
 """
 
 
-@register("price_ending_audit", tags=("stats", "audit"), oracle=_ENDING_ORACLE)
-def price_ending_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 cents endings (value mod 100) with exact ppm shares and a
-    division-free χ²(df=1) over-representation flag against the uniform
-    1/100 expectation — the psychological-pricing / fabricated-amount
-    audit that complements the Benford first-digit test (spikes at .00 or
-    .99 say prices are set, not measured). One 100-group count; the
-    quadratic test runs on the cell table in DECIMAL128."""
-    e = load_table(spark, sf_dir, "events")
-    cents = _cents_col()
-    m = (
-        e.select(cents.alias("c"))
-        .filter(F.col("c") > 0)
-        .select(F.pmod(F.col("c"), F.lit(100)).alias("ending"))
-        .groupBy("ending")
-        .agg(F.count("*").alias("cnt"))
-    )
-    tot = m.agg(F.sum("cnt").alias("n"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    dev = dec(F.lit(100) * F.col("cnt") - F.col("n"))
-    from topk_spark.ops.topk import topn
-
-    scored = m.crossJoin(F.broadcast(tot)).select(
-        F.col("ending").cast("int").alias("ending"),
-        "cnt",
-        F.floor(F.col("cnt") * F.lit(1000000) / F.col("n"))
-        .cast("long")
-        .alias("share_ppm"),
-        (
-            F.lit(100).cast("decimal(38,0)") * dev * dev
-            >= F.lit(384100).cast("decimal(38,0)") * dec(F.col("n"))
-        ).alias("overrepresented"),
-    )
-    return topn(scored, [F.desc("cnt"), F.asc("ending")], _ENDING_TOP)
-
-
 # ---------------------------------------------------------------------------
 # Winsorization: exact order-statistic clamping (round 3)
 # ---------------------------------------------------------------------------
@@ -1042,7 +934,7 @@ ORDER BY event_type
 def weekly_autocorr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-7 autocorrelation gate per event type: pair each day's revenue
     with the same weekday one week later, and decide — division- and
-    sqrt-free, the rolling_corr_gate discipline — whether the weekly
+    sqrt-free, the cross-multiplied correlation-gate discipline — whether the weekly
     autocorrelation is positive and strong (r ≥ 1/2 via the
     cross-multiplied 4·cov² ≥ varx·vary test with a positive-covariance
     guard). This is the SIGNIFICANCE test for the seasonality that

@@ -380,6 +380,152 @@ def stream_embed_neardup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A1/A2/T1/T3 — the PIPELINE's watermarked tumbling rollup (streaming/job.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_rollup_drain",
+    tags=("A1", "A2", "T1", "T3", "T5", "streaming"),
+    oracle=f"""
+WITH {_ES},
+wm AS (
+  -- Spark's event-time watermark after the single drain batch:
+  -- max event time (ms precision) minus the 10 s delay.
+  SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM es
+),
+r AS (
+  SELECT event_type AS restaurant_id,
+         CAST(user_id AS VARCHAR) AS menu_item_id,
+         CAST(floor(epoch_ms(ts) / 60000) * 60000 AS BIGINT) AS window_start_1m,
+         CAST(SUM(quantity) AS BIGINT) AS sum_quantity,
+         CAST(SUM(revenue_cents) AS BIGINT) AS sum_revenue_cents,
+         count(*) AS order_count
+  FROM es GROUP BY 1, 2, 3
+)
+SELECT r.* FROM r, wm
+WHERE r.window_start_1m + 60000 <= wm.w
+""",
+)
+def stream_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the PIPELINE's stage-2 operator itself — streaming/job.py
+    `build_rollup_stream`: 10 s watermark, 1-minute tumbling window,
+    partial+final aggregation, append-mode window eviction. The drained
+    output is exactly the windows the watermark closed; the oracle
+    recomputes them relationally and applies the same eviction predicate
+    (window_end ≤ max_event_time − delay), so the hash check pins BOTH the
+    aggregation arithmetic and Spark's late-data/window-close policy (T1/T5).
+    The HLL sketch column is dropped (engine-specific bytes; its estimate
+    accuracy is oracled separately by `hll_error_bound`)."""
+    from topk_spark.streaming.job import build_rollup_stream
+
+    es = order_stream(spark, sf_dir)
+    src = es.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("event_type").alias("restaurant_id"),
+        F.col("user_id").cast("string").alias("menu_item_id"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("menu_item_name"),
+        F.lit("CAT0").alias("category_id"),
+        F.col("user_id").cast("string").alias("customer_id"),
+        "quantity",
+        F.col("price_cents").alias("price_in_cents"),
+        F.col("ts").alias("event_ts"),
+        "revenue_cents",
+    )
+    drained = _drain(
+        spark,
+        src,
+        lambda s: build_rollup_stream(s),
+        output_mode="append",
+    )
+    return drained.select(
+        "restaurant_id",
+        "menu_item_id",
+        "window_start_1m",
+        "sum_quantity",
+        "sum_revenue_cents",
+        "order_count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# T-session — streaming session windows (the sessionize_events twin)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 h, matching sessionize_events
+
+
+@register(
+    "stream_sessions_drain",
+    tags=("T-session", "T1", "streaming"),
+    oracle=f"""
+WITH wm AS (
+  SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM events
+),
+marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER uw) >= {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+agg AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+         count(*) AS n_events,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS session_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_last, n_events, session_value
+FROM agg, wm
+WHERE CAST(floor(epoch_ms(session_last)) AS BIGINT) + {6 * 3600 * 1000} <= wm.w
+""",
+)
+def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain STREAMING `session_window` sessionization (6 h dynamic gap,
+    10 s watermark) — the streaming twin of the r1-verified batch
+    `sessionize_events`. Append mode emits only sessions the watermark
+    CLOSED (session end = last event + gap); the oracle sessionizes
+    relationally (lag/cumsum) and applies the same closure predicate, so
+    the hash pins gap-merge semantics AND the finalize-on-watermark policy.
+    Sessions still open at end-of-stream are withheld on both sides."""
+    from topk_spark.io.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        return (
+            s.withWatermark("ts", "10 seconds")
+            .groupBy(
+                F.session_window("ts", "6 hours").alias("w"),
+                "user_id",
+            )
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_last"),
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")), 4
+                ).cast("double").alias("session_value"),
+            )
+            .select(
+                "user_id", "session_start", "session_last",
+                "n_events", "session_value",
+            )
+        )
+
+    drained = _drain(spark, e, build, output_mode="append")
+    return drained
+
+
+# ---------------------------------------------------------------------------
 # Streaming CUSUM (streaming/cusum.py)
 # ---------------------------------------------------------------------------
 

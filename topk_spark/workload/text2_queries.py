@@ -307,19 +307,3 @@ SELECT doc_id,
          AS rms_floor
 FROM p
 """
-
-
-@register("audio_wav_meta", tags=("MM-audio",), oracle=_AUDIO_ORACLE)
-def audio_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END audio round trip, the WAV sibling of
-    `multimodal_decode_roundtrip`: encode a REAL playable PCM16 WAV per doc
-    (canonical RIFF/fmt/data layout, triangle-wave samples whose energy has
-    a closed form — ops/multimodal.py:encode_wav), struct-parse the actual
-    header bytes back, run the int16 samples through an exact BIGINT
-    sum-of-squares, and let the oracle predict every field by arithmetic on
-    doc_id. A broken encoder, parser, OR sample analysis breaks the hash.
-    Blobs stay map-side (mapInPandas); only typed scalars leave the scan."""
-    from topk_spark.ops.multimodal import audio_meta, make_audio_payload
-
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 5)
-    return audio_meta(make_audio_payload(d))

@@ -198,35 +198,6 @@ def nations_with_big_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "union_active_users",
-    tags=("SET",),
-    oracle="""
-SELECT source, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM (
-  SELECT 'purchase' AS source, user_id FROM events WHERE event_type = 'purchase'
-  UNION ALL
-  SELECT 'signup' AS source, user_id FROM events WHERE event_type = 'signup'
-)
-GROUP BY source
-""",
-)
-def union_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL + distinct count — set-operation surface."""
-    e = load_table(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type") == "purchase").select(
-        F.lit("purchase").alias("source"), "user_id"
-    )
-    b = e.filter(F.col("event_type") == "signup").select(
-        F.lit("signup").alias("source"), "user_id"
-    )
-    return (
-        a.unionAll(b)
-        .groupBy("source")
-        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
-    )
-
-
-@register(
     "running_revenue",
     tags=("W-cume",),
     oracle="""
