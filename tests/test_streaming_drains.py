@@ -1,0 +1,138 @@
+"""Multi-batch behavior of the streaming drain queries (round 4).
+
+The registered drains use a one-file source (single micro-batch) so their
+DuckDB oracles are exact. These tests force GENUINELY multi-batch drains
+(maxFilesPerTrigger=1 over several files) and pin what must still hold:
+cross-batch state continuity, the `last_per` final-emission guard, and the
+at-least-once match contract of the near-dup suppressor under arbitrary
+arrival order."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from topk_spark.workload.streaming_drain_queries import _drain, _order_events
+
+
+def test_multibatch_topk_drain_accumulates_and_keeps_last_emission(spark, sf_dir):
+    """With k ≥ distinct items per key the continuous top-k state never
+    truncates, so cross-batch accumulation must reproduce the full batch
+    aggregate EXACTLY no matter how arrivals split across micro-batches —
+    and each key re-emits in every batch that touches it, so the
+    `last_per` max-batch-id guard is doing real filtering here."""
+    from topk_spark.streaming.continuous_topk import continuous_topk
+
+    src = _order_events(spark, sf_dir)
+    drained = _drain(
+        spark,
+        src,
+        lambda s: continuous_topk(s, k=10_000),
+        last_per=["restaurant_id"],
+        max_files_per_trigger=4,
+    )
+    got = sorted(
+        (r.restaurant_id, r.menu_item_id, r.order_count,
+         r.total_quantity, r.total_revenue_cents)
+        for r in drained.collect()
+    )
+    expect = sorted(
+        (r.restaurant_id, r.menu_item_id, r.order_count,
+         r.total_quantity, r.total_revenue_cents)
+        for r in src.groupBy("restaurant_id", "menu_item_id")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum("quantity").cast("long").alias("total_quantity"),
+            F.sum("revenue_cents").cast("long").alias("total_revenue_cents"),
+        )
+        .collect()
+    )
+    assert got == expect
+    # the guard really filtered: raw emissions outnumber final keys
+    raw = _drain(
+        spark,
+        src,
+        lambda s: continuous_topk(s, k=10_000),
+        max_files_per_trigger=4,
+    )
+    assert raw.count() > drained.count()
+
+
+def test_multibatch_neardup_matches_are_true_pairs_any_arrival_order(
+    spark, sf_dir, tmp_path
+):
+    """Split the corpus across 4 micro-batches in hash (non-id) order:
+    canonical election then depends on arrival, so (id, dup_of) may flip
+    within a pair — but every emitted UNORDERED match must still be a true
+    ≥0.6-Jaccard pair (the estimator cannot invent pairs), and every doc of
+    every true pair must be suppressed against its partner (recall holds
+    across batch boundaries because state persists)."""
+    from topk_spark.io.sources import load_table
+    from topk_spark.streaming.neardup import neardup_match_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drained = _drain(
+        spark,
+        docs,
+        lambda s: neardup_match_stream(s, id_col="doc_id", text_col="text"),
+        output_mode="append",
+        max_files_per_trigger=4,
+    )
+    got_edges = {
+        frozenset((r.id, r.dup_of))
+        for r in drained.select("id", "dup_of").distinct().collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    true_pairs = con.execute("""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(l)-1),
+            i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents)
+)
+SELECT a.doc_id, b.doc_id FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+      / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.6
+""").fetchall()
+    true_edges = {frozenset(p) for p in true_pairs}
+    assert true_edges, "fixture should plant near-dup pairs"
+    # soundness: nothing invented
+    assert got_edges <= _transitive_closure_edges(true_edges)
+    # recall: every true pair suppressed one of its endpoints against the other
+    # (possibly via the component canonical — accept any edge touching both
+    # docs' component)
+    matched_docs = {d for e in got_edges for d in e}
+    for e in true_edges:
+        a, b = tuple(e)
+        assert a in matched_docs or b in matched_docs, (a, b)
+
+
+def _transitive_closure_edges(edges: set[frozenset]) -> set[frozenset]:
+    """All intra-component unordered pairs — the widest legitimate match
+    set (a doc may be reported against any canonical of its component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        a, b = tuple(e)
+        parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    out: set[frozenset] = set()
+    for members in comps.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                out.add(frozenset((a, b)))
+    return out

@@ -81,6 +81,7 @@ def _drain(
     build: Callable[[DataFrame], DataFrame],
     output_mode: str = "update",
     last_per: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run `build(stream)` over a one-file parquet stream of `src_df`,
     drained with availableNow into a parquet sink; return the drained rows.
@@ -89,13 +90,25 @@ def _drain(
     state every micro-batch, keep only each key-group's final (max batch id)
     emission. The one-file source yields a single batch in practice, but the
     guard keeps the result well-defined if the engine ever splits the drain.
+
+    `max_files_per_trigger`: tests only — write the source as that many
+    files and cap files per micro-batch at 1, forcing a genuinely
+    multi-batch drain so the `last_per` guard (and cross-batch state
+    continuity) is exercised for real, not argued.
     """
     root = tempfile.mkdtemp(prefix="topk_spark_drain_")
     _TMP_ROOTS.append(root)
     src = os.path.join(root, "src")
     out = os.path.join(root, "out")
-    src_df.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(src_df.schema).parquet(src)
+    reader = spark.readStream.schema(src_df.schema)
+    if max_files_per_trigger:
+        src_df.repartition(max_files_per_trigger).write.mode(
+            "overwrite"
+        ).parquet(src)
+        reader = reader.option("maxFilesPerTrigger", 1)
+    else:
+        src_df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = reader.parquet(src)
     result = build(stream)
     result_schema = result.schema
 
