@@ -173,3 +173,40 @@ def test_pareto_front_band_prune_law(spark, rows, bands):
         )
     )
     assert got == want
+
+
+@given(
+    data=st.binary(min_size=0, max_size=3000),
+    mcs=st.integers(2, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_law(data, mcs):
+    """decode(encode(x)) == x for the GIF LZW codec on arbitrary index
+    streams at every legal min-code-size — hypothesis hunts the code-width
+    boundary and table-reset cases the fixed tests may miss (the round-4
+    desync bug lived exactly on such a boundary)."""
+    from topk_spark.ops.multimodal import _lzw_decode_gif, _lzw_encode_gif
+
+    indices = bytes(b % (1 << mcs) for b in data)
+    enc = _lzw_encode_gif(indices, mcs)
+    assert _lzw_decode_gif(enc, mcs, len(indices)) == indices
+
+
+@given(
+    w=st.integers(1, 300),
+    h=st.integers(1, 120),
+    seed=st.binary(min_size=0, max_size=8),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_pixel_roundtrip_law(w, h, seed):
+    """Full-container law: encode_gif → decode_gif_pixels returns the exact
+    (h, w) index matrix the encoder drew, for arbitrary dimensions."""
+    import hashlib
+
+    from topk_spark.ops.multimodal import decode_gif_pixels, encode_gif
+
+    arr = decode_gif_pixels(encode_gif(w, h, seed=seed))
+    assert arr.shape == (h, w)
+    row_src = hashlib.sha256(seed).digest()
+    expect = bytes((row_src * (w // 32 + 1))[x] & 3 for x in range(w))
+    assert bytes(arr[0]) == expect and bytes(arr[h - 1]) == expect
