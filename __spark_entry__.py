@@ -3,8 +3,10 @@
 Re-exports the topk_spark workload registry:
 - ``entry(spark)``      — flagship query at sf0.001 (smoke),
 - ``queries()``         — name → (spark, sf_dir) -> DataFrame,
-- ``oracle_sql()``      — name → DuckDB SQL (omitted for sketch/LSH ops →
-                          driver records rows-only checks).
+- ``oracle_sql()``      — name → DuckDB SQL (omitted only for the
+                          engine-specific MinHash pair-set query → driver
+                          records a rows-only check; its recall twin is
+                          oracled).
 """
 
 from __future__ import annotations
