@@ -422,12 +422,17 @@ _SCALING_ALPHA_MAX = 1.2
 def bench_scaling(spark, headline, sf_dir: str, timings: dict[str, float]) -> dict:
     """Measure t ∝ n^α for every headline query across the testdata ladder
     (sf0.001 → sf0.01 → the main run's sf). α is taken between the two
-    LARGEST scales (t_hi/t_lo over a 10× data step), where fixed session
-    overhead distorts least; the small-sf column is still reported. Queries
-    whose α exceeds _SCALING_ALPHA_MAX are flagged — measured evidence for
-    the 'would this survive 100×?' question, not an argument."""
+    LARGEST scales, where fixed session overhead distorts least, using the
+    ACTUAL scale-factor ratio of that step (10× only when the main dir is
+    sf0.1); the small-sf column is still reported. Queries whose α exceeds
+    _SCALING_ALPHA_MAX are flagged — measured evidence for the 'would this
+    survive 100×?' question, not an argument."""
     import math
 
+    try:
+        sf_main = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf_main = None
     root = os.path.dirname(sf_dir.rstrip("/"))
     ladder = [
         d
@@ -446,19 +451,31 @@ def bench_scaling(spark, headline, sf_dir: str, timings: dict[str, float]) -> di
                 q.fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
             small.setdefault(name, {})[os.path.basename(d)] = round(best, 4)
+    # α reference point: the largest ladder sf below the main run.
+    ref_sf = 0.01 if any(d.endswith("sf0.01") for d in ladder) else None
+    step = (
+        sf_main / ref_sf
+        if (sf_main and ref_sf and sf_main > ref_sf)
+        else None
+    )
     flagged = []
+    computed = 0
     for name, t_main in timings.items():
         cols = small.get(name, {})
-        t_01 = cols.get("sf0.01")
+        t_ref = cols.get("sf0.01")
         alpha = None
-        if t_01:
-            # sf0.01 → main sf is a 10× row-count step on every table.
-            alpha = round(math.log10(max(t_main, 1e-4) / max(t_01, 1e-4)), 3)
+        if t_ref and step:
+            alpha = round(
+                math.log(max(t_main, 1e-4) / max(t_ref, 1e-4)) / math.log(step), 3
+            )
+            computed += 1
             if alpha > _SCALING_ALPHA_MAX:
                 flagged.append({"query": name, "alpha": alpha})
         per_query[name] = {**cols, "main": t_main, "alpha": alpha}
     return {
         "alpha_max_allowed": _SCALING_ALPHA_MAX,
+        "step": step,
+        "alphas_computed": computed,
         "per_query": per_query,
         "flagged": flagged,
     }
@@ -567,10 +584,14 @@ def main() -> None:
     if scaling["flagged"]:
         print(f"# SCALING FLAGS (alpha > {scaling['alpha_max_allowed']}): "
               f"{scaling['flagged']}", file=sys.stderr)
-    else:
-        print("# scaling: no headline query exceeds alpha "
-              f"{scaling['alpha_max_allowed']} (t ~ n^alpha over a 10x step)",
+    elif scaling["alphas_computed"]:
+        print(f"# scaling: no headline query exceeds alpha "
+              f"{scaling['alpha_max_allowed']} (t ~ n^alpha over a "
+              f"{scaling['step']:g}x step, {scaling['alphas_computed']} queries)",
               file=sys.stderr)
+    else:
+        print("# scaling: no reference scale below the main sf — "
+              "alphas not computed", file=sys.stderr)
     latency = bench_e2e_latency(spark)
     print(
         f"# e2e latency: raw {latency['raw_visible_s']}s, "

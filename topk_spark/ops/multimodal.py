@@ -359,6 +359,8 @@ def decode_gif_pixels(b: bytes) -> np.ndarray:
             raise ValueError(f"GIF dims {w}x{h} degenerate or over decode cap")
         if iflags & 0x40:
             raise ValueError("interlaced GIF unsupported")
+        if i >= len(b):
+            raise ValueError("GIF truncated before LZW min code size")
         mcs = b[i]
         i += 1
         lzw = bytearray()
@@ -435,7 +437,7 @@ def _decode_kernel(batch: pd.DataFrame) -> pd.DataFrame:
             try:
                 arr = decode_gif_pixels(bb)
                 return "gif", int(arr.shape[1]), int(arr.shape[0])
-            except (ValueError, struct.error):
+            except (ValueError, struct.error, IndexError):
                 pass  # header-only or malformed GIF: header parse below
         return parse_image_header(bb) or _fake_decode(bb)
 

@@ -19,7 +19,7 @@ from topk_spark.io.sources import load_table
 from topk_spark.ops.dedup import dedup_first_seen
 from topk_spark.ops.rollup import merge_rollup, windowed_rollup
 from topk_spark.ops.sketches import exact_distinct
-from topk_spark.ops.timeparts import floor_to_window_ms, hour_of_day
+from topk_spark.ops.timeparts import floor_to_window_ms
 from topk_spark.ops.topk import global_topk, rank_topk
 from topk_spark.workload import register
 

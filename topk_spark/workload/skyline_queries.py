@@ -75,25 +75,3 @@ def pareto_front_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "revenue_cents", "activity")
         .orderBy(F.desc("revenue_cents"), F.asc("user_id"))
     )
-
-
-_ABC_ORACLE = f"""
-WITH per_type AS (
-  SELECT event_type, CAST(SUM({_CENTS}) AS BIGINT) AS cents
-  FROM events GROUP BY event_type
-),
-tot AS (SELECT SUM(cents) AS n FROM per_type),
-ranked AS (
-  SELECT event_type, cents,
-         CAST(SUM(cents) OVER (ORDER BY cents DESC, event_type ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS cum_cents
-  FROM per_type
-)
-SELECT event_type, cents, cum_cents,
-       CASE WHEN cum_cents * 100 <= tot.n * 80 THEN 'A'
-            WHEN cum_cents * 100 <= tot.n * 95 THEN 'B'
-            ELSE 'C' END AS abc_class
-FROM ranked, tot
-ORDER BY cents DESC, event_type ASC
-"""

@@ -294,36 +294,6 @@ _RW = 7  # rolling window (days)
 # with the sign read directly off cov = n·Σxy − ΣxΣy. x = daily revenue
 # cents of 'purchase', y = of 'click'; all sufficient statistics are BIGINT
 # window sums, the squares go through DECIMAL(38,0)/HUGEINT.
-_ROLLCORR_ORACLE = f"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d,
-         SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END) AS x,
-         SUM(CASE WHEN event_type = 'click' THEN {_CENTS} ELSE 0 END) AS y
-  FROM events GROUP BY 1
-),
-w AS (
-  SELECT d,
-         count(*) OVER win AS n,
-         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
-         SUM(x::HUGEINT * x) OVER win AS sxx,
-         SUM(y::HUGEINT * y) OVER win AS syy,
-         SUM(x::HUGEINT * y) OVER win AS sxy
-  FROM daily
-  WINDOW win AS (ORDER BY d ROWS BETWEEN {_RW - 1} PRECEDING AND CURRENT ROW)
-),
-g AS (
-  SELECT d, n,
-         n * sxy - sx::HUGEINT * sy AS cov_n,
-         n * sxx - sx::HUGEINT * sx AS varx_n,
-         n * syy - sy::HUGEINT * sy AS vary_n
-  FROM w WHERE n = {_RW}
-)
-SELECT d,
-       CAST(sign(cov_n) AS INT) AS cov_sign,
-       (4 * cov_n * cov_n >= varx_n * vary_n) AS strong_corr
-FROM g
-ORDER BY d
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -385,22 +355,6 @@ def wilson_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ((ap > 0) & (ap * ap * nn > rhs)).alias("significantly_above_25pct"),
     ).orderBy("event_type")
-
-
-_HOW_ORACLE = """
-WITH cells AS (
-  SELECT isodow(ts) AS dow, CAST(hour(ts) AS INT) AS hr,
-         count(*)::BIGINT AS cnt
-  FROM events GROUP BY 1, 2
-),
-tot AS (SELECT SUM(cnt) AS n FROM cells),
-mx AS (SELECT MAX(cnt) AS m FROM cells)
-SELECT CAST(dow AS INT) AS dow, hr, cnt,
-       CAST(cnt * 1000000 // tot.n AS BIGINT) AS share_ppm,
-       (cnt = mx.m) AS is_peak
-FROM cells CROSS JOIN tot CROSS JOIN mx
-ORDER BY dow, hr
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -755,28 +709,10 @@ def hhi_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Price-ending audit (last-two-digits distribution, Benford's sibling)
 # ---------------------------------------------------------------------------
 
-_ENDING_TOP = 10
-
 # Uniformity gate per ending (expected share 1/100): the same χ²(df=1)
 # cross-multiplication as chi_square_independence, with E = n/100:
 #   (c − n/100)²/(n/100) ≥ 3.841 ⇔ 100·(100·c − n)² ≥ 3841·100·n ⇔
 #   (100·c − n)² · 100 ≥ 384100·n   (exact integers; squares in DECIMAL128)
-_ENDING_ORACLE = f"""
-WITH v AS (
-  SELECT {_CENTS} % 100 AS ending FROM events WHERE {_CENTS} > 0
-),
-m AS (
-  SELECT ending, count(*)::BIGINT AS cnt FROM v GROUP BY ending
-),
-tot AS (SELECT SUM(cnt) AS n FROM m)
-SELECT CAST(ending AS INT) AS ending, cnt,
-       CAST(cnt * 1000000 // tot.n AS BIGINT) AS share_ppm,
-       (100 * ((100 * cnt - tot.n)::HUGEINT * (100 * cnt - tot.n))
-          >= 384100 * tot.n::HUGEINT) AS overrepresented
-FROM m CROSS JOIN tot
-ORDER BY cnt DESC, ending
-LIMIT {_ENDING_TOP}
-"""
 
 
 # ---------------------------------------------------------------------------
