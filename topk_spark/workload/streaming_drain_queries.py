@@ -18,6 +18,12 @@ DataFrame a DuckDB oracle can hash against:
                                  TopKStreamingJob.kt:543-548)
 - `stream_neardup_drain`      — streaming/neardup.py (MinHash-LSH state)
 - `stream_embed_neardup_drain`— streaming/embed_neardup.py (hyperplane LSH)
+- `stream_rollup_drain`       — streaming/job.py build_rollup_stream
+                                 (A1/A2/T1/T3/T5 — the pipeline's stage 2;
+                                 the oracle encodes Spark's window-eviction
+                                 predicate, pinning the late-data policy)
+- `stream_sessions_drain`     — streaming session_window (T-session; the
+                                 sessionize_events twin, closed sessions)
 - `stream_cusum_drain`        — streaming/cusum.py (Page CUSUM control chart)
 
 Oracle design notes (why these are HASH-comparable, not just rows-only):
