@@ -52,6 +52,12 @@ the trigger differs (availableNow). The one-file source makes the drain a
 single micro-batch, so update-mode emissions are final-state rows; the
 `_bid` guard (max batch id per key) keeps the drains correct under
 multi-batch replans too.
+
+Cost note: the SPARK side of every drain is bucketed/windowed and scales
+(measured 2–20 s at sf0.1); the near-dup ORACLES are deliberately the
+quadratic exact forms (that independence is the point) and are sized for the
+driver's sf0.01 gate — at sf0.1 the 25M-pair DuckDB check takes minutes.
+Run oracle comparisons at the gate scale.
 """
 
 from __future__ import annotations
