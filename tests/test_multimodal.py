@@ -214,3 +214,49 @@ def test_gif_decode_guards():
     )
     with pytest.raises(ValueError, match="decode cap"):
         decode_gif_pixels(huge)
+
+
+def test_jpeg_pixel_decode_and_truth():
+    """Round-4 extension: baseline JPEG decode is REAL (Huffman + IDCT),
+    completing PNG/GIF/JPEG pixel parity. Decoded dims come from the scan,
+    reconstruction error is bounded by the quantizer, a lying SOF loses to
+    stream truth via the segment parse, and header-only/truncated payloads
+    fall back."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from topk_spark.ops.multimodal import (
+        _decode_kernel,
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_header,
+        encode_jpeg_pixels,
+    )
+
+    b = encode_jpeg(47, 31, seed=b"jp")
+    arr = decode_jpeg_pixels(b)
+    assert arr.shape == (31, 47)
+    row_src = hashlib.sha256(b"jp").digest()
+    expect = np.frombuffer((row_src * 2)[:47], dtype=np.uint8)
+    err = np.abs(arr.astype(int) - np.tile(expect, (31, 1)).astype(int)).max()
+    assert err <= 12  # AC quant step 4 → tight reconstruction bound
+
+    # adversarial checkerboard (worst-case AC energy) still bounded + exact dims
+    img = (np.indices((21, 13)).sum(0) % 2 * 255).astype(np.uint8)
+    arr2 = decode_jpeg_pixels(encode_jpeg_pixels(img))
+    assert arr2.shape == (21, 13)
+    assert np.abs(arr2.astype(int) - img.astype(int)).max() <= 40
+
+    out = _decode_kernel(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "payload": [b, encode_jpeg_header(10, 12), b[: len(b) // 2]],
+        })
+    )
+    rows = {int(r.doc_id): (r.format, r.width, r.height)
+            for r in out.itertuples()}
+    assert rows[1] == ("jpeg", 47, 31)  # pixel path
+    assert rows[2] == ("jpeg", 10, 12)  # header-only fixture: header parse
+    assert rows[3][0] == "jpeg"  # truncated: falls back, no crash

@@ -210,3 +210,27 @@ def test_gif_pixel_roundtrip_law(w, h, seed):
     row_src = hashlib.sha256(seed).digest()
     expect = bytes((row_src * (w // 32 + 1))[x] & 3 for x in range(w))
     assert bytes(arr[0]) == expect and bytes(arr[h - 1]) == expect
+
+
+@given(
+    w=st.integers(1, 120),
+    h=st.integers(1, 60),
+    seed=st.binary(min_size=0, max_size=8),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_roundtrip_law(w, h, seed):
+    """encode_jpeg → decode_jpeg_pixels: exact dims, reconstruction within
+    the quantizer bound, for arbitrary dimensions (MCU padding edges)."""
+    import hashlib
+
+    import numpy as np
+
+    from topk_spark.ops.multimodal import decode_jpeg_pixels, encode_jpeg
+
+    arr = decode_jpeg_pixels(encode_jpeg(w, h, seed=seed))
+    assert arr.shape == (h, w)
+    row_src = hashlib.sha256(seed).digest()
+    expect = np.frombuffer(
+        (row_src * (w // 32 + 1))[:w], dtype=np.uint8
+    )
+    assert np.abs(arr.astype(int) - np.tile(expect, (h, 1)).astype(int)).max() <= 12

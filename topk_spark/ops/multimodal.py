@@ -2,19 +2,20 @@
 image/audio/video as opaque `binary` payloads with typed metadata, processed
 by Arrow-batched pandas functions via mapInPandas.
 
-Decode is REAL at the pixel level for PNG (chunk walk → zlib inflate →
-unfilter, `decode_png_pixels`) and GIF (block walk → sub-block concat → LZW
-decode, `decode_gif_pixels`) — zero external dependencies. JPEG stays at the
-container-header level (`parse_image_header`'s SOF marker scan — the same
-lazy header read PIL's `Image.open(...).size` performs): a baseline-JPEG
-Huffman/DCT decoder is out of scope for a stdlib-only build, and the guarded
-PIL import slot documents where it lands when the library exists. Payload
-bytes that are not a recognized image container fall back to a deterministic
-fake (sha256-derived) so text-as-blob fixtures stay testable.
+Decode is REAL at the pixel level for all three container formats — PNG
+(chunk walk → zlib inflate → unfilter, `decode_png_pixels`), GIF (block walk
+→ sub-block concat → LZW decode, `decode_gif_pixels`), and baseline JPEG
+(segment walk → Huffman + magnitude decode → dequantize → IDCT,
+`decode_jpeg_pixels`) — zero external dependencies; progressive/subsampled
+JPEG falls back to `parse_image_header`'s SOF marker scan (the lazy header
+read PIL's `Image.open(...).size` performs), with the guarded PIL import
+slot documenting where a full-color decoder lands when the library exists.
+Payload bytes that are not a recognized image container fall back to a
+deterministic fake (sha256-derived) so text-as-blob fixtures stay testable.
 
 `make_image_payload` is the matching fixture-side encoder: it emits a fully
-valid zlib-compressed 8-bit grayscale PNG / LZW-compressed 4-gray GIF89a
-(or marker-level JPEG) with dimensions derived from the row id, so an
+valid zlib-compressed 8-bit grayscale PNG / LZW-compressed 4-gray GIF89a /
+Huffman-coded baseline JPEG with dimensions derived from the row id, so an
 end-to-end encode→decode round trip is DuckDB-oracleable by pure arithmetic
 on the id.
 
@@ -406,7 +407,7 @@ def make_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if fmt == "png":
                     payloads.append(encode_png(w, h, seed=str(i).encode()))
                 elif fmt == "jpeg":
-                    payloads.append(encode_jpeg_header(w, h))
+                    payloads.append(encode_jpeg(w, h, seed=str(i).encode()))
                 else:
                     payloads.append(encode_gif(w, h, seed=str(i).encode()))
             yield pd.DataFrame(
@@ -439,6 +440,12 @@ def _decode_kernel(batch: pd.DataFrame) -> pd.DataFrame:
                 return "gif", int(arr.shape[1]), int(arr.shape[0])
             except (ValueError, struct.error, IndexError):
                 pass  # header-only or malformed GIF: header parse below
+        if bb[:2] == b"\xff\xd8":
+            try:
+                arr = decode_jpeg_pixels(bb)
+                return "jpeg", int(arr.shape[1]), int(arr.shape[0])
+            except (ValueError, struct.error, IndexError):
+                pass  # header-only/progressive/malformed: header parse below
         return parse_image_header(bb) or _fake_decode(bb)
 
     meta = [one(b) for b in batch["payload"]]
@@ -791,3 +798,346 @@ def audio_meta(with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81), grayscale: REAL encode + pixel decode with
+# stdlib + numpy only — closing the PNG/GIF/JPEG pixel-parity triangle.
+#
+# Design choices that keep this tractable AND spec-conforming:
+# - One component (luminance), baseline sequential DCT, no subsampling, no
+#   restart markers.
+# - Huffman tables are BUILT, not copied: every symbol gets a fixed-width
+#   canonical code (DC: 12 categories at 4 bits; AC: 162 run/size symbols at
+#   8 bits). Fixed-width canonical codes are legal Huffman tables, the
+#   all-ones code stays unused (T.81 C.2 requirement), and since the tables
+#   ship in the DHT segment any conforming reader decodes the stream.
+# - Quantization: DC step 1, AC step 4. |DC| ≤ 8·128 = 1024 → category ≤ 11;
+#   |AC| ≤ 2048 (T.81 worst case for ±128 input) → quantized ≤ 512 → size
+#   ≤ 10. So the fixed symbol alphabets cover EVERY possible 8-bit image,
+#   not just the fixture's — no escape hatch needed.
+# - float64 DCT-II via an orthonormal basis matrix; encode→decode reproduces
+#   the QUANTIZED coefficients exactly, so pixel error is bounded by the
+#   quantizer (± a few gray levels), and dimensions — what the arithmetic
+#   oracle checks — are exact.
+# ---------------------------------------------------------------------------
+
+_JPEG_QUANT_DC = 1
+_JPEG_QUANT_AC = 4
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# DC symbols: magnitude categories 0..11. AC symbols: EOB (0x00), ZRL
+# (0xF0), and (run << 4 | size) for run 0..15, size 1..10.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _fixed_huffman(symbols: list[int], width: int):
+    """Canonical fixed-width Huffman table: symbol i ↦ code i at `width`
+    bits. Valid iff len(symbols) < 2^width (keeps the all-ones code free).
+    Returns (bits_counts[16], symbols, encode_map{sym: (code, width)})."""
+    assert len(symbols) < (1 << width)
+    counts = [0] * 16
+    counts[width - 1] = len(symbols)
+    enc = {s: (i, width) for i, s in enumerate(symbols)}
+    return counts, symbols, enc
+
+
+_DC_TABLE = _fixed_huffman(_DC_SYMS, 4)
+_AC_TABLE = _fixed_huffman(_AC_SYMS, 8)
+
+
+def _dct_basis() -> "np.ndarray":
+    k = np.arange(8)
+    T = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    T[0, :] /= np.sqrt(2.0)
+    return T  # orthonormal: pixels = T.T @ coef @ T
+
+
+class _MsbBitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.n += width
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def finish(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
+        return bytes(self.out)
+
+
+def _magnitude_bits(v: int) -> tuple[int, int]:
+    """(category/size, appended bits) for a DC diff or AC value (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(width: int, height: int, seed: bytes = b"") -> bytes:
+    """Fully valid baseline JFIF byte stream — SOI, APP0, DQT, SOF0, two
+    DHTs, SOS, entropy-coded 8×8 DCT blocks, EOI — carrying the same
+    deterministic seed-derived row content as `encode_png`/`encode_gif`.
+    Any baseline JPEG reader decodes it."""
+    row_src = hashlib.sha256(seed).digest()
+    row = np.frombuffer(
+        (row_src * (width // 32 + 1))[:width], dtype=np.uint8
+    )
+    img = np.tile(row, (height, 1))
+    return encode_jpeg_pixels(img)
+
+
+def encode_jpeg_pixels(img: "np.ndarray") -> bytes:
+    """Encode an (h, w) uint8 grayscale array as baseline JPEG."""
+    h, w = img.shape
+    T = _dct_basis()
+    quant = np.full((8, 8), float(_JPEG_QUANT_AC))
+    quant[0, 0] = float(_JPEG_QUANT_DC)
+
+    # pad to 8-multiples by edge replication (decoder crops via SOF dims)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    padded -= 128.0
+
+    dc_counts, dc_syms, dc_enc = _DC_TABLE
+    ac_counts, ac_syms, ac_enc = _AC_TABLE
+    bw = _MsbBitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8]
+            coef = T @ block @ T.T
+            q = np.round(coef / quant).astype(np.int64)
+            zz = q.flatten()[_ZIGZAG]
+            size, bits = _magnitude_bits(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            code, cw = dc_enc[size]
+            bw.write(code, cw)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, cw = ac_enc[0xF0]  # ZRL
+                    bw.write(code, cw)
+                    run -= 16
+                size, bits = _magnitude_bits(v)
+                code, cw = ac_enc[(run << 4) | size]
+                bw.write(code, cw)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, cw = ac_enc[0x00]  # EOB
+                bw.write(code, cw)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(
+        0xDB,
+        b"\x00"
+        + bytes(int(quant.flatten()[_ZIGZAG][i]) for i in range(64)),
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)) + seg(
+        0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms)
+    )
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bw.finish() + b"\xff\xd9"
+    )
+
+
+class _MsbBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    raises ValueError at EOI/markers/truncation."""
+
+    def __init__(self, b: bytes, pos: int) -> None:
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read(self, width: int) -> int:
+        while self.n < width:
+            if self.pos >= len(self.b):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.b[self.pos] if self.pos < len(self.b) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("JPEG marker inside entropy stream")
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+        out = (self.acc >> (self.n - width)) & ((1 << width) - 1)
+        self.n -= width
+        return out
+
+
+def _huff_decoder(counts: list[int], symbols: list[int]):
+    """DHT (bits, huffval) → {(length, code): symbol} canonical map."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff_symbol(br: _MsbBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_pixels(b: bytes) -> "np.ndarray":
+    """REAL pixel decode for single-component baseline JPEG byte streams
+    (the kind `encode_jpeg` writes, or any grayscale baseline file): segment
+    walk → DQT/SOF/DHT parse → Huffman + magnitude decode → dequantize →
+    IDCT → (h, w) uint8 array. Raises ValueError on anything it cannot
+    decode (progressive, multi-component, truncation, bombs)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    quant = {}
+    huff = {}
+    dims = None
+    qsel = None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("JPEG segment desync")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG has no scan data")
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        body = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = [body[j + 1 + k] for k in range(64)]
+                quant[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC0:
+            prec, hh, ww, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1 or prec != 8:
+                raise ValueError("only 8-bit single-component baseline")
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            if hh == 0 or ww == 0 or hh * ww > 64 * 1024 * 1024:
+                raise ValueError(f"JPEG dims {ww}x{hh} degenerate or over cap")
+            dims = (hh, ww)
+            qsel = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                counts = list(body[j + 1 : j + 17])
+                n = sum(counts)
+                syms = list(body[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_decoder(counts, syms)
+                j += 17 + n
+        elif marker == 0xDA:
+            if dims is None or qsel not in quant:
+                raise ValueError("SOS before SOF/DQT")
+            if body[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            # body = [Ns, Cs1, Td<<4|Ta, Ss, Se, AhAl] (T.81 B.2.3)
+            dc_t = huff.get((0, body[2] >> 4))
+            ac_t = huff.get((1, body[2] & 0x0F))
+            if dc_t is None or ac_t is None:
+                raise ValueError("SOS references missing Huffman table")
+            return _decode_scan(
+                b, i + 2 + seg_len, dims, quant[qsel], dc_t, ac_t
+            )
+        i += 2 + seg_len
+    raise ValueError("JPEG truncated before SOS")
+
+
+def _decode_scan(b, pos, dims, quant, dc_t, ac_t) -> "np.ndarray":
+    h, w = dims
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    T = _dct_basis()
+    out = np.empty((ph, pw), dtype=np.float64)
+    br = _MsbBitReader(b, pos)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.float64)
+            size = _read_huff_symbol(br, dc_t)
+            prev_dc += _extend(br.read(size), size) if size else 0
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_huff_symbol(br, ac_t)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC run/size")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(br.read(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz
+            block = T.T @ (coef.reshape(8, 8) * quant) @ T
+            out[by : by + 8, bx : bx + 8] = block
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
