@@ -133,6 +133,14 @@ def encode_png(width: int, height: int, seed: bytes = b"") -> bytes:
     """Fully valid 8-bit grayscale PNG — signature, IHDR, one zlib-deflated
     IDAT of deterministic (seed-derived) pixel rows, IEND — built with
     stdlib struct/zlib only. Any PNG reader decodes it."""
+    row_src = hashlib.sha256(seed).digest()
+    row = (row_src * (width // 32 + 1))[:width]
+    return encode_png_rows([row] * height, width)
+
+
+def encode_png_rows(rows: list[bytes], width: int) -> bytes:
+    """Encode explicit 8-bit grayscale pixel rows as a valid PNG (the
+    pixel-preserving form `encode_png` and the resize path build on)."""
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -142,10 +150,8 @@ def encode_png(width: int, height: int, seed: bytes = b"") -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
-    row_src = hashlib.sha256(seed).digest()
-    row = (row_src * (width // 32 + 1))[:width]
-    raw = b"".join(b"\x00" + row for _ in range(height))  # filter 0 per row
+    ihdr = struct.pack(">IIBBBBB", width, len(rows), 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)  # filter 0 per row
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -562,13 +568,29 @@ def decode_png_pixels(b: bytes) -> np.ndarray:
     return rows[:, 1:]
 
 
+def decode_image_pixels(b: bytes) -> "np.ndarray":
+    """Format-dispatching pixel decode: PNG (inflate+unfilter), GIF (LZW),
+    baseline JPEG (Huffman+IDCT) → (h, w) uint8 array; ValueError for
+    anything else (callers choose their fallback)."""
+    if b[:8] == _PNG_SIG:
+        return decode_png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(b)
+    raise ValueError("not a decodable image container")
+
+
 def resize_images_half(with_payload: DataFrame) -> DataFrame:
-    """True pixel-level 2× downsample (nearest-neighbor): decode the PNG's
-    pixels, subsample `arr[::2, ::2]`, RE-ENCODE a valid PNG, and emit the
-    dimensions parsed back out of the re-encoded bytes — so the output is
-    the result of a full decode→transform→encode→decode cycle, not
-    arithmetic on the input header. mapInPandas: pixels never leave the
-    task."""
+    """True pixel-level 2× downsample (nearest-neighbor) over ANY of the
+    three decodable containers: decode the payload's pixels (PNG, GIF, or
+    baseline JPEG), subsample `arr[::2, ::2]`, RE-ENCODE the actual
+    subsampled pixels as a lossless PNG, decode THAT, and verify the final
+    buffer is bit-identical to the subsample before emitting its
+    dimensions — a full decode→transform→encode→decode cycle carrying real
+    pixel content end to end (normalizing to PNG on write is the standard
+    lossless-archival move for a resize stage). mapInPandas: pixels never
+    leave the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -576,15 +598,19 @@ def resize_images_half(with_payload: DataFrame) -> DataFrame:
                 continue
             out = {"doc_id": [], "format": [], "width": [], "height": []}
             for i, b in zip(batch["doc_id"], batch["payload"]):
-                arr = decode_png_pixels(bytes(b))
+                arr = decode_image_pixels(bytes(b))
                 small = np.ascontiguousarray(arr[::2, ::2])
                 h2, w2 = small.shape
-                re_encoded = encode_png(w2, h2, seed=small.tobytes()[:32])
-                fmt, w3, h3 = parse_image_header(re_encoded)
+                re_encoded = encode_png_rows(
+                    [small[r].tobytes() for r in range(h2)], w2
+                )
+                back = decode_png_pixels(re_encoded)
+                if not np.array_equal(back, small):
+                    raise ValueError("lossless re-encode cycle corrupted pixels")
                 out["doc_id"].append(int(i))
-                out["format"].append(fmt)
-                out["width"].append(w3)
-                out["height"].append(h3)
+                out["format"].append("png")
+                out["width"].append(int(back.shape[1]))
+                out["height"].append(int(back.shape[0]))
             yield pd.DataFrame(out)
 
     return with_payload.select("doc_id", "payload").mapInPandas(

@@ -241,20 +241,22 @@ SELECT doc_id,
        'png' AS format,
        CAST((16 + doc_id % 32 + 1) // 2 AS INT) AS width,
        CAST((16 + (doc_id // 3) % 32 + 1) // 2 AS INT) AS height
-FROM documents WHERE doc_id % 3 = 0
+FROM documents
 """,
 )
 def multimodal_resize_half(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE pixel-level 2× downsample over real PNG payloads: decode the
-    zlib pixel stream, subsample rows/cols, re-encode a valid PNG,
-    re-parse ITS header — the emitted dims come out of the re-encoded
-    bytes, so the whole decode→transform→encode→decode cycle must be
-    correct for the arithmetic oracle (ceil(dim/2) of the id-derived
-    input dims) to hash-match. Arrow-batched mapInPandas; pixels never
-    leave the task (ops/multimodal.py:resize_images_half)."""
+    """TRUE pixel-level 2× downsample over real payloads of ALL THREE
+    container formats (PNG / GIF / baseline JPEG by doc_id mod 3): decode
+    the payload's compressed pixel stream, subsample rows/cols, re-encode
+    the ACTUAL subsampled pixels as a lossless PNG, decode that and verify
+    bit-equality before emitting its dims — so the whole
+    decode→transform→encode→decode cycle over every codec must be correct
+    for the arithmetic oracle (ceil(dim/2) of the id-derived input dims) to
+    hash-match. Arrow-batched mapInPandas; pixels never leave the task
+    (ops/multimodal.py:resize_images_half)."""
     from topk_spark.ops.multimodal import make_image_payload, resize_images_half
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    d = load_table(spark, sf_dir, "documents")
     return resize_images_half(make_image_payload(d))
 
 
