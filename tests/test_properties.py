@@ -234,3 +234,24 @@ def test_jpeg_roundtrip_law(w, h, seed):
         (row_src * (w // 32 + 1))[:w], dtype=np.uint8
     )
     assert np.abs(arr.astype(int) - np.tile(expect, (h, 1)).astype(int)).max() <= 12
+
+
+@given(
+    w=st.integers(1, 64),
+    h=st.integers(1, 32),
+    data=st.binary(min_size=0, max_size=64),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_pixel_roundtrip_law(w, h, data):
+    """encode_png_rows → decode_png_pixels is LOSSLESS for arbitrary pixel
+    content (the invariant the cross-format resize's bit-equality verify
+    rests on)."""
+    import numpy as np
+
+    from topk_spark.ops.multimodal import decode_png_pixels, encode_png_rows
+
+    row_src = (data + b"\x00") * (w // max(1, len(data) + 1) + 1)
+    rows = [bytes((row_src[r:] + row_src)[:w]) for r in range(h)]
+    arr = decode_png_pixels(encode_png_rows(rows, w))
+    assert arr.shape == (h, w)
+    assert [bytes(arr[r]) for r in range(h)] == rows
