@@ -255,3 +255,22 @@ def test_png_pixel_roundtrip_law(w, h, data):
     arr = decode_png_pixels(encode_png_rows(rows, w))
     assert arr.shape == (h, w)
     assert [bytes(arr[r]) for r in range(h)] == rows
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_content_bound_law(seed):
+    """Arbitrary random pixel content survives the JPEG cycle within the
+    quantizer bound at exact dims — the alphabet-coverage guarantee (DC
+    category <= 11, AC size <= 10) means no content can overflow the fixed
+    Huffman tables."""
+    import numpy as np
+
+    from topk_spark.ops.multimodal import decode_jpeg_pixels, encode_jpeg_pixels
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 48)), int(rng.integers(1, 48))
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    arr = decode_jpeg_pixels(encode_jpeg_pixels(img))
+    assert arr.shape == (h, w)
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 40
