@@ -664,10 +664,12 @@ def make_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def sample_video_frames(with_payload: DataFrame, every: int = 2) -> DataFrame:
     """Frame sampling: walk the length-prefixed container, keep every
-    `every`-th frame, struct-parse each KEPT frame's real PNG header, and
-    aggregate per doc. Skipped frames are skipped by seeking over their
-    length prefix — the byte-level analog of keyframe-only video reads
-    (never decode what you drop). Map-side; payloads never shuffle."""
+    `every`-th frame, PIXEL-DECODE each KEPT frame (real PNG inflate +
+    unfilter — dims come from the decoded buffer, round-4 parity with the
+    image path), and aggregate per doc. Skipped frames are skipped by
+    seeking over their length prefix — the byte-level analog of
+    keyframe-only video reads (never decode what you drop). Map-side;
+    payloads never shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -686,12 +688,10 @@ def sample_video_frames(with_payload: DataFrame, every: int = 2) -> DataFrame:
                 while pos + 4 <= len(b):
                     (length,) = struct.unpack(">I", b[pos : pos + 4])
                     if n % every == 0:
-                        fmt, w, h = parse_image_header(
-                            b[pos + 4 : pos + 4 + length]
-                        )
+                        arr = decode_png_pixels(b[pos + 4 : pos + 4 + length])
                         kept += 1
-                        sw += w
-                        sh += h
+                        sw += int(arr.shape[1])
+                        sh += int(arr.shape[0])
                     pos += 4 + length
                     n += 1
                 out["doc_id"].append(int(i))
