@@ -249,10 +249,24 @@ def test_jpeg_pixel_decode_and_truth():
     assert arr2.shape == (21, 13)
     assert np.abs(arr2.astype(int) - img.astype(int)).max() <= 40
 
+    # a lying-SMALL SOF (claims 8x8 over a 47x31 scan) must be rejected by
+    # the end-of-scan consumption check, not silently accepted (PNG/GIF
+    # parity); the kernel then falls back to the header parse
+    import struct
+
+    import pytest
+
+    liar = bytearray(b)
+    i = b.find(b"\xff\xc0")
+    liar[i + 5 : i + 9] = struct.pack(">HH", 8, 8)
+    with pytest.raises(ValueError, match="longer than SOF"):
+        decode_jpeg_pixels(bytes(liar))
+
     out = _decode_kernel(
         pd.DataFrame({
-            "doc_id": [1, 2, 3],
-            "payload": [b, encode_jpeg_header(10, 12), b[: len(b) // 2]],
+            "doc_id": [1, 2, 3, 4],
+            "payload": [b, encode_jpeg_header(10, 12), b[: len(b) // 2],
+                        bytes(liar)],
         })
     )
     rows = {int(r.doc_id): (r.format, r.width, r.height)
@@ -260,3 +274,24 @@ def test_jpeg_pixel_decode_and_truth():
     assert rows[1] == ("jpeg", 47, 31)  # pixel path
     assert rows[2] == ("jpeg", 10, 12)  # header-only fixture: header parse
     assert rows[3][0] == "jpeg"  # truncated: falls back, no crash
+    assert rows[4] == ("jpeg", 8, 8)  # liar: decode refuses -> header parse
+
+
+def test_jpeg_bit_io_is_linear():
+    """The bit accumulators must stay bounded: a 256x256 random image codes
+    in well under a second each way (was ~6 s decode with the unbounded
+    accumulator — the quadratic-shift review finding)."""
+    import time
+
+    import numpy as np
+
+    from topk_spark.ops.multimodal import decode_jpeg_pixels, encode_jpeg_pixels
+
+    img = np.random.default_rng(3).integers(0, 256, size=(256, 256), dtype=np.uint8)
+    t0 = time.perf_counter()
+    b = encode_jpeg_pixels(img)
+    t1 = time.perf_counter()
+    arr = decode_jpeg_pixels(b)
+    t2 = time.perf_counter()
+    assert arr.shape == (256, 256)
+    assert t1 - t0 < 2.0 and t2 - t1 < 2.0

@@ -424,13 +424,15 @@ def make_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _decode_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-Arrow-batch decode. PNG and GIF payloads get a REAL pixel decode
-    (`decode_png_pixels`: chunk walk → inflate → unfilter;
-    `decode_gif_pixels`: block walk → LZW decode — no imaging library
-    needed): width/height are the decoded ndarray's shape, so a truncated
-    or corrupt compressed stream fails here instead of sailing through on a
-    plausible header. JPEG (and header-only GIF fixtures) fall back to the
-    container-header parse, opaque payloads to the deterministic fake."""
+    """Per-Arrow-batch decode. PNG, GIF, and baseline-JPEG payloads get a
+    REAL pixel decode (`decode_png_pixels`: chunk walk → inflate →
+    unfilter; `decode_gif_pixels`: block walk → LZW; `decode_jpeg_pixels`:
+    Huffman + IDCT with end-of-scan consumption check — no imaging library
+    needed): width/height are the decoded ndarray's shape, so a truncated,
+    corrupt, or dimension-lying stream fails here instead of sailing
+    through on a plausible header. Progressive/subsampled JPEG and
+    header-only fixtures fall back to the container-header parse, opaque
+    payloads to the deterministic fake."""
 
     def one(b) -> tuple[str, int, int]:
         bb = bytes(b)
@@ -905,6 +907,9 @@ class _MsbBitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)
+        # keep only the unflushed bits: an ever-growing accumulator makes
+        # every shift O(stream length) — quadratic encode (review finding)
+        self.acc &= (1 << self.n) - 1
 
     def finish(self) -> bytes:
         if self.n:
@@ -1031,6 +1036,9 @@ class _MsbBitReader:
             self.n += 8
         out = (self.acc >> (self.n - width)) & ((1 << width) - 1)
         self.n -= width
+        # drop consumed bits (unbounded acc ⇒ quadratic decode — measured
+        # 6 s at 256², 0.15 s with the mask; review finding)
+        self.acc &= (1 << self.n) - 1
         return out
 
 
@@ -1166,4 +1174,15 @@ def _decode_scan(b, pos, dims, quant, dc_t, ac_t) -> "np.ndarray":
             coef[_ZIGZAG] = zz
             block = T.T @ (coef.reshape(8, 8) * quant) @ T
             out[by : by + 8, bx : bx + 8] = block
+    # The scan must END here: surplus entropy data means the SOF lied small
+    # (PNG/GIF reject the analogous lie; review finding). Remaining buffered
+    # bits must be the encoder's 1-padding (T.81 F.1.2.3), and the next
+    # marker — skipping a stuffed FF 00 pad byte — must be EOI.
+    if br.n and (br.acc & ((1 << br.n) - 1)) != (1 << br.n) - 1:
+        raise ValueError("JPEG entropy stream longer than SOF dimensions")
+    pos = br.pos
+    while pos + 1 < len(b) and b[pos] == 0xFF and b[pos + 1] == 0x00:
+        pos += 2
+    if not (pos + 1 < len(b) and b[pos] == 0xFF and b[pos + 1] == 0xD9):
+        raise ValueError("JPEG entropy stream longer than SOF dimensions")
     return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
