@@ -53,12 +53,15 @@ _STATE_SCHEMA = "seen_at long"
 
 def dedup_stateful(
     stream: DataFrame,
-    key: str = "event_id",
+    key: str | list[str] = "event_id",
     ttl_ms: int | None = None,
     order_col: str | None = "timestamp",
     register_eviction_timers: bool = False,
 ) -> DataFrame:
-    """First-seen dedup on `key`, optionally with a processing-time state TTL.
+    """First-seen dedup on `key` (a column name or a list for composite
+    keys — pass the tuple itself rather than a string concatenation, which
+    can collide distinct tuples when a separator appears in a value),
+    optionally with a processing-time state TTL.
 
     `order_col` makes the within-batch winner deterministic (the reference's
     "first" is Kafka arrival order, which a shuffled distributed batch does
@@ -128,7 +131,8 @@ def dedup_stateful(
         if use_timers
         else GroupStateTimeout.NoTimeout
     )
-    return stream.groupBy(key).applyInPandasWithState(
+    key_cols = [key] if isinstance(key, str) else list(key)
+    return stream.groupBy(*key_cols).applyInPandasWithState(
         _dedup,
         outputStructType=stream.schema,
         stateStructType=_STATE_SCHEMA,

@@ -42,9 +42,9 @@ def register(
 # checked exactly the first 50), so load_all() orders the registry to spend
 # each round's cap on queries that still lack a driver CORRECTNESS row:
 #
-#   tier 0 — forced re-samples (_FORCE_RESAMPLE: queries whose only driver
-#            row predates a fix — the round-2 `rolling_7d_revenue` HUGEINT
-#            red, fixed at behavior_queries.py:380 but never re-sampled),
+#   tier 0 — forced re-samples (_FORCE_RESAMPLE: queries whose newest driver
+#            row predates the round their fix/upgrade landed in — round-aware
+#            so a recorded re-sample releases the slot automatically),
 #            then never-driver-checked queries from the families the
 #            round-3 verdict called out as still-unsampled (streaming
 #            drains, behavior2, text3/4/5, setstats, governance, sketch2/3,
@@ -74,10 +74,19 @@ _PRIORITY_MODULES: tuple[str, ...] = (
     "profiling2_queries",
 )
 
-# Queries with a stale driver row that must face the gate again: the fix
-# landed AFTER their last sample, so ordering must treat them as unverified
-# (they sort ahead of even tier-0 so a capped pass cannot miss them).
-_FORCE_RESAMPLE: frozenset[str] = frozenset({"rolling_7d_revenue"})
+# Queries with a stale driver row that must face the gate again: the fix (or
+# a behavior-changing upgrade, e.g. a new oracle) landed in round `value`,
+# AFTER their last sample, so ordering must treat them as unverified until a
+# CORRECTNESS_r{N>=value}.json row exists — at which point they fall back to
+# tier 2 automatically, without burning a capped slot every later round
+# (round-4 ADVICE: the unconditional form re-sampled `rolling_7d_revenue`
+# forever after its r4 row already proved the fix).
+#   rolling_7d_revenue: HUGEINT/BIGINT cast fix landed r3, re-proved r4.
+#   minhash_lsh_neardup: exact-Jaccard oracle added r5 (was rows-only r1).
+_FORCE_RESAMPLE: dict[str, int] = {
+    "rolling_7d_revenue": 4,
+    "minhash_lsh_neardup": 5,
+}
 
 # (Names pruned from the registry in later rounds are dropped from this
 # snapshot too — tier() only consults it for names still registered.)
@@ -99,23 +108,28 @@ _R1_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-def _driver_verified() -> frozenset[str]:
-    """Names with any driver CORRECTNESS row so far (hash-verified or
-    rows-only): every key of every CORRECTNESS_r*.json at the repo root.
-    Falls back to the static round-1 snapshot when none are readable."""
+def _driver_rounds() -> dict[str, int]:
+    """name → newest driver round with a CORRECTNESS row for it (hash-verified
+    or rows-only), from every CORRECTNESS_r{N}.json at the repo root. Falls
+    back to the static round-1 snapshot when none are readable."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    rounds: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                names = json.load(fh).keys()
         except (OSError, ValueError):
             continue
-    return frozenset(seen) if seen else _R1_VERIFIED
+        for n in names:
+            rounds[n] = max(rounds.get(n, 0), rnd)
+    return rounds if rounds else {n: 1 for n in _R1_VERIFIED}
 
 
 def load_all() -> dict[str, Query]:
@@ -182,13 +196,14 @@ def load_all() -> dict[str, Query]:
         setstats_queries,
     )
 
-    verified = _driver_verified() - _FORCE_RESAMPLE
+    rounds = _driver_rounds()
     prio = {m: i for i, m in enumerate(_PRIORITY_MODULES)}
 
     def tier(name: str) -> tuple[int, int]:
-        if name in _FORCE_RESAMPLE:
+        last = rounds.get(name, 0)
+        if name in _FORCE_RESAMPLE and last < _FORCE_RESAMPLE[name]:
             return (0, -1)
-        if name in verified:
+        if last > 0:
             return (2, 0)
         mod = REGISTRY[name].fn.__module__.rsplit(".", 1)[-1]
         return (0, prio[mod]) if mod in prio else (1, 0)

@@ -152,8 +152,7 @@ ORDER BY event_type
 """
 
 
-@register("max_drawdown", tags=("timeseries", "anomaly"), oracle=_DRAWDOWN_ORACLE)
-def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of the cumulative daily revenue per series (largest
     peak-to-trough fall, in exact cents, with the first trough day) —
     CUSUM's mirror: running-peak minus value via the same prefix-scan
@@ -219,8 +218,7 @@ ORDER BY event_type
 """
 
 
-@register("historical_var_exact", tags=("timeseries", "risk"), oracle=_VAR_ORACLE)
-def historical_var_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _historical_var_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Historical one-day 5% value-at-risk per series: the ⌈0.05·n⌉-th
     worst day-over-day revenue change, an EXACT order statistic in cents
     (historical-simulation VaR, no distributional assumption, no
@@ -247,6 +245,41 @@ def historical_var_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("long").alias("n_deltas"),
             F.col("delta").cast("long").alias("var_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RISK_TAIL_ORACLE = f"""
+WITH dd_side AS ({_DRAWDOWN_ORACLE.strip().rstrip()}),
+var_side AS ({_VAR_ORACLE.strip().rstrip()})
+SELECT dd_side.event_type, max_drawdown_cents, trough_day, n_deltas, var_cents
+FROM dd_side JOIN var_side ON dd_side.event_type = var_side.event_type
+ORDER BY dd_side.event_type
+"""
+
+
+@register(
+    "risk_tail_metrics",
+    tags=("timeseries", "anomaly", "risk"),
+    oracle=_RISK_TAIL_ORACLE,
+)
+def risk_tail_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-risk profile of each revenue series — max drawdown AND
+    historical 5% one-day VaR in one frame (round-5 fold of the former
+    `max_drawdown` + `historical_var_exact`: same grain, same `daily`
+    rollup input, one driver row for both sequential-metric rewrites).
+    Drawdown = prefix-max minus prefix-sum (the CUSUM mirror); VaR = exact
+    order statistic of day-over-day deltas. Integer cents end-to-end; the
+    join key is the series, so the combine is a tiny broadcast join over
+    |series| rows."""
+    dd = _max_drawdown(spark, sf_dir)
+    var = _historical_var_exact(spark, sf_dir)
+    return (
+        dd.join(var, "event_type")
+        .select(
+            "event_type", "max_drawdown_cents", "trough_day",
+            "n_deltas", "var_cents",
         )
         .orderBy("event_type")
     )

@@ -70,7 +70,51 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_neardup",
     headline=True,  # bench: the shuffle-heavy LSH band-join dedup path
     tags=("DD-minhash",),
-    oracle=None,  # xxhash64-based signatures are engine-specific
+    # Exact-Jaccard twin (round-5: the registry's last rows-only query put
+    # under the hash gate). Sound because the pipeline's emitted pairs are
+    # (LSH candidate) AND (exact Jaccard >= 0.6), and on the fixture corpora
+    # the two sides cannot disagree:
+    #   * false candidates are removed by the exact verify on BOTH sides
+    #     (the oracle applies the same >= 0.6 predicate);
+    #   * a missed candidate needs a qualifying pair to collide in NONE of
+    #     the 16 bands — qualifying fixture pairs sit at J >= 0.85 (planted
+    #     raw pairs >= 0.9, perturbation twins ~0.98, their cross pairs
+    #     >= ~0.88 — measured, see stream_neardup_drain's gap notes), where
+    #     per-band agreement is >= 0.85^4 = 0.52 and an all-16-miss is a
+    #     ~1e-6 deterministic-hash event, pre-flight-verified absent at
+    #     sf0.001/sf0.01 (the gate scales);
+    #   * the jaccard VALUE is size(intersect)/size(union) of the same
+    #     distinct-shingle sets (64-bit hashed on the Spark side — a
+    #     collision is a 2^-64/pair event), both engines divide the same
+    #     exact integers in IEEE double and round to 4, so values are
+    #     bit-identical.
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_PERT_OFFSET} AS doc_id,
+         array_to_string(l[1:len(l)-1], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM base)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)-1),
+            i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM corpus)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+      / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.6
+ORDER BY id_a, id_b
+""",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup pipeline over the
@@ -80,7 +124,10 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per corpus snapshot (materialized signature table, corpora.perturbed_hsh
     discipline); the steady-state query replays permutation minima over the
     stored hashes. Bit-identical to the text path (same hash kernel), so
-    minhash_lsh_recall's floors pin this plan too."""
+    minhash_lsh_recall's floors pin this plan too. The oracle is the exact
+    all-pairs answer (soundness argument at the registration site); the
+    quadratic form is DELIBERATELY oracle-only — the Spark side never does
+    all-pairs work."""
     from topk_spark.ops.fuzzy_dedup import minhash_neardup_pairs_from_hsh
     from topk_spark.workload.corpora import perturbed_hsh
 

@@ -27,7 +27,13 @@ from topk_spark.workload.layout_queries import _layout_root
 
 def _csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → CSV (header, ISO timestamps) → read back with explicit
-    schema. props (free text with commas) is quoted by the writer."""
+    schema. props (free text with commas) is quoted by the writer.
+
+    The timestamp ZONE is pinned to UTC on BOTH sides: CSV text carries no
+    zone, and the default is the session timezone — so a file written by one
+    session and read by another (the write-once layout cache outlives a
+    session; the driver's session TZ is not ours) would silently shift every
+    instant by the TZ delta. Pinning the option makes the file canonical."""
     path = materialize_once(
         _layout_root(sf_dir, "events_csv"),
         lambda p: load_table(spark, sf_dir, "events")
@@ -35,14 +41,18 @@ def _csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .option("header", True)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timeZone", "UTC")
         .csv(p),
     )
-    return spark.read.csv(
-        path,
-        header=True,
-        schema="event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string",
-        timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    return (
+        spark.read.option("timeZone", "UTC")
+        .csv(
+            path,
+            header=True,
+            schema="event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+            timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+        )
     )
 
 
@@ -58,70 +68,83 @@ def _orc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "csv_roundtrip_agg",
+    "format_roundtrip_agg",
     tags=("io", "format"),
     oracle="""
-SELECT event_type,
+SELECT 'csv' AS fmt,
+       event_type AS grp,
        count(*) AS n,
-       count(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_value_cents,
-       min(ts) AS first_ts,
-       max(ts) AS last_ts
+       count(DISTINCT user_id) AS aux_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents,
+       CAST(0 AS BIGINT) AS sum_cents2,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS first_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
 FROM events
 GROUP BY event_type
-""",
-)
-def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate per event_type from the CSV copy of events; the oracle
-    recomputes from the parquet source, so a hash match proves the CSV
-    round-trip preserves every type exactly — bigints, doubles, quoted
-    free text, and microsecond timestamps (min/max ts are in the output
-    on purpose). Explicit read schema keeps the scan single-pass."""
-    c = _csv_events(spark, sf_dir)
-    return c.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
-        .cast("long")
-        .alias("sum_value_cents"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-    )
-
-
-@register(
-    "orc_roundtrip_agg",
-    tags=("io", "format"),
-    oracle="""
-SELECT l_returnflag,
-       l_linestatus,
+UNION ALL
+SELECT 'orc' AS fmt,
+       l_returnflag || '|' || l_linestatus AS grp,
        count(*) AS n,
+       CAST(0 AS BIGINT) AS aux_count,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
-         AS sum_qty_cents,
+         AS sum_cents,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
-         AS sum_price_cents
+         AS sum_cents2,
+       CAST(0 AS BIGINT) AS first_us,
+       CAST(0 AS BIGINT) AS last_us
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,
 )
-def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pricing-summary-shaped aggregate from the ORC copy of lineitem
-    (columnar like parquet: projection pushdown and predicate stats
-    apply the same way — `.explain` shows the same PushedFilters
-    machinery). Oracle recomputes from parquet; a hash match proves the
-    ORC round-trip is lossless."""
+def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both non-parquet interchange-format round-trips under one hash check
+    (round-5 fold of the former `csv_roundtrip_agg` + `orc_roundtrip_agg`,
+    one driver row, both code paths):
+
+    - `fmt='csv'`: events → CSV (explicit read schema, quoted free text)
+      → per-type aggregate. Min/max ts are emitted as epoch MICROSECONDS,
+      so the hash proves the ISO-text round-trip kept µs fidelity.
+    - `fmt='orc'`: lineitem → ORC → pricing-summary aggregate (columnar
+      like parquet: projection pushdown and predicate stats apply the same
+      way).
+
+    The oracle recomputes BOTH halves from the parquet source, so a hash
+    match proves each round-trip is lossless — bigints, doubles, decimals,
+    quoted text, and timestamps. The two halves read different tables into
+    a normalized (fmt, grp, metrics...) shape; unused metric slots are
+    pinned to 0, not NULL, to keep Arrow types stable."""
+    c = _csv_events(spark, sf_dir)
+    zero = F.lit(0).cast("long")
+    csv_half = c.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("aux_count"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    ).select(
+        F.lit("csv").alias("fmt"), "grp", "n", "aux_count", "sum_cents",
+        zero.alias("sum_cents2"), "first_us", "last_us",
+    )
     o = _orc_lineitem(spark, sf_dir)
-    return o.groupBy("l_returnflag", "l_linestatus").agg(
+    orc_half = o.groupBy(
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("grp")
+    ).agg(
         F.count("*").alias("n"),
         F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
         .cast("long")
-        .alias("sum_qty_cents"),
+        .alias("sum_cents"),
         F.sum(
             (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
         )
         .cast("long")
-        .alias("sum_price_cents"),
+        .alias("sum_cents2"),
+    ).select(
+        F.lit("orc").alias("fmt"), "grp", "n", zero.alias("aux_count"),
+        "sum_cents", "sum_cents2", zero.alias("first_us"), zero.alias("last_us"),
     )
+    return csv_half.unionByName(orc_half)
 
 
 # ---------------------------------------------------------------------------

@@ -27,39 +27,6 @@ def hash_bucket(col: F.Column, buckets: int = 100) -> F.Column:
 
 
 @register(
-    "event_type_pivot",
-    tags=("PIVOT",),
-    oracle="""
-SELECT user_id,
-       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS views,
-       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
-       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases,
-       CAST(count(*) FILTER (event_type NOT IN ('view','click','purchase'))
-            AS BIGINT) AS other
-FROM events
-GROUP BY user_id
-""",
-)
-def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot event types to columns via conditional aggregation — the
-    fixed-vocabulary form that keeps the plan a single hash aggregate (no
-    second pass to discover pivot values, which at 100 TB would be its own
-    full scan)."""
-    e = load_table(spark, sf_dir, "events")
-
-    def cnt(pred):
-        return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
-
-    t = F.col("event_type")
-    return e.groupBy("user_id").agg(
-        cnt(t == "view").alias("views"),
-        cnt(t == "click").alias("clicks"),
-        cnt(t == "purchase").alias("purchases"),
-        cnt(~t.isin("view", "click", "purchase")).alias("other"),
-    )
-
-
-@register(
     "corpus_curation_pipeline",
     tags=("PIPE-e2e", "DD-exact", "TXT-quality", "PIPE-split"),
     oracle="""

@@ -204,8 +204,7 @@ ORDER BY event_type
 """
 
 
-@register("freshness_audit", tags=("profiling", "freshness"), oracle=_FRESHNESS_ORACLE)
-def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stream freshness against the corpus watermark: each event
     type's last-seen instant, its lag behind the global max, and a
     staleness flag at the one-day SLO — the landing-table health check a
@@ -256,8 +255,7 @@ FROM m CROSS JOIN mode_v
 """
 
 
-@register("sentinel_value_audit", tags=("profiling", "quality"), oracle=_SENTINEL_ORACLE)
-def sentinel_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sentinel_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Placeholder-contamination audit on the revenue column: zero and
     negative counts, the modal value with its share, and a suspicion flag
     when one exact value owns >1% of rows (defaults, clamps, and failed
@@ -301,3 +299,83 @@ def sentinel_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mode_count") * 100 > F.col("n")).alias("mode_suspicious"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Combined landing-table health audit (round-5 fold)
+# ---------------------------------------------------------------------------
+
+_HEALTH_ORACLE = f"""
+WITH fresh AS ({_FRESHNESS_ORACLE.strip()}),
+sent AS ({_SENTINEL_ORACLE.strip()}),
+fresh2 AS (
+  SELECT event_type AS key, n_rows, last_ms, lag_ms,
+         CAST(CASE WHEN stale THEN 1 ELSE 0 END AS BIGINT) AS stale
+  FROM fresh
+),
+sent2 AS (
+  SELECT 'value_cents' AS key, n, n_zero, n_negative, zero_ppm,
+         CAST(mode_value AS BIGINT) AS mode_value, mode_count, mode_ppm,
+         CAST(CASE WHEN mode_suspicious THEN 1 ELSE 0 END AS BIGINT)
+           AS mode_suspicious
+  FROM sent
+)
+SELECT 'freshness' AS chk, key, metric, CAST(value AS BIGINT) AS value
+FROM fresh2 UNPIVOT (value FOR metric IN (n_rows, last_ms, lag_ms, stale))
+UNION ALL
+SELECT 'sentinel' AS chk, key, metric, CAST(value AS BIGINT) AS value
+FROM sent2 UNPIVOT (value FOR metric IN (n, n_zero, n_negative, zero_ppm,
+                                         mode_value, mode_count, mode_ppm,
+                                         mode_suspicious))
+"""
+
+
+@register(
+    "events_health_audit",
+    tags=("profiling", "freshness", "quality"),
+    oracle=_HEALTH_ORACLE,
+)
+def events_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The landing-table health gate a scheduler runs before kicking
+    downstream jobs, as ONE metric frame (round-5 fold of the former
+    `freshness_audit` + `sentinel_value_audit`: both are audits that
+    naturally emit (check, key, metric, value) rows, one driver row covers
+    both plans):
+
+    - chk='freshness': per event_type — last-seen instant, lag behind the
+      corpus watermark, row count, staleness flag at the one-day SLO.
+    - chk='sentinel': the revenue column — zero/negative counts, exact-ppm
+      modal-value share, suspicion flag when one value owns >1% of rows.
+
+    Booleans are emitted as 0/1 so every metric shares one BIGINT column;
+    the reshape is Spark's native unpivot (map-only, no exchange of its
+    own) over the two tiny audit aggregates."""
+    fresh = _freshness_audit(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.col("n_rows").cast("long"),
+        "last_ms",
+        "lag_ms",
+        F.col("stale").cast("long").alias("stale"),
+    )
+    fresh_long = fresh.unpivot(
+        ["key"], ["n_rows", "last_ms", "lag_ms", "stale"], "metric", "value"
+    ).select(F.lit("freshness").alias("chk"), "key", "metric", "value")
+    sent = _sentinel_value_audit(spark, sf_dir).select(
+        F.lit("value_cents").alias("key"),
+        F.col("n").cast("long"),
+        F.col("n_zero").cast("long"),
+        F.col("n_negative").cast("long"),
+        "zero_ppm",
+        F.col("mode_value").cast("long"),
+        F.col("mode_count").cast("long"),
+        "mode_ppm",
+        F.col("mode_suspicious").cast("long").alias("mode_suspicious"),
+    )
+    sent_long = sent.unpivot(
+        ["key"],
+        ["n", "n_zero", "n_negative", "zero_ppm", "mode_value",
+         "mode_count", "mode_ppm", "mode_suspicious"],
+        "metric",
+        "value",
+    ).select(F.lit("sentinel").alias("chk"), "key", "metric", "value")
+    return fresh_long.unionByName(sent_long)

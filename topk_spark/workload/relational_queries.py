@@ -111,35 +111,53 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "metric_unpivot",
-    tags=("RESHAPE",),
+    "pivot_unpivot_roundtrip",
+    tags=("PIVOT", "RESHAPE"),
     oracle="""
-WITH agg AS (
-  SELECT event_type,
-         CAST(count(*) AS DOUBLE) AS n_events,
-         CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
-         round(SUM(value), 2) AS total_value
-  FROM events GROUP BY event_type
+WITH wide AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS views,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS purchases,
+         CAST(count(*) FILTER (event_type NOT IN ('view','click','purchase'))
+              AS BIGINT) AS other
+  FROM events
+  GROUP BY user_id
 )
-SELECT event_type, metric, value FROM agg
-UNPIVOT (value FOR metric IN (n_events, n_users, total_value))
+SELECT user_id, metric, n FROM wide
+UNPIVOT (n FOR metric IN (views, clicks, purchases, other))
 """,
 )
-def metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long reshape (the inverse of `event_type_pivot`): one metrics row
-    per (group, metric) pair via native unpivot/melt — a map-only row
-    explosion after the aggregate, no exchange of its own."""
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide→long reshape round-trip (round-5 fold of the former
+    `event_type_pivot` + `metric_unpivot`: the two reshapes are inverses,
+    so one query exercises — and one driver row hash-pins — both):
+
+    - PIVOT by conditional aggregation with a FIXED vocabulary, the form
+      that keeps the plan a single hash aggregate (no value-discovery pass,
+      which at 100 TB would be its own full scan);
+    - UNPIVOT back via the native wide→long melt, a map-only row explosion
+      after the aggregate with no exchange of its own.
+
+    Zero counts survive the round-trip as explicit (user, metric, 0) rows —
+    exactly what the sparse long form would have dropped, which is why
+    pivot-then-unpivot is NOT the identity on the raw table and the oracle
+    must (and does) replay both steps."""
     e = load_table(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
-        F.count("*").cast("double").alias("n_events"),
-        F.count_distinct("user_id").cast("double").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+
+    def cnt(pred):
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+    t = F.col("event_type")
+    wide = e.groupBy("user_id").agg(
+        cnt(t == "view").alias("views"),
+        cnt(t == "click").alias("clicks"),
+        cnt(t == "purchase").alias("purchases"),
+        cnt(~t.isin("view", "click", "purchase")).alias("other"),
     )
-    return agg.unpivot(
-        ["event_type"],
-        ["n_events", "n_users", "total_value"],
-        "metric",
-        "value",
+    return wide.unpivot(
+        ["user_id"], ["views", "clicks", "purchases", "other"], "metric", "n"
     )
 
 

@@ -12,6 +12,9 @@ DataFrame a DuckDB oracle can hash against:
 
 - `stream_dedup_drain`        — streaming/stateful_dedup.py (D1/D2/T6;
                                  reference TopKStreamingJob.kt:87-119)
+- `stream_dedup_multibatch_drain` — the same operator through THREE
+                                 ts-ordered micro-batches (T8: cross-batch
+                                 state continuity inside the hash)
 - `stream_topk_drain`         — streaming/continuous_topk.py (K1;
                                  ProcessFunctions.kt:62-134)
 - `stream_global_topk_drain`  — continuous_global_topk (K3/G4;
@@ -94,6 +97,8 @@ def _drain(
     output_mode: str = "update",
     last_per: list[str] | None = None,
     max_files_per_trigger: int | None = None,
+    ordered_split: tuple[str, int] | None = None,
+    keep_bid: bool = False,
 ) -> DataFrame:
     """Run `build(stream)` over a one-file parquet stream of `src_df`,
     drained with availableNow into a parquet sink; return the drained rows.
@@ -103,17 +108,52 @@ def _drain(
     emission. The one-file source yields a single batch in practice, but the
     guard keeps the result well-defined if the engine ever splits the drain.
 
-    `max_files_per_trigger`: tests only — write the source as that many
-    files and cap files per micro-batch at 1, forcing a genuinely
-    multi-batch drain so the `last_per` guard (and cross-batch state
-    continuity) is exercised for real, not argued.
+    `max_files_per_trigger`: write the source as that many files and cap
+    files per micro-batch at 1, forcing a genuinely multi-batch drain so
+    the `last_per` guard (and cross-batch state continuity) is exercised
+    for real, not argued.
+
+    `ordered_split=(col, n)`: with the multi-batch cap, partition the source
+    into n files by EQUAL-COUNT RANGES of `col` (ntile over the column's
+    total order) instead of round-robin, and stagger the files' mtimes so
+    the FileStreamSource's oldest-first listing (latestFirst=false) replays
+    them in `col` order — micro-batch i sees exactly quantile-range i. That
+    makes "arrival order" == "event-time order", which is what lets a
+    relational oracle predict cross-batch first-seen semantics exactly.
+    (Fixture-prep only: the global ntile is one sort of the drain fixture;
+    a production backfill would range-split by time partitions instead.)
+
+    `keep_bid`: surface the sink's micro-batch id as `_bid` so the caller
+    can PROVE multi-batch execution inside the hashed output.
     """
     root = tempfile.mkdtemp(prefix="topk_spark_drain_")
     _TMP_ROOTS.append(root)
     src = os.path.join(root, "src")
     out = os.path.join(root, "out")
     reader = spark.readStream.schema(src_df.schema)
-    if max_files_per_trigger:
+    if max_files_per_trigger and ordered_split:
+        col, n = ordered_split
+        assert n == max_files_per_trigger
+        os.makedirs(src, exist_ok=True)
+        part = src_df.withColumn(
+            "_tile", F.ntile(n).over(Window.orderBy(col)) - 1
+        )
+        now = None
+        for i in range(n):
+            tdir = os.path.join(root, f"tile{i}")
+            part.filter(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tdir)
+            (pf,) = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            shutil.copyfile(os.path.join(tdir, pf), dst)
+            if now is None:
+                now = os.stat(dst).st_mtime
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        reader = reader.option("maxFilesPerTrigger", 1).option(
+            "latestFirst", "false"
+        )
+    elif max_files_per_trigger:
         src_df.repartition(max_files_per_trigger).write.mode(
             "overwrite"
         ).parquet(src)
@@ -143,7 +183,7 @@ def _drain(
         drained = drained.withColumn("_mb", F.max("_bid").over(w)).where(
             F.col("_bid") == F.col("_mb")
         ).drop("_mb")
-    return drained.drop("_bid")
+    return drained if keep_bid else drained.drop("_bid")
 
 
 # ---------------------------------------------------------------------------
@@ -178,20 +218,86 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tie-free within a key, so the fold is deterministic."""
     from topk_spark.streaming.stateful_dedup import dedup_stateful
 
+    # State is keyed on the COLUMN TUPLE, not a string concatenation — a
+    # '|' inside a field value would collide distinct keys (round-4 ADVICE).
     es = order_stream(spark, sf_dir).withColumn(
         "bucket", floor_to_window_ms("ts", 60_000)
     )
-    src = es.withColumn(
-        "dk", F.concat_ws("|", "user_id", "event_type", "bucket")
-    )
     drained = _drain(
         spark,
-        src,
-        lambda s: dedup_stateful(s, key="dk", ttl_ms=None, order_col="ts"),
+        es,
+        lambda s: dedup_stateful(
+            s, key=["user_id", "event_type", "bucket"], ttl_ms=None,
+            order_col="ts",
+        ),
     )
     return drained.groupBy("event_type").agg(
         F.count("*").alias("survivors"),
         F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@register(
+    "stream_dedup_multibatch_drain",
+    tags=("D1", "T6", "T8", "streaming"),
+    oracle=f"""
+WITH {_ES},
+t AS (
+  SELECT es.*, ntile(3) OVER (ORDER BY ts) - 1 AS tile,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts)
+           AS rn
+  FROM es
+),
+first_seen AS (SELECT * FROM t WHERE rn = 1),
+nb AS (SELECT count(DISTINCT tile) AS n_batches FROM first_seen)
+SELECT event_type, count(*) AS survivors,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+       CAST(nb.n_batches AS BIGINT) AS n_batches
+FROM first_seen CROSS JOIN nb
+GROUP BY event_type, nb.n_batches
+""",
+)
+def stream_dedup_multibatch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-BATCH state continuity under the gate: the same stateful
+    first-seen dedup operator, but drained through THREE micro-batches
+    (`maxFilesPerTrigger=1` over three event-time-ordered source files) and
+    keyed WITHOUT a time bucket — every (user, event_type) key recurs in
+    later batches, so the result is correct ONLY if batch-1 state survives
+    into batches 2 and 3 (state resetting per batch would emit each key up
+    to 3× and the survivor counts would hash-mismatch). This is the
+    reference's semantics — TopKStreamingJob.kt:87-119 keeps dedup state
+    across events indefinitely, not per ingest chunk.
+
+    The event-time-ordered split (`_drain` ordered_split) makes arrival
+    order == ts order, so the relational oracle's row_number-over-ts
+    first-seen IS the operator's cross-batch first-seen (fixture ts values
+    are globally unique — measured, both gate scales). `n_batches` carries
+    the micro-batch evidence INSIDE the hash: it counts distinct sink batch
+    ids that emitted a survivor, and the oracle independently derives it as
+    the number of distinct ts-terciles containing a key's first event."""
+    from topk_spark.streaming.stateful_dedup import dedup_stateful
+
+    es = order_stream(spark, sf_dir)
+    drained = _drain(
+        spark,
+        es,
+        lambda s: dedup_stateful(
+            s, key=["user_id", "event_type"], ttl_ms=None, order_col="ts"
+        ),
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        keep_bid=True,
+    )
+    nb = drained.agg(
+        F.countDistinct("_bid").cast("long").alias("n_batches")
+    )
+    return (
+        drained.groupBy("event_type")
+        .agg(
+            F.count("*").alias("survivors"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(nb))
     )
 
 
@@ -487,15 +593,19 @@ WITH wm AS (
   SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM events
 ),
 marks AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER uw) >= {_SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
+  -- sid ordering matches the marks window exactly (ts, event_id): with a
+  -- ts-only order, duplicate-ts rows at a gap boundary would get a
+  -- nondeterministic session id (round-4 ADVICE; fixtures are tie-free,
+  -- but the oracle should not depend on that).
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM marks
 ),
