@@ -274,3 +274,54 @@ def test_jpeg_content_bound_law(seed):
     arr = decode_jpeg_pixels(encode_jpeg_pixels(img))
     assert arr.shape == (h, w)
     assert np.abs(arr.astype(int) - img.astype(int)).max() <= 40
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_color_420_cycle_law(seed):
+    """Color (YCbCr 4:2:0) JPEG cycle on ARBITRARY random RGB content:
+    exact dims, and the LUMA plane — the channel 4:2:0 does not subsample —
+    reconstructs within the quantizer bound. Chroma on random content is
+    destroyed by design (2×2 averaging of uncorrelated values), so the law
+    a lossy-color codec can honestly promise is luma fidelity; chroma
+    fidelity is pinned by the smooth-content law below, where subsampling
+    is near-lossless."""
+    import numpy as np
+
+    from topk_spark.ops.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_color_pixels(img))
+    assert dec.shape == (h, w, 3)
+    bt601 = np.array([0.299, 0.587, 0.114])
+    y_in = img.astype(float) @ bt601
+    y_out = dec.astype(float) @ bt601
+    assert np.abs(y_in - y_out).max() <= 45
+
+
+@given(
+    r=st.integers(0, 255), g=st.integers(0, 255), b=st.integers(0, 255),
+    w=st.integers(1, 40), h=st.integers(1, 40),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_color_smooth_cycle_law(r, g, b, w, h):
+    """On chroma-smooth content (any constant color, any dims — MCU padding
+    edges included) the full RGB cycle through 4:2:0 is tight: subsampling
+    averages equal values, so the only loss is the quantizer's."""
+    import numpy as np
+
+    from topk_spark.ops.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color_pixels,
+    )
+
+    img = np.zeros((h, w, 3), np.uint8)
+    img[...] = (r, g, b)
+    dec = decode_jpeg_pixels(encode_jpeg_color_pixels(img))
+    assert dec.shape == (h, w, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8

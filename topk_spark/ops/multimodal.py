@@ -940,73 +940,187 @@ def encode_jpeg(width: int, height: int, seed: bytes = b"") -> bytes:
     return encode_jpeg_pixels(img)
 
 
+def _jpeg_quant() -> "np.ndarray":
+    quant = np.full((8, 8), float(_JPEG_QUANT_AC))
+    quant[0, 0] = float(_JPEG_QUANT_DC)
+    return quant
+
+
+def _pad_edge(plane: "np.ndarray", mult: int) -> "np.ndarray":
+    """Pad a (h, w) float plane to `mult`-multiples by edge replication
+    (the decoder crops back via the SOF dims)."""
+    h, w = plane.shape
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def _encode_block(
+    bw: "_MsbBitWriter", block: "np.ndarray", quant: "np.ndarray",
+    prev_dc: int, T: "np.ndarray",
+) -> int:
+    """FDCT + quantize + Huffman-encode one level-shifted 8×8 block;
+    returns the new DC predictor for the block's component."""
+    _, _, dc_enc = _DC_TABLE
+    _, _, ac_enc = _AC_TABLE
+    coef = T @ block @ T.T
+    q = np.round(coef / quant).astype(np.int64)
+    zz = q.flatten()[_ZIGZAG]
+    size, bits = _magnitude_bits(int(zz[0]) - prev_dc)
+    code, cw = dc_enc[size]
+    bw.write(code, cw)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, cw = ac_enc[0xF0]  # ZRL
+            bw.write(code, cw)
+            run -= 16
+        size, bits = _magnitude_bits(v)
+        code, cw = ac_enc[(run << 4) | size]
+        bw.write(code, cw)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, cw = ac_enc[0x00]  # EOB
+        bw.write(code, cw)
+    return int(zz[0])
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_dht() -> bytes:
+    dc_counts, dc_syms, _ = _DC_TABLE
+    ac_counts, ac_syms, _ = _AC_TABLE
+    return _jpeg_seg(
+        0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)
+    ) + _jpeg_seg(0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms))
+
+
+_JPEG_APP0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+
+
+def _dqt_body(quant: "np.ndarray", tq: int) -> bytes:
+    return bytes([tq]) + bytes(
+        int(quant.flatten()[_ZIGZAG][i]) for i in range(64)
+    )
+
+
 def encode_jpeg_pixels(img: "np.ndarray") -> bytes:
     """Encode an (h, w) uint8 grayscale array as baseline JPEG."""
     h, w = img.shape
     T = _dct_basis()
-    quant = np.full((8, 8), float(_JPEG_QUANT_AC))
-    quant[0, 0] = float(_JPEG_QUANT_DC)
-
-    # pad to 8-multiples by edge replication (decoder crops via SOF dims)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = img
-    padded[h:, :w] = img[h - 1 : h, :]
-    padded[:, w:] = padded[:, w - 1 : w]
-    padded -= 128.0
-
-    dc_counts, dc_syms, dc_enc = _DC_TABLE
-    ac_counts, ac_syms, ac_enc = _AC_TABLE
+    quant = _jpeg_quant()
+    padded = _pad_edge(img.astype(np.float64), 8) - 128.0
+    ph, pw = padded.shape
     bw = _MsbBitWriter()
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8]
-            coef = T @ block @ T.T
-            q = np.round(coef / quant).astype(np.int64)
-            zz = q.flatten()[_ZIGZAG]
-            size, bits = _magnitude_bits(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, cw = dc_enc[size]
-            bw.write(code, cw)
-            if size:
-                bw.write(bits, size)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, cw = ac_enc[0xF0]  # ZRL
-                    bw.write(code, cw)
-                    run -= 16
-                size, bits = _magnitude_bits(v)
-                code, cw = ac_enc[(run << 4) | size]
-                bw.write(code, cw)
-                bw.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, cw = ac_enc[0x00]  # EOB
-                bw.write(code, cw)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    dqt = seg(
-        0xDB,
-        b"\x00"
-        + bytes(int(quant.flatten()[_ZIGZAG][i]) for i in range(64)),
-    )
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    dht = seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)) + seg(
-        0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms)
-    )
-    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+            prev_dc = _encode_block(
+                bw, padded[by : by + 8, bx : bx + 8], quant, prev_dc, T
+            )
+    dqt = _jpeg_seg(0xDB, _dqt_body(quant, 0))
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    app0 = _jpeg_seg(0xE0, _JPEG_APP0)
+    sos = _jpeg_seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bw.finish() + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof + _jpeg_dht() + sos
+        + bw.finish() + b"\xff\xd9"
+    )
+
+
+# ITU-R BT.601 full-range YCbCr, the JFIF convention (JFIF 1.02 §7).
+_YCC = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168735892, -0.331264108, 0.5],
+        [0.5, -0.418687589, -0.081312411],
+    ]
+)
+
+
+def _rgb_to_ycbcr(img: "np.ndarray") -> "np.ndarray":
+    out = img.astype(np.float64) @ _YCC.T
+    out[..., 1:] += 128.0
+    return out
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> "np.ndarray":
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def encode_jpeg_color_pixels(img: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF with the
+    standard corpus layout: YCbCr color, chroma subsampled 4:2:0, MCUs
+    interleaved 4×Y + Cb + Cr (16×16 pixels per MCU), separate luma/chroma
+    quant tables, per-component DC predictors. Same self-built fixed-width
+    Huffman tables as the grayscale path (shipped in the DHT), so the
+    alphabet-coverage guarantee (DC category ≤ 11, AC size ≤ 10 at these
+    quantizers) carries over — any 8-bit content encodes."""
+    h, w, _ = img.shape
+    T = _dct_basis()
+    quant = _jpeg_quant()
+    ycc = _rgb_to_ycbcr(img)
+    yp = _pad_edge(ycc[..., 0], 16) - 128.0
+    ph, pw = yp.shape
+    # 4:2:0 chroma: 2×2 mean of the 16-padded plane → 8-multiple planes
+    def sub(c: "np.ndarray") -> "np.ndarray":
+        p = _pad_edge(c, 16)
+        return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+
+    cb, cr = sub(ycc[..., 1]), sub(ycc[..., 2])
+    bw = _MsbBitWriter()
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    dc["y"] = _encode_block(
+                        bw,
+                        yp[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
+                        quant, dc["y"], T,
+                    )
+            cy, cx = my // 2, mx // 2
+            dc["cb"] = _encode_block(
+                bw, cb[cy : cy + 8, cx : cx + 8], quant, dc["cb"], T
+            )
+            dc["cr"] = _encode_block(
+                bw, cr[cy : cy + 8, cx : cx + 8], quant, dc["cr"], T
+            )
+    dqt = _jpeg_seg(0xDB, _dqt_body(quant, 0)) + _jpeg_seg(
+        0xDB, _dqt_body(quant, 1)
+    )
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00"  # Y: 2×2 sampling, quant table 0
+        + b"\x02\x11\x01"  # Cb: 1×1, quant table 1
+        + b"\x03\x11\x01",  # Cr: 1×1, quant table 1
+    )
+    app0 = _jpeg_seg(0xE0, _JPEG_APP0)
+    sos = _jpeg_seg(
+        0xDA, b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00" + b"\x00\x3f\x00"
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + _jpeg_dht() + sos
+        + bw.finish() + b"\xff\xd9"
     )
 
 
@@ -1073,17 +1187,18 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg_pixels(b: bytes) -> "np.ndarray":
-    """REAL pixel decode for single-component baseline JPEG byte streams
-    (the kind `encode_jpeg` writes, or any grayscale baseline file): segment
-    walk → DQT/SOF/DHT parse → Huffman + magnitude decode → dequantize →
-    IDCT → (h, w) uint8 array. Raises ValueError on anything it cannot
-    decode (progressive, multi-component, truncation, bombs)."""
+    """REAL pixel decode for baseline JPEG byte streams: segment walk →
+    DQT/SOF/DHT parse → Huffman + magnitude decode → dequantize → IDCT.
+    Single-component (grayscale) streams return an (h, w) uint8 array;
+    3-component YCbCr 4:2:0 streams (Y sampling 2×2, chroma 1×1 — the
+    standard corpus layout) return (h, w, 3) RGB. Raises ValueError on
+    anything else (progressive, other samplings, truncation, bombs)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     quant = {}
     huff = {}
     dims = None
-    qsel = None
+    comps: list[tuple[int, int]] = []  # (sampling byte, quant selector)
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -1105,14 +1220,19 @@ def decode_jpeg_pixels(b: bytes) -> "np.ndarray":
                 j += 65
         elif marker == 0xC0:
             prec, hh, ww, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1 or prec != 8:
-                raise ValueError("only 8-bit single-component baseline")
-            if body[7] != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
+            if ncomp not in (1, 3) or prec != 8:
+                raise ValueError("only 8-bit 1- or 3-component baseline")
+            comps = [
+                (body[6 + 3 * c + 1], body[6 + 3 * c + 2])
+                for c in range(ncomp)
+            ]
+            if ncomp == 1 and comps[0][0] != 0x11:
+                raise ValueError("subsampled single-component unsupported")
+            if ncomp == 3 and [c[0] for c in comps] != [0x22, 0x11, 0x11]:
+                raise ValueError("only 4:2:0 chroma subsampling supported")
             if hh == 0 or ww == 0 or hh * ww > 64 * 1024 * 1024:
                 raise ValueError(f"JPEG dims {ww}x{hh} degenerate or over cap")
             dims = (hh, ww)
-            qsel = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:
@@ -1125,20 +1245,72 @@ def decode_jpeg_pixels(b: bytes) -> "np.ndarray":
                 huff[(tc, th)] = _huff_decoder(counts, syms)
                 j += 17 + n
         elif marker == 0xDA:
-            if dims is None or qsel not in quant:
+            if dims is None or any(c[1] not in quant for c in comps):
                 raise ValueError("SOS before SOF/DQT")
-            if body[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            # body = [Ns, Cs1, Td<<4|Ta, Ss, Se, AhAl] (T.81 B.2.3)
-            dc_t = huff.get((0, body[2] >> 4))
-            ac_t = huff.get((1, body[2] & 0x0F))
-            if dc_t is None or ac_t is None:
-                raise ValueError("SOS references missing Huffman table")
-            return _decode_scan(
-                b, i + 2 + seg_len, dims, quant[qsel], dc_t, ac_t
+            if body[0] != len(comps):
+                raise ValueError("scan component count != SOF")
+            # body = [Ns, (Cs, Td<<4|Ta)×Ns, Ss, Se, AhAl] (T.81 B.2.3)
+            tables = []
+            for c in range(len(comps)):
+                sel = body[2 + 2 * c]
+                dc_t = huff.get((0, sel >> 4))
+                ac_t = huff.get((1, sel & 0x0F))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("SOS references missing Huffman table")
+                tables.append((dc_t, ac_t))
+            pos = i + 2 + seg_len
+            if len(comps) == 1:
+                return _decode_scan(
+                    b, pos, dims, quant[comps[0][1]], *tables[0]
+                )
+            return _decode_scan_420(
+                b, pos, dims, [quant[c[1]] for c in comps], tables
             )
         i += 2 + seg_len
     raise ValueError("JPEG truncated before SOS")
+
+
+def _decode_block(br, dc_t, ac_t, quant, prev_dc, T) -> tuple["np.ndarray", int]:
+    """Huffman + magnitude decode one 8×8 block, dequantize, IDCT; returns
+    (spatial block, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.float64)
+    size = _read_huff_symbol(br, dc_t)
+    prev_dc += _extend(br.read(size), size) if size else 0
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_huff_symbol(br, ac_t)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("invalid AC run/size")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz
+    return T.T @ (coef.reshape(8, 8) * quant) @ T, prev_dc
+
+
+def _check_scan_end(br: "_MsbBitReader", b: bytes) -> None:
+    """The scan must END exactly where the SOF dims say: surplus entropy
+    data means the SOF lied small (PNG/GIF reject the analogous lie; review
+    finding). Remaining buffered bits must be the encoder's 1-padding
+    (T.81 F.1.2.3), and the next marker — skipping a stuffed FF 00 pad
+    byte — must be EOI."""
+    if br.n and (br.acc & ((1 << br.n) - 1)) != (1 << br.n) - 1:
+        raise ValueError("JPEG entropy stream longer than SOF dimensions")
+    pos = br.pos
+    while pos + 1 < len(b) and b[pos] == 0xFF and b[pos + 1] == 0x00:
+        pos += 2
+    if not (pos + 1 < len(b) and b[pos] == 0xFF and b[pos + 1] == 0xD9):
+        raise ValueError("JPEG entropy stream longer than SOF dimensions")
 
 
 def _decode_scan(b, pos, dims, quant, dc_t, ac_t) -> "np.ndarray":
@@ -1150,39 +1322,39 @@ def _decode_scan(b, pos, dims, quant, dc_t, ac_t) -> "np.ndarray":
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            zz = np.zeros(64, dtype=np.float64)
-            size = _read_huff_symbol(br, dc_t)
-            prev_dc += _extend(br.read(size), size) if size else 0
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_huff_symbol(br, ac_t)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC run/size")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(br.read(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz
-            block = T.T @ (coef.reshape(8, 8) * quant) @ T
+            block, prev_dc = _decode_block(br, dc_t, ac_t, quant, prev_dc, T)
             out[by : by + 8, bx : bx + 8] = block
-    # The scan must END here: surplus entropy data means the SOF lied small
-    # (PNG/GIF reject the analogous lie; review finding). Remaining buffered
-    # bits must be the encoder's 1-padding (T.81 F.1.2.3), and the next
-    # marker — skipping a stuffed FF 00 pad byte — must be EOI.
-    if br.n and (br.acc & ((1 << br.n) - 1)) != (1 << br.n) - 1:
-        raise ValueError("JPEG entropy stream longer than SOF dimensions")
-    pos = br.pos
-    while pos + 1 < len(b) and b[pos] == 0xFF and b[pos + 1] == 0x00:
-        pos += 2
-    if not (pos + 1 < len(b) and b[pos] == 0xFF and b[pos + 1] == 0xD9):
-        raise ValueError("JPEG entropy stream longer than SOF dimensions")
+    _check_scan_end(br, b)
     return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _decode_scan_420(b, pos, dims, quants, tables) -> "np.ndarray":
+    """Interleaved 3-component 4:2:0 scan: each MCU is 4 Y blocks (2×2),
+    one Cb, one Cr; per-component DC predictors; chroma upsampled 2× by
+    replication, then BT.601 → RGB."""
+    h, w = dims
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    T = _dct_basis()
+    yp = np.empty((ph, pw), dtype=np.float64)
+    cbp = np.empty((ph // 2, pw // 2), dtype=np.float64)
+    crp = np.empty((ph // 2, pw // 2), dtype=np.float64)
+    br = _MsbBitReader(b, pos)
+    dc = [0, 0, 0]
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    block, dc[0] = _decode_block(
+                        br, *tables[0], quants[0], dc[0], T
+                    )
+                    yp[my + dy : my + dy + 8, mx + dx : mx + dx + 8] = block
+            cy, cx = my // 2, mx // 2
+            block, dc[1] = _decode_block(br, *tables[1], quants[1], dc[1], T)
+            cbp[cy : cy + 8, cx : cx + 8] = block
+            block, dc[2] = _decode_block(br, *tables[2], quants[2], dc[2], T)
+            crp[cy : cy + 8, cx : cx + 8] = block
+    _check_scan_end(br, b)
+    cb = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+    rgb = _ycbcr_to_rgb(yp + 128.0, cb + 128.0, cr + 128.0)
+    return rgb[:h, :w]
