@@ -1,0 +1,143 @@
+"""Misra-Gries heavy hitters (workload/heavyhitter_queries.py) — the sketch
+guarantee itself, adversarially, plus the distributed two-pass contract.
+
+The registered query's DuckDB oracle already proves end-to-end exactness on
+the fixture; these tests attack the part the fixture can't: random weighted
+streams where the heavy/light margin is thin, arbitrary partition splits,
+and the bounded-summary invariant."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from topk_spark.workload.heavyhitter_queries import (
+    _CAP,
+    heavy_hitters_weighted,
+    mg_summarize,
+)
+
+
+def _mg_union(stream, n_parts, cap, batch=97):
+    """Run mg_summarize over `stream` split round-robin into n_parts
+    partitions (each fed as multiple small pandas batches, exercising the
+    prune path repeatedly); return the union of the partition summaries."""
+    union: set[int] = set()
+    for p in range(n_parts):
+        rows = stream[p::n_parts]
+        batches = [
+            pd.DataFrame(
+                {"cohort": [k for k, _ in rows[i : i + batch]],
+                 "w": [w for _, w in rows[i : i + batch]]}
+            )
+            for i in range(0, len(rows), batch)
+        ]
+        (summary,) = list(mg_summarize(iter(batches), cap=cap))
+        assert len(summary) <= cap, "summary exceeded its capacity bound"
+        union.update(int(c) for c in summary["cohort"])
+    return union
+
+
+def test_mg_no_false_negatives_random_streams():
+    """Published guarantee under test: every key whose true total weight
+    exceeds W/(cap+1) must appear in the union of per-partition summaries
+    (pigeonhole over the per-partition W_p/(cap+1) bounds), for random
+    weighted streams over a key domain ~8x the capacity and every
+    partitioning. 40 trials x 3 partitionings, seeded."""
+    rng = random.Random(0xFEED)
+    cap = 15
+    for _ in range(40):
+        domain = rng.randrange(40, 8 * cap)
+        stream = [
+            (rng.randrange(domain), rng.choice((1, 1, 1, 2, 3, 7, 20)))
+            for _ in range(rng.randrange(500, 3000))
+        ]
+        totals: dict[int, int] = {}
+        for k, w in stream:
+            totals[k] = totals.get(k, 0) + w
+        w_total = sum(totals.values())
+        heavy = {k for k, v in totals.items() if v > w_total / (cap + 1)}
+        for n_parts in (1, 4, 13):
+            union = _mg_union(stream, n_parts, cap)
+            missed = heavy - union
+            assert not missed, (
+                f"MG dropped heavy keys {missed} (domain={domain}, "
+                f"parts={n_parts}, W={w_total})"
+            )
+
+
+def test_mg_residual_never_exceeds_true_weight():
+    """MG counters only undercount: residual estimate <= true weight for
+    every surviving key (prunes subtract, never add)."""
+    rng = random.Random(7)
+    stream = [(rng.randrange(100), rng.randrange(1, 9)) for _ in range(4000)]
+    totals: dict[int, int] = {}
+    for k, w in stream:
+        totals[k] = totals.get(k, 0) + w
+    batches = [
+        pd.DataFrame(
+            {"cohort": [k for k, _ in stream[i : i + 111]],
+             "w": [w for _, w in stream[i : i + 111]]}
+        )
+        for i in range(0, len(stream), 111)
+    ]
+    (summary,) = list(mg_summarize(iter(batches), cap=20))
+    for k, est in zip(summary["cohort"], summary["est"]):
+        assert 0 < est <= totals[int(k)]
+
+
+def test_two_pass_exactness_repartition_invariant(spark):
+    """End-to-end on a planted-skew DataFrame: the two-pass result equals
+    the exact groupBy answer and is IDENTICAL across partition counts
+    (candidate sets may differ per split; the rescore may not)."""
+    rng = random.Random(42)
+    rows = [(rng.randrange(200), 1) for _ in range(6000)]
+    rows += [(7, 5) for _ in range(300)] + [(123, 4) for _ in range(400)]
+    rng.shuffle(rows)
+    expected = None
+    for n_parts in (1, 5, 32):
+        df = spark.createDataFrame(rows, "cohort long, w long").repartition(n_parts)
+        got = sorted(
+            (r.cohort, r.total_w)
+            for r in heavy_hitters_weighted(df).collect()
+        )
+        if expected is None:
+            w_total = sum(w for _, w in rows)
+            thresh = w_total // (_CAP + 1) + 1
+            totals: dict[int, int] = {}
+            for k, w in rows:
+                totals[k] = totals.get(k, 0) + w
+            expected = sorted(
+                (k, v) for k, v in totals.items() if v >= thresh
+            )
+            assert {7, 123} <= {k for k, _ in expected}, "skew plant too weak"
+        assert got == expected, f"mismatch at {n_parts} partitions"
+
+
+def test_interval_join_drain_emits_cross_batch_pairs(spark, sf_dir):
+    """The load-bearing claim of stream_interval_join_drain: some pairs'
+    legs arrive in DIFFERENT micro-batches, and those pairs are emitted in
+    the later leg's batch — i.e. join state survived across batches. Also
+    pins emit_batch == the purchase's tercile (the later leg under the
+    ts-ordered replay)."""
+    from topk_spark.workload.streaming_join_queries import (
+        stream_interval_join_drain,
+    )
+
+    out = stream_interval_join_drain(spark, sf_dir).collect()
+    assert out, "drain produced no pairs"
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .withColumn(
+            "tile",
+            F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts")) - 1,
+        )
+    )
+    tile_of = {r.event_id: r.tile for r in e.select("event_id", "tile").collect()}
+    cross = [r for r in out if tile_of[r.view_id] < tile_of[r.purchase_id]]
+    assert cross, "no cross-batch pairs — join state continuity untested"
+    for r in out:
+        assert r.emit_batch == tile_of[r.purchase_id]

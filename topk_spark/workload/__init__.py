@@ -194,6 +194,11 @@ def load_all() -> dict[str, Query]:
         quant_queries,
         skyline_queries,
         setstats_queries,
+        # Round-5 additions: imported LAST so their (unsampled, tier-1)
+        # queries sort AFTER the 50 queries already steered into this
+        # round's driver window (stable sort preserves import order).
+        heavyhitter_queries,
+        streaming_join_queries,
     )
 
     rounds = _driver_rounds()

@@ -1,0 +1,208 @@
+"""Stream-stream interval join under the oracle gate — the remaining
+stateful-operator CLASS the drain suite didn't cover. The dedup / top-k /
+rollup / near-dup drains all exercise keyed AGGREGATION state; a
+stream-stream join runs Spark's symmetric hash join state machine
+(StreamingSymmetricHashJoinExec): each side buffers its rows in the state
+store and probes the other side's buffer as batches arrive, so a pair whose
+legs arrive in different micro-batches can only be emitted if the earlier
+leg's state survived — which is exactly what the drain pins in the hash.
+
+Topology (reference framing: the ingest pipeline's enrichment step —
+TopKStreamingJob.kt keys orders and joins per-key reference state; here both
+sides are live streams, the strictly harder shape): views and purchases are
+two watermarked file streams; a purchase joins every view by the same user
+in the preceding 7 days (`p.ts >= v.ts AND p.ts < v.ts + 7d`).
+
+Drain design (same discipline as streaming_drain_queries):
+
+* The two sources are split into 3 files each by GLOBAL event-time terciles
+  (ntile over the union's ts — fixture ts values are globally unique, so
+  the split is deterministic and identical in the DuckDB oracle), with
+  staggered mtimes so each FileStreamSource (latestFirst=false,
+  maxFilesPerTrigger=1) replays oldest-first: micro-batch i sees exactly
+  tercile i of BOTH sides.
+* Arrival order == ts order makes emission predictable: an inner symmetric
+  hash join emits a pair in the batch where its LATER leg arrives, i.e.
+  `emit_batch = greatest(tile_view, tile_purchase)` — and since the
+  condition forces view.ts <= purchase.ts, that is the purchase's tercile.
+  The sink's micro-batch id rides into the hashed output as `emit_batch`;
+  the oracle derives it as greatest(tile, tile) from first principles. A
+  join whose state reset per batch would drop every cross-tercile pair
+  (~26% of pairs at sf0.01) and hash-mismatch.
+* Watermarks are declared on both sides (the production state-cleanup
+  path) with a delay wider than the fixture span, so no row is late and no
+  state is evicted mid-drain — eviction policy is pinned separately by
+  stream_rollup_drain; THIS drain pins cross-batch join-state continuity.
+
+At 100 TB: state is bounded by the watermark delay x per-user rate (the
+range condition lets Spark drop view-state older than
+watermark - 7 days); both sides shuffle-partition on user_id, so the join
+is co-partitioned and the probe is local to each state-store partition.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_TMP_ROOTS: list[str] = []
+
+
+def _cleanup() -> None:
+    for d in _TMP_ROOTS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def _write_tiles(df: DataFrame, root: str, name: str, n: int, base_mtime: float | None) -> tuple[str, float]:
+    """Write `df` (carrying a `_tile` column in [0, n)) as n single-file
+    parquet 'arrivals' under root/name, mtimes staggered 10 s apart so the
+    file source replays them in tile order. Returns (src_dir, base_mtime)."""
+    src = os.path.join(root, name)
+    os.makedirs(src, exist_ok=True)
+    for i in range(n):
+        tdir = os.path.join(root, f"{name}_tile{i}")
+        df.filter(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+        parts = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+        if len(parts) != 1:  # a tile must be one real arrival file
+            raise RuntimeError(f"tile {i} of {name}: expected 1 file, got {parts}")
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copyfile(os.path.join(tdir, parts[0]), dst)
+        if base_mtime is None:
+            base_mtime = os.stat(dst).st_mtime
+        os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+    return src, base_mtime
+
+
+def drain_join(
+    spark: SparkSession,
+    left_df: DataFrame,
+    right_df: DataFrame,
+    build: Callable[[DataFrame, DataFrame], DataFrame],
+    n_batches: int,
+) -> DataFrame:
+    """Run `build(left_stream, right_stream)` with both sides replayed as
+    `n_batches` tile-ordered arrival files (inputs carry `_tile`), drained
+    with availableNow into a parquet sink; returns the drained rows with
+    the sink micro-batch id as `_bid`. Append mode (the only output mode
+    stream-stream joins support)."""
+    root = tempfile.mkdtemp(prefix="topk_spark_sjoin_")
+    _TMP_ROOTS.append(root)
+    out = os.path.join(root, "out")
+    lsrc, base = _write_tiles(left_df, root, "left", n_batches, None)
+    rsrc, _ = _write_tiles(right_df, root, "right", n_batches, base)
+
+    def read(src: str, schema) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+
+    result = build(
+        read(lsrc, left_df.drop("_tile").schema),
+        read(rsrc, right_df.drop("_tile").schema),
+    )
+    result_schema = result.schema
+
+    def write_batch(df: DataFrame, bid: int) -> None:
+        df.withColumn("_bid", F.lit(int(bid))).write.mode("append").parquet(out)
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out):
+        return spark.createDataFrame([], result_schema)
+    return spark.read.parquet(out)
+
+
+@register(
+    "stream_interval_join_drain",
+    tags=("T1", "T8", "joins", "streaming"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+t AS (SELECT e.*, ntile(3) OVER (ORDER BY ts) - 1 AS tile FROM e),
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id, tile FROM t
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
+      WHERE event_type = 'purchase')
+SELECT v.user_id, v.view_id, p.purchase_id,
+       CAST(epoch_ms(p.purchase_ts) - epoch_ms(v.view_ts) AS BIGINT) AS gap_ms,
+       CAST(greatest(v.tile, p.tile) AS INT) AS emit_batch
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY
+""",
+)
+def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join, drained through THREE
+    event-time-ordered micro-batches per side. Every row is a (view,
+    purchase) pair; `emit_batch` is the sink micro-batch that emitted it,
+    hash-checked against the oracle's greatest-tercile derivation — the
+    cross-tercile pairs exist only if view-state from earlier batches
+    survived into later ones (T8 for JOIN state; the aggregation-state twin
+    is stream_dedup_multibatch_drain)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .withColumn("_tile", F.ntile(3).over(Window.orderBy("ts")) - 1)
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+        "_tile",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+        "_tile",
+    )
+
+    def build(v: DataFrame, p: DataFrame) -> DataFrame:
+        vw = v.withWatermark("view_ts", "90 days")
+        pw = p.withWatermark("purchase_ts", "90 days")
+        return vw.join(
+            pw,
+            on=(
+                (vw.user_id == pw.p_user_id)
+                & (pw.purchase_ts >= vw.view_ts)
+                & (pw.purchase_ts < vw.view_ts + F.expr("INTERVAL 7 DAYS"))
+            ),
+            how="inner",
+        ).select(
+            vw.user_id,
+            "view_id",
+            "purchase_id",
+            (F.unix_millis("purchase_ts") - F.unix_millis("view_ts"))
+            .cast("long")
+            .alias("gap_ms"),
+        )
+
+    drained = drain_join(spark, views, purchases, build, n_batches=3)
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
