@@ -141,3 +141,47 @@ def test_interval_join_drain_emits_cross_batch_pairs(spark, sf_dir):
     assert cross, "no cross-batch pairs — join state continuity untested"
     for r in out:
         assert r.emit_batch == tile_of[r.purchase_id]
+
+
+def test_leftouter_drain_outer_emission_discipline(spark, sf_dir):
+    """The outer join's three-way partition of views must be real: (a) some
+    null-joined rows emitted (state expired unmatched), (b) every null row's
+    emit_batch is strictly AFTER the view's arrival batch (outer results
+    wait for the watermark — a batch-local outer join would emit them in
+    the arrival batch), and (c) some unmatched views are entirely absent
+    (still inside the join window at end-of-stream; flushing them would be
+    wrong). Matched pairs must equal the inner drain's exactly."""
+    from topk_spark.workload.streaming_join_queries import (
+        stream_interval_join_drain,
+        stream_leftouter_join_drain,
+    )
+
+    out = stream_leftouter_join_drain(spark, sf_dir).collect()
+    nulls = [r for r in out if r.purchase_id is None]
+    matched = {(r.view_id, r.purchase_id) for r in out} - {
+        (r.view_id, None) for r in nulls
+    }
+    assert nulls, "no outer rows — watermark never expired any view state"
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    from pyspark.sql import Window as W
+
+    tiles = {
+        r.event_id: r.tile
+        for r in e.withColumn("tile", F.ntile(3).over(W.orderBy("ts")) - 1)
+        .select("event_id", "tile")
+        .collect()
+    }
+    for r in nulls:
+        assert r.emit_batch > tiles[r.view_id], (
+            f"outer row for view {r.view_id} emitted in/before arrival batch"
+        )
+    n_views = e.filter(F.col("event_type") == "view").count()
+    emitted_views = {r.view_id for r in out}
+    assert len(emitted_views) < n_views, "every view emitted — no live state held back"
+    inner = {
+        (r.view_id, r.purchase_id)
+        for r in stream_interval_join_drain(spark, sf_dir).collect()
+    }
+    assert matched == inner

@@ -135,6 +135,31 @@ def drain_join(
     return spark.read.parquet(out)
 
 
+def _view_purchase_tiles(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The shared drain fixture: view and purchase event streams carrying
+    their GLOBAL event-time tercile (`_tile`) — the micro-batch each row
+    will arrive in under the ordered replay."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .withColumn("_tile", F.ntile(3).over(Window.orderBy("ts")) - 1)
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+        "_tile",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+        "_tile",
+    )
+    return views, purchases
+
+
 @register(
     "stream_interval_join_drain",
     tags=("T1", "T8", "joins", "streaming"),
@@ -165,24 +190,7 @@ def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-tercile pairs exist only if view-state from earlier batches
     survived into later ones (T8 for JOIN state; the aggregation-state twin
     is stream_dedup_multibatch_drain)."""
-    e = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("view", "purchase"))
-        .select("event_id", "ts", "user_id", "event_type")
-        .withColumn("_tile", F.ntile(3).over(Window.orderBy("ts")) - 1)
-    )
-    views = e.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("view_ts"),
-        "user_id",
-        "_tile",
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("user_id").alias("p_user_id"),
-        "_tile",
-    )
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
 
     def build(v: DataFrame, p: DataFrame) -> DataFrame:
         vw = v.withWatermark("view_ts", "90 days")
@@ -195,6 +203,86 @@ def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (pw.purchase_ts < vw.view_ts + F.expr("INTERVAL 7 DAYS"))
             ),
             how="inner",
+        ).select(
+            vw.user_id,
+            "view_id",
+            "purchase_id",
+            (F.unix_millis("purchase_ts") - F.unix_millis("view_ts"))
+            .cast("long")
+            .alias("gap_ms"),
+        )
+
+    drained = drain_join(spark, views, purchases, build, n_batches=3)
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_leftouter_join_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+t AS (SELECT e.*, ntile(3) OVER (ORDER BY ts) - 1 AS tile FROM e),
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id, tile FROM t
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
+      WHERE event_type = 'purchase'),
+-- watermark in effect during batch b (and the final flush batch b = 3):
+-- floor-to-ms of the max event time seen through batch b-1, minus the 1-day
+-- delay. Units: state comparisons happen at microsecond precision against
+-- the millisecond watermark, so the predicate below scales w_ms back to us.
+wm AS (SELECT tile + 1 AS b,
+              CAST(epoch_ms(max(ts)) - 86400000 AS BIGINT) AS w_ms
+       FROM t GROUP BY tile),
+matched AS (
+  SELECT v.user_id, v.view_id, p.purchase_id,
+         CAST(epoch_ms(p.purchase_ts) - epoch_ms(v.view_ts) AS BIGINT) AS gap_ms,
+         CAST(greatest(v.tile, p.tile) AS INT) AS emit_batch
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY),
+unmatched AS (
+  SELECT * FROM v
+  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_id = v.view_id)),
+nulls AS (
+  SELECT u.user_id, u.view_id, CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS BIGINT) AS gap_ms, CAST(min(wm.b) AS INT) AS emit_batch
+  FROM unmatched u JOIN wm
+    ON epoch_us(u.view_ts) + 604800000000 < wm.w_ms * 1000
+  GROUP BY u.user_id, u.view_id)
+SELECT * FROM matched UNION ALL SELECT * FROM nulls
+""",
+)
+def stream_leftouter_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join with a live (1-day) watermark:
+    pins the outer-emission policy itself, the subtlest piece of Spark's
+    join-state machine. A never-matched view emits its null-joined row only
+    when its state can no longer match — i.e. in the FIRST micro-batch whose
+    in-effect watermark (max event time through the previous batch, floored
+    to ms, minus the delay) exceeds view_ts + 7 days at microsecond
+    precision — including the trailing no-data flush batch availableNow
+    runs to cash out watermark-dependent state (T7's event-time-timer
+    analog). Views still inside the join window at end-of-stream are
+    correctly ABSENT. The oracle derives the full watermark schedule and
+    eviction predicate relationally; matched pairs must equal the inner
+    join exactly (ordered replay means no match can be lost to eviction —
+    a purchase's tercile always precedes its view's eviction batch)."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+
+    def build(v: DataFrame, p: DataFrame) -> DataFrame:
+        vw = v.withWatermark("view_ts", "1 day")
+        pw = p.withWatermark("purchase_ts", "1 day")
+        return vw.join(
+            pw,
+            on=(
+                (vw.user_id == pw.p_user_id)
+                & (pw.purchase_ts >= vw.view_ts)
+                & (pw.purchase_ts < vw.view_ts + F.expr("INTERVAL 7 DAYS"))
+            ),
+            how="leftOuter",
         ).select(
             vw.user_id,
             "view_id",
