@@ -232,3 +232,27 @@ def test_novelty_curve_no_cartesian_single_gram_shuffle(spark, sf_dir):
     assert "Join" in plan
     # the global window exists exactly once (decile rank over per-doc rows)
     assert plan.count("Window") >= 1
+
+
+def test_heavy_hitters_sketch_is_map_side_and_rescore_broadcast(spark, sf_dir):
+    """spacesaving_heavy_cohorts (round 5): the 100 TB contract of the
+    two-pass heavy hitter. (1) The Misra-Gries candidate pass is MAP-SIDE:
+    MapInPandas must sit directly on the file scan with no Exchange below
+    it — shuffling the raw keys is exactly what the sketch exists to avoid.
+    (2) The exact rescore must reach the fact rows through a BROADCAST of
+    the tiny candidate set (no sort-merge), with partial aggregation before
+    the one keyed Exchange. (3) Every scan must read user_id alone."""
+    plan = plan_of("spacesaving_heavy_cohorts", spark, sf_dir)
+    assert "MapInPandas" in plan
+    below_map = plan.split("MapInPandas", 1)[1].split("FileScan", 1)[0]
+    assert "Exchange" not in below_map, (
+        f"raw keys shuffled before the sketch:\n{below_map}"
+    )
+    assert "BroadcastHashJoin" in plan, "candidate rescore not broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan, "no map-side partial aggregation"
+    for scan in plan.split("ReadSchema: ")[1:]:
+        schema = scan.split("\n", 1)[0]
+        assert schema.strip().rstrip(",") == "struct<user_id:bigint>", (
+            f"scan reads more than user_id: {schema}"
+        )

@@ -217,6 +217,53 @@ def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich_drain",
+    tags=("S8", "joins", "streaming"),
+    oracle="""
+WITH t AS (SELECT event_id, user_id, ntile(3) OVER (ORDER BY ts) - 1 AS tile
+           FROM events)
+SELECT t.event_id, t.user_id, c.c_mktsegment, CAST(c.c_nationkey AS INT) AS nationkey,
+       CAST(t.tile AS INT) AS emit_batch
+FROM t JOIN customer c ON t.user_id = c.c_custkey
+""",
+)
+def stream_static_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the third join execution class
+    after the stream-stream inner/left-outer drains, and the production
+    enrichment topology (reference: the ingest transform that decorates
+    events before rollup, TopKStreamingJob.kt's keyed pipeline stage): a
+    3-batch event stream joined per micro-batch against the broadcast
+    `customer` dimension. Stateless by design — each event must be enriched
+    and emitted exactly once, in its arrival batch (`emit_batch` == the
+    row's event-time tercile, inside the hash), with no state carried and
+    no dedup/eviction applied. At 100 TB the dimension broadcast happens
+    once per executor, not per batch-row; the stream side never shuffles."""
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+    )
+    drained = _drain(
+        spark,
+        ev,
+        lambda s: s.join(
+            F.broadcast(dim), s.user_id == dim.c_custkey, "inner"
+        ).select("event_id", "user_id", "c_mktsegment", "nationkey"),
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        keep_bid=True,
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
     "stream_leftouter_join_drain",
     tags=("T1", "T7", "T8", "joins", "streaming"),
     oracle="""
