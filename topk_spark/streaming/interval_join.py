@@ -1,0 +1,63 @@
+"""Watermarked stream-stream interval join — the reusable operator API.
+
+The reference's pipeline enriches each keyed event against other live
+events of the same key (TopKStreamingJob.kt's keyed co-processing stage);
+in Spark the native expression of that is a stream-stream join on
+`StreamingSymmetricHashJoinExec`: both sides hash-partition on the equality
+key, buffer rows in co-partitioned state stores, and probe the other
+side's buffer as micro-batches arrive. The time-range condition is what
+makes the state BOUNDED: Spark derives state watermark predicates from it,
+so the left buffer retains only rows younger than `watermark − window` and
+the right buffer only rows the left window can still reach.
+
+Semantics (pinned under the driver gate by
+`workload/streaming_join_queries.py`):
+- inner: a pair is emitted in the micro-batch where its LATER leg arrives;
+  earlier-leg state must survive intervening batches.
+- left_outer: a never-matched left row is emitted null-joined in the first
+  micro-batch whose in-effect watermark passes `left_ts + window`
+  (including the trailing no-data flush batch availableNow triggers);
+  left rows still inside their window at end-of-stream stay buffered and
+  produce nothing.
+
+At 100 TB: state per partition is (input rate × window × key share); skew
+concentrates on hot keys, which AQE cannot fix in streaming — pre-salting
+the equality key (ops-level, both sides identically) is the lever, same as
+the batch `salted_skew_join`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    window: str,
+    watermark_delay: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two STREAMING DataFrames on `left_key == right_key` where
+    `right_time` falls inside `[left_time, left_time + window)`. Both sides
+    get `watermark_delay` watermarks on their time columns (required for
+    bounded state and for left_outer emission). Key/time columns are named
+    (not Column objects) so the condition resolves against the watermarked
+    plans, never a stale pre-watermark lineage.
+
+    `window` / `watermark_delay` are Spark interval strings ("7 days").
+    `how` is "inner" or "left_outer"."""
+    lw = left.withWatermark(left_time, watermark_delay)
+    rw = right.withWatermark(right_time, watermark_delay)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_time] >= lw[left_time])
+        & (rw[right_time] < lw[left_time] + F.expr(f"INTERVAL {window}"))
+    )
+    return lw.join(rw, on=cond, how=how)

@@ -160,6 +160,36 @@ def _view_purchase_tiles(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     return views, purchases
 
 
+def _build_join(how: str, delay: str) -> Callable[[DataFrame, DataFrame], DataFrame]:
+    """build() for drain_join: the reusable interval_join operator
+    (streaming/interval_join.py) on user_id with the 7-day view→purchase
+    window, projected to the drains' hashed output columns."""
+    from topk_spark.streaming.interval_join import interval_join
+
+    def build(v: DataFrame, p: DataFrame) -> DataFrame:
+        joined = interval_join(
+            v,
+            p,
+            left_key="user_id",
+            right_key="p_user_id",
+            left_time="view_ts",
+            right_time="purchase_ts",
+            window="7 DAYS",
+            watermark_delay=delay,
+            how=how,
+        )
+        return joined.select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_millis("purchase_ts") - F.unix_millis("view_ts"))
+            .cast("long")
+            .alias("gap_ms"),
+        )
+
+    return build
+
+
 @register(
     "stream_interval_join_drain",
     tags=("T1", "T8", "joins", "streaming"),
@@ -191,28 +221,9 @@ def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     survived into later ones (T8 for JOIN state; the aggregation-state twin
     is stream_dedup_multibatch_drain)."""
     views, purchases = _view_purchase_tiles(spark, sf_dir)
-
-    def build(v: DataFrame, p: DataFrame) -> DataFrame:
-        vw = v.withWatermark("view_ts", "90 days")
-        pw = p.withWatermark("purchase_ts", "90 days")
-        return vw.join(
-            pw,
-            on=(
-                (vw.user_id == pw.p_user_id)
-                & (pw.purchase_ts >= vw.view_ts)
-                & (pw.purchase_ts < vw.view_ts + F.expr("INTERVAL 7 DAYS"))
-            ),
-            how="inner",
-        ).select(
-            vw.user_id,
-            "view_id",
-            "purchase_id",
-            (F.unix_millis("purchase_ts") - F.unix_millis("view_ts"))
-            .cast("long")
-            .alias("gap_ms"),
-        )
-
-    drained = drain_join(spark, views, purchases, build, n_batches=3)
+    drained = drain_join(
+        spark, views, purchases, _build_join("inner", "90 days"), n_batches=3
+    )
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
 
 
@@ -318,26 +329,7 @@ def stream_leftouter_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     join exactly (ordered replay means no match can be lost to eviction —
     a purchase's tercile always precedes its view's eviction batch)."""
     views, purchases = _view_purchase_tiles(spark, sf_dir)
-
-    def build(v: DataFrame, p: DataFrame) -> DataFrame:
-        vw = v.withWatermark("view_ts", "1 day")
-        pw = p.withWatermark("purchase_ts", "1 day")
-        return vw.join(
-            pw,
-            on=(
-                (vw.user_id == pw.p_user_id)
-                & (pw.purchase_ts >= vw.view_ts)
-                & (pw.purchase_ts < vw.view_ts + F.expr("INTERVAL 7 DAYS"))
-            ),
-            how="leftOuter",
-        ).select(
-            vw.user_id,
-            "view_id",
-            "purchase_id",
-            (F.unix_millis("purchase_ts") - F.unix_millis("view_ts"))
-            .cast("long")
-            .alias("gap_ms"),
-        )
-
-    drained = drain_join(spark, views, purchases, build, n_batches=3)
+    drained = drain_join(
+        spark, views, purchases, _build_join("left_outer", "1 day"), n_batches=3
+    )
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
