@@ -13,11 +13,8 @@ import random
 import pandas as pd
 import pyspark.sql.functions as F
 
-from topk_spark.workload.heavyhitter_queries import (
-    _CAP,
-    heavy_hitters_weighted,
-    mg_summarize,
-)
+from topk_spark.ops.mg_sketch import mg_summarize
+from topk_spark.workload.heavyhitter_queries import _CAP, heavy_hitters_weighted
 
 
 def _mg_union(stream, n_parts, cap, batch=97):
@@ -185,3 +182,90 @@ def test_leftouter_drain_outer_emission_discipline(spark, sf_dir):
         for r in stream_interval_join_drain(spark, sf_dir).collect()
     }
     assert matched == inner
+
+
+def test_mg_merge_composition_bound():
+    """The streaming operator's correctness rests on the two-level
+    composition: pre-reduce summaries (deficit <= W/(cap+1)) merged into a
+    running pruned summary (further deficit <= W/(cap+1)). Any key whose
+    TOTAL weight exceeds 2W/(cap+1) must survive the full pipeline, for
+    random streams, any (rounds x partitions) split. 30 trials, seeded."""
+    from topk_spark.ops.mg_sketch import mg_add, mg_prune
+
+    rng = random.Random(0xC0DE)
+    cap = 15
+    for _ in range(30):
+        domain = rng.randrange(40, 8 * cap)
+        stream = [
+            (rng.randrange(domain), rng.choice((1, 1, 2, 5, 20)))
+            for _ in range(rng.randrange(600, 2500))
+        ]
+        totals: dict[int, int] = {}
+        for k, w in stream:
+            totals[k] = totals.get(k, 0) + w
+        w_total = sum(totals.values())
+        heavy = {k for k, v in totals.items() if v > 2 * w_total / (cap + 1)}
+        for rounds, parts in ((3, 1), (3, 4), (5, 7)):
+            state: dict[int, int] = {}
+            for r in range(rounds):
+                chunk = stream[r::rounds]
+                for p in range(parts):
+                    pre: dict[int, int] = {}
+                    mg_add(pre, *zip(*chunk[p::parts])) if chunk[p::parts] else None
+                    pre = mg_prune(pre, cap)
+                    mg_add(state, list(pre), list(pre.values()))
+                    state = mg_prune(state, cap)
+            missed = heavy - set(state)
+            assert not missed, (
+                f"merge pipeline dropped {missed} (rounds={rounds}, "
+                f"parts={parts}, W={w_total})"
+            )
+
+
+def test_streaming_mg_continuity_counterfactual(spark, sf_dir):
+    """Direct demonstration that stream_heavyhitters_drain's cross-batch
+    state is load-bearing on the fixture: cohorts amplified only in
+    event-time tercile 0 must ALL be present after the 3-tercile merged
+    fold, but a summary holding only tercile-2 counters (the per-batch
+    state-reset counterfactual) must be missing at least one of them."""
+    from topk_spark.ops.mg_sketch import mg_add, mg_prune
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "ts",
+            (F.col("user_id") % 97).alias("cohort"),
+        )
+        .withColumn(
+            "tile",
+            F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts")) - 1,
+        )
+        .collect()
+    )
+    cap = 63
+    heavy = {r.cohort for r in rows if r.cohort % 19 == 0}
+    assert heavy, "fixture has no amplified cohorts"
+
+    def weight(r):
+        return 20 if r.cohort % 19 == 0 and r.tile == 0 else 1
+
+    merged: dict[int, int] = {}
+    for tile in (0, 1, 2):
+        pre: dict[int, int] = {}
+        chunk = [r for r in rows if r.tile == tile]
+        mg_add(pre, [r.cohort for r in chunk], [weight(r) for r in chunk])
+        pre = mg_prune(pre, cap)
+        mg_add(merged, list(pre), list(pre.values()))
+        merged = mg_prune(merged, cap)
+    assert heavy <= set(merged), "continuity fold lost a heavy cohort"
+
+    reset_only: dict[int, int] = {}
+    chunk = [r for r in rows if r.tile == 2]
+    mg_add(reset_only, [r.cohort for r in chunk], [weight(r) for r in chunk])
+    reset_only = mg_prune(reset_only, cap)
+    n_cohorts = len({r.cohort for r in rows})
+    if n_cohorts > cap:
+        assert not (heavy <= set(reset_only)), (
+            "state-reset counterfactual still held every heavy cohort — "
+            "the fixture no longer distinguishes continuity"
+        )

@@ -43,41 +43,17 @@ so membership is stable at every scale factor.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
+from topk_spark.ops.mg_sketch import mg_summarize
 from topk_spark.workload import register
 
 #: Misra-Gries summary capacity. CAP + 1 = 64 divides the threshold: the
 #: operator guarantees exactness for any T > W/64. Kept under the 97-cohort
 #: key domain so the sketch genuinely cannot hold the full histogram.
 _CAP = 63
-
-
-def mg_summarize(batches: Iterator[pd.DataFrame], cap: int = _CAP) -> Iterator[pd.DataFrame]:
-    """Weighted Misra-Gries fold over one partition's Arrow batches.
-
-    Accumulates exact (key -> weight) per batch via a vectorized groupby,
-    then prunes to `cap` entries by subtracting the (cap+1)-th largest
-    residual from every counter and dropping the non-positive ones. Memory
-    is O(cap + batch_distinct) regardless of partition size; the emitted
-    summary is <= cap rows."""
-    counters: dict[int, int] = {}
-    for pdf in batches:
-        part = pdf["w"].groupby(pdf["cohort"]).sum()
-        for key, wt in part.items():
-            counters[key] = counters.get(int(key), 0) + int(wt)
-        if len(counters) > cap:
-            cut = sorted(counters.values(), reverse=True)[cap]
-            counters = {k: v - cut for k, v in counters.items() if v > cut}
-    yield pd.DataFrame(
-        {"cohort": pd.Series(list(counters), dtype="int64"),
-         "est": pd.Series(list(counters.values()), dtype="int64")}
-    )
 
 
 def heavy_hitters_weighted(
@@ -88,7 +64,9 @@ def heavy_hitters_weighted(
     (key, total_w) for every key whose exact weighted count >= T."""
     slim = ev.select(F.col(key).alias("cohort"), F.col(weight).alias("w"))
     cand = (
-        slim.mapInPandas(mg_summarize, schema="cohort long, est long")
+        slim.mapInPandas(
+            lambda it: mg_summarize(it, cap), schema="cohort long, est long"
+        )
         .select("cohort")
         .distinct()
     )
@@ -138,3 +116,88 @@ def spacesaving_heavy_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cohort") % 19 == 0, F.lit(20)).otherwise(F.lit(1)).cast("long"),
     )
     return heavy_hitters_weighted(ev)
+
+
+@register(
+    "stream_heavyhitters_drain",
+    tags=("K1", "G4", "T8", "sketch", "streaming"),
+    oracle="""
+WITH e AS (
+  SELECT user_id % 97 AS cohort,
+         CASE WHEN (user_id % 97) % 19 = 0 AND tile = 0 THEN 20 ELSE 1 END AS w
+  FROM (SELECT user_id, ntile(3) OVER (ORDER BY ts) - 1 AS tile FROM events)
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM e)
+SELECT cohort, CAST(SUM(w) AS BIGINT) AS total_w,
+       CAST(3 AS BIGINT) AS n_batches
+FROM e CROSS JOIN tot
+GROUP BY cohort, tot.wtot
+HAVING SUM(w) >= CAST(floor(tot.wtot / 32.0) + 1 AS BIGINT)
+""",
+)
+def stream_heavyhitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS Misra-Gries summary (streaming/heavyhitters.py) under
+    the gate, through three event-time-ordered micro-batches, with
+    cross-batch summary-state continuity LOAD-BEARING: cohorts are
+    amplified (weight 20) only inside the FIRST event-time tercile, so
+    they are globally heavy but indistinguishable from noise in batches 1
+    and 2 — a summary that reset per batch would hold only tercile-2
+    counters at the end and (with 97 cohorts competing for 63 slots on
+    near-uniform weights) lose them. The mergeable-MG composition bound
+    (deficit <= 2W/64) guarantees the true operator keeps every cohort
+    above W/32, which is what the threshold demands; the exact rescore of
+    the FINAL batch's candidate emission then hash-matches the oracle's
+    full exact histogram. `n_batches` (distinct sink micro-batch ids — the
+    update-mode operator re-emits its summary every batch) rides inside
+    the hash as the multi-batch witness."""
+    from topk_spark.streaming.heavyhitters import streaming_mg_summary
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "ts",
+            (F.col("user_id") % 97).alias("cohort"),
+            (F.ntile(3).over(Window.orderBy("ts")) - 1).alias("tile"),
+        )
+        .withColumn(
+            "w",
+            F.when((F.col("cohort") % 19 == 0) & (F.col("tile") == 0), F.lit(20))
+            .otherwise(F.lit(1))
+            .cast("long"),
+        )
+        .select("ts", "cohort", "w")
+    )
+    drained = _drain(
+        spark,
+        ev,
+        lambda s: streaming_mg_summary(s, cap=63),
+        output_mode="update",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        keep_bid=True,
+    )
+    stats = drained.agg(
+        F.max("_bid").alias("_last"),
+        F.countDistinct("_bid").cast("long").alias("n_batches"),
+    )
+    cand = (
+        drained.crossJoin(F.broadcast(stats.select("_last")))
+        .where(F.col("_bid") == F.col("_last"))
+        .select("cohort")
+        .distinct()
+    )
+    thresh = ev.agg(F.sum("w").cast("long").alias("W")).select(
+        (F.floor(F.col("W") / 32) + 1).cast("long").alias("T")
+    )
+    exact = (
+        ev.join(F.broadcast(cand), "cohort")
+        .groupBy("cohort")
+        .agg(F.sum("w").cast("long").alias("total_w"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(thresh))
+        .where(F.col("total_w") >= F.col("T"))
+        .select("cohort", "total_w")
+        .crossJoin(F.broadcast(stats.select("n_batches")))
+    )
