@@ -269,3 +269,42 @@ def test_streaming_mg_continuity_counterfactual(spark, sf_dir):
             "state-reset counterfactual still held every heavy cohort — "
             "the fixture no longer distinguishes continuity"
         )
+
+
+def test_streaming_hll_reset_counterfactual(spark, sf_dir):
+    """stream_hll_distinct_drain's `ok` bound certifies cross-batch sketch
+    continuity only if the counterfactual actually fails: a sketch holding
+    tercile-2 data alone (per-batch state reset) must miss the 6.5% bound
+    for every event type, because (user, day) buckets never recur across
+    terciles."""
+    from pyspark.sql import Window as W
+
+    from topk_spark.io.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "ts",
+            "event_type",
+            F.concat_ws(
+                ":", F.col("user_id"), F.floor(F.unix_millis("ts") / 86400000)
+            ).alias("ud"),
+        )
+        .withColumn("tile", F.ntile(3).over(W.orderBy("ts")) - 1)
+    )
+    exact = {
+        r.event_type: r.x
+        for r in ev.groupBy("event_type").agg(F.countDistinct("ud").alias("x")).collect()
+    }
+    t2 = {
+        r.event_type: r.e
+        for r in ev.filter(F.col("tile") == 2)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("ud", F.lit(12))).cast("long").alias("e"))
+        .collect()
+    }
+    for etype, x in exact.items():
+        assert abs(t2[etype] - x) > 0.065 * x, (
+            f"{etype}: tercile-2-only estimate {t2[etype]} within bound of "
+            f"{x} — the continuity check is vacuous on this fixture"
+        )

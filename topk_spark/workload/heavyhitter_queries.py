@@ -201,3 +201,54 @@ def stream_heavyhitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cohort", "total_w")
         .crossJoin(F.broadcast(stats.select("n_batches")))
     )
+
+
+@register(
+    "stream_hll_distinct_drain",
+    tags=("A7", "A8", "T8", "sketch", "streaming"),
+    oracle="SELECT event_type, true AS ok FROM events GROUP BY event_type",
+)
+def stream_hll_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approx-distinct: the Datasketches HLL aggregate as
+    STREAMING aggregation state (the declared capability of the reference's
+    rollup schema, orders_1m_rollup_schema.json:50-53, done live), merged
+    across three event-time-ordered micro-batches in update mode. Counts
+    distinct (user, day) pairs per event type — day buckets appear ONLY in
+    their own tercile, so a sketch that reset per batch would end holding
+    ~1/3 of the cardinality and miss the 6.5% (~4 sigma at lg_k=12) bound
+    by an order of magnitude: cross-batch sketch-state continuity is what
+    the `ok` check certifies. The bound-style oracle follows
+    `hll_error_bound` (r2): the oracle states the contract (every group
+    within bound); the Spark side computes the estimate from the drained
+    final sketch and the exact count from the same fixture."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id"), F.floor(F.unix_millis("ts") / 86400000)
+        ).alias("ud"),
+    )
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    drained = _drain(
+        spark,
+        ev,
+        lambda s: s.groupBy("event_type").agg(
+            F.hll_sketch_agg("ud", F.lit(12)).alias("sk")
+        ),
+        output_mode="update",
+        last_per=["event_type"],
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+    )
+    est = drained.select(
+        "event_type", F.hll_sketch_estimate("sk").cast("long").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("ud").alias("exact"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("est") - F.col("exact"))
+            <= F.lit(0.065) * F.col("exact")
+        ).alias("ok"),
+    )
