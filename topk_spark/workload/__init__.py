@@ -83,9 +83,14 @@ _PRIORITY_MODULES: tuple[str, ...] = (
 # forever after its r4 row already proved the fix).
 #   rolling_7d_revenue: HUGEINT/BIGINT cast fix landed r3, re-proved r4.
 #   minhash_lsh_neardup: exact-Jaccard oracle added r5 (was rows-only r1).
+#   region_nation_rollup: hash-red r5 (DECIMAL output vs the driver's value
+#     hash); r6 re-emits BIGINT cents on both sides. Belt-and-braces with the
+#     red-aware tier() — either alone re-queues it, both keep it queued until
+#     a green row at round >= 6 exists.
 _FORCE_RESAMPLE: dict[str, int] = {
     "rolling_7d_revenue": 4,
     "minhash_lsh_neardup": 5,
+    "region_nation_rollup": 6,
 }
 
 # (Names pruned from the registry in later rounds are dropped from this
@@ -108,28 +113,43 @@ _R1_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-def _driver_rounds() -> dict[str, int]:
-    """name → newest driver round with a CORRECTNESS row for it (hash-verified
-    or rows-only), from every CORRECTNESS_r{N}.json at the repo root. Falls
-    back to the static round-1 snapshot when none are readable."""
+def _driver_rounds(root: str | None = None) -> dict[str, int]:
+    """name → newest driver round whose CORRECTNESS row VERIFIES the query,
+    from every CORRECTNESS_r{N}.json at the repo root (or `root`, for tests).
+    Falls back to the static round-1 snapshot when none are readable.
+
+    Red-aware (round-5 verdict item 2): a row with ``hash_match: false`` is a
+    driver-observed FAILURE, not a verification — if a query's newest row is
+    red, the query is treated as never-verified (tier 0/1) so it re-enters
+    the capped window next round instead of parking in tier 2 forever.
+    Rows-only rows (``err: "no_oracle"``, hash_match null) still count: they
+    are the driver's weaker-but-recorded check, and the ordering's job is to
+    spend the cap on queries with NO evidence, not to re-litigate them."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    rounds: dict[str, int] = {}
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    # name → (newest round seen, hash_match of that newest row)
+    newest: dict[str, tuple[int, object]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                names = json.load(fh).keys()
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for n in names:
-            rounds[n] = max(rounds.get(n, 0), rnd)
-    return rounds if rounds else {n: 1 for n in _R1_VERIFIED}
+        for n, row in rows.items():
+            hm = row.get("hash_match") if isinstance(row, dict) else True
+            if n not in newest or rnd > newest[n][0]:
+                newest[n] = (rnd, hm)
+    rounds = {n: rnd for n, (rnd, hm) in newest.items() if hm is not False}
+    return rounds if newest else {n: 1 for n in _R1_VERIFIED}
 
 
 def load_all() -> dict[str, Query]:

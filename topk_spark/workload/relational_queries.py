@@ -70,7 +70,8 @@ SELECT coalesce(r.r_name, 'ALL') AS region,
        coalesce(n.n_name, 'ALL') AS nation,
        CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS INT) AS gid,
        CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS total_acctbal_cents
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -82,7 +83,15 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping_id so consumers can tell a real NULL from a subtotal marker —
     the dimension-hierarchy half of the star-tree analog (`startree_cube`
     covers the full cube). Dims broadcast onto the fact; grouping-set
-    expansion happens map-side before the single keyed exchange."""
+    expansion happens map-side before the single keyed exchange.
+
+    The balance total is emitted as integer CENTS (BIGINT), not
+    DECIMAL(18,2): exact decimal arithmetic internally, integer surface
+    externally — the repo-wide output convention (decimal128 outputs are
+    the one Arrow type kind the driver's value hash normalizes differently
+    from everything else; CORRECTNESS_r05 proved it on this very query,
+    value-identical rows hash-red). Enforced for all registered oracles by
+    tests/test_registry_gate.py::test_no_decimal_outputs_in_oracles."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -96,16 +105,16 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("gid"),
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_acctbal"),
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("total_acctbal_cents"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
             "gid",
             "n_customers",
-            "total_acctbal",
+            "total_acctbal_cents",
         )
     )
 
