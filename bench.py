@@ -11,6 +11,7 @@ beyond the count) after a warm-up pass of the session.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -289,7 +290,11 @@ def bench_e2e_latency(spark) -> dict:
 
 
 def _pct(sorted_s: list[float], q: float) -> float:
-    return round(sorted_s[min(len(sorted_s) - 1, int(q * len(sorted_s)))] * 1000, 1)
+    # Nearest-rank percentile: ceil(q*n)-th order statistic (1-indexed).
+    # int(q*n) overshoots — for n=200 it made p99 the 199th value (~p99.5)
+    # and p50 the 101st.
+    idx = max(0, min(len(sorted_s) - 1, math.ceil(q * len(sorted_s)) - 1))
+    return round(sorted_s[idx] * 1000, 1)
 
 
 def bench_serving_point_read(spark) -> dict:

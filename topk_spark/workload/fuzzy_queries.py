@@ -26,6 +26,22 @@ from topk_spark.workload.corpora import PERT_OFFSET as _PERT_OFFSET
 from topk_spark.workload.corpora import perturbed_corpus  # noqa: F401 (re-export)
 from topk_spark.workload.corpora import perturbed_hsh
 
+# 3-gram shingle CTE shared by every fuzzy-dedup oracle (expects a `corpus`
+# CTE with doc_id/text in scope). Windowing MUST match the Spark kernel
+# (sig_kernels._shingle_hash_u64): a doc with <= n tokens collapses to ONE
+# truncated window over all its tokens. For len == 3 the truncated window
+# equals the single full window the range() formula already emits, so only
+# len <= 2 needs the branch — without it, two identical 1-2-token docs are
+# J=1 on the Spark side but shingle-less (0/0 -> NULL, dropped) here.
+_SH_CTE = """sh AS (
+  SELECT doc_id,
+         CASE WHEN len(l) <= 2 THEN [array_to_string(l, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(l)-1),
+                 i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) END AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM corpus)
+)"""
+
 
 @register(
     "ngram_jaccard_neardup",
@@ -41,13 +57,7 @@ corpus AS (
          array_to_string(l[1:len(l)-1], ' ') AS text
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM base)
 ),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(l)-1),
-            i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS s
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
-        FROM corpus)
-)
+{_SH_CTE}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE
              / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) AS jaccard
@@ -99,13 +109,7 @@ corpus AS (
          array_to_string(l[1:len(l)-1], ' ') AS text
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM base)
 ),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(l)-1),
-            i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS s
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
-        FROM corpus)
-)
+{_SH_CTE}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE
              / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) AS jaccard
@@ -151,13 +155,7 @@ corpus AS (
          array_to_string(l[1:len(l)-1], ' ') AS text
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM base)
 ),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(l)-1),
-            i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS s
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
-        FROM corpus)
-),
+{_SH_CTE},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a, sh b
@@ -208,13 +206,7 @@ corpus AS (
          array_to_string(l[1:len(l)-1], ' ') AS text
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM base)
 ),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(l)-1),
-            i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS s
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
-        FROM corpus)
-),
+{_SH_CTE},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a, sh b

@@ -90,6 +90,46 @@ def _cleanup() -> None:
 atexit.register(_cleanup)
 
 
+def _write_ordered_tiles(
+    part_df: DataFrame,
+    root: str,
+    name: str,
+    n: int,
+    base_mtime: float | None,
+) -> tuple[str, float]:
+    """Write `part_df` (carrying a `_tile` column in [0, n)) as n single-file
+    parquet 'arrivals' under root/name, mtimes staggered 10 s apart so a
+    FileStreamSource with latestFirst=false replays them in tile order.
+    Shared by the single-source `_drain` and the two-source `drain_join`
+    (streaming_join_queries); pass the first call's returned base_mtime into
+    the second so both sources share one arrival timeline.
+
+    An empty tile is a fixture bug, not an engine condition: Spark may emit
+    zero part files for an empty write, which would silently collapse the
+    batch schedule the oracles derive — fail loudly instead."""
+    src = os.path.join(root, name)
+    os.makedirs(src, exist_ok=True)
+    for i in range(n):
+        tdir = os.path.join(root, f"{name}_tile{i}")
+        part_df.filter(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+        parts = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"tile {i}/{n} of drain source '{name}' produced {len(parts)} "
+                f"part files — every event-time tercile must be non-empty for "
+                f"the ordered replay (batch i == tile i) the oracle assumes; "
+                f"regenerate the fixture or lower n_batches"
+            )
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copyfile(os.path.join(tdir, parts[0]), dst)
+        if base_mtime is None:
+            base_mtime = os.stat(dst).st_mtime
+        os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+    return src, base_mtime
+
+
 def _drain(
     spark: SparkSession,
     src_df: DataFrame,
@@ -134,22 +174,10 @@ def _drain(
     if max_files_per_trigger and ordered_split:
         col, n = ordered_split
         assert n == max_files_per_trigger
-        os.makedirs(src, exist_ok=True)
         part = src_df.withColumn(
             "_tile", F.ntile(n).over(Window.orderBy(col)) - 1
         )
-        now = None
-        for i in range(n):
-            tdir = os.path.join(root, f"tile{i}")
-            part.filter(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tdir)
-            (pf,) = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
-            dst = os.path.join(src, f"{i:04d}.parquet")
-            shutil.copyfile(os.path.join(tdir, pf), dst)
-            if now is None:
-                now = os.stat(dst).st_mtime
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _write_ordered_tiles(part, root, "src", n, None)
         reader = reader.option("maxFilesPerTrigger", 1).option(
             "latestFirst", "false"
         )

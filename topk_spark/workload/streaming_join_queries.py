@@ -65,28 +65,6 @@ def _cleanup() -> None:
 atexit.register(_cleanup)
 
 
-def _write_tiles(df: DataFrame, root: str, name: str, n: int, base_mtime: float | None) -> tuple[str, float]:
-    """Write `df` (carrying a `_tile` column in [0, n)) as n single-file
-    parquet 'arrivals' under root/name, mtimes staggered 10 s apart so the
-    file source replays them in tile order. Returns (src_dir, base_mtime)."""
-    src = os.path.join(root, name)
-    os.makedirs(src, exist_ok=True)
-    for i in range(n):
-        tdir = os.path.join(root, f"{name}_tile{i}")
-        df.filter(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tdir)
-        parts = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
-        if len(parts) != 1:  # a tile must be one real arrival file
-            raise RuntimeError(f"tile {i} of {name}: expected 1 file, got {parts}")
-        dst = os.path.join(src, f"{i:04d}.parquet")
-        shutil.copyfile(os.path.join(tdir, parts[0]), dst)
-        if base_mtime is None:
-            base_mtime = os.stat(dst).st_mtime
-        os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
-    return src, base_mtime
-
-
 def drain_join(
     spark: SparkSession,
     left_df: DataFrame,
@@ -99,11 +77,13 @@ def drain_join(
     with availableNow into a parquet sink; returns the drained rows with
     the sink micro-batch id as `_bid`. Append mode (the only output mode
     stream-stream joins support)."""
+    from topk_spark.workload.streaming_drain_queries import _write_ordered_tiles
+
     root = tempfile.mkdtemp(prefix="topk_spark_sjoin_")
     _TMP_ROOTS.append(root)
     out = os.path.join(root, "out")
-    lsrc, base = _write_tiles(left_df, root, "left", n_batches, None)
-    rsrc, _ = _write_tiles(right_df, root, "right", n_batches, base)
+    lsrc, base = _write_ordered_tiles(left_df, root, "left", n_batches, None)
+    rsrc, _ = _write_ordered_tiles(right_df, root, "right", n_batches, base)
 
     def read(src: str, schema) -> DataFrame:
         return (
@@ -287,13 +267,27 @@ v AS (SELECT event_id AS view_id, ts AS view_ts, user_id, tile FROM t
       WHERE event_type = 'view'),
 p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
       WHERE event_type = 'purchase'),
--- watermark in effect during batch b (and the final flush batch b = 3):
--- floor-to-ms of the max event time seen through batch b-1, minus the 1-day
--- delay. Units: state comparisons happen at microsecond precision against
--- the millisecond watermark, so the predicate below scales w_ms back to us.
+-- watermark in effect during batch b (and the final flush batch b = 3).
+-- Spark's default multipleWatermarkPolicy = 'min': each side's watermark
+-- operator tracks ITS OWN max event time (ms floor), and the global
+-- watermark is the minimum across operators minus the (equal) 1-day delay
+-- — NOT the max over the union of both streams. vmax/pmax are the
+-- cumulative per-side maxima through batch b-1; a NULL (side not yet seen)
+-- models Spark's unset-watermark operator: global wm stays at its initial
+-- value and nothing is evicted, which the NULL-propagating predicate below
+-- reproduces. Units: state comparisons happen at microsecond precision
+-- against the millisecond watermark, so the predicate scales w_ms to us.
 wm AS (SELECT tile + 1 AS b,
-              CAST(epoch_ms(max(ts)) - 86400000 AS BIGINT) AS w_ms
-       FROM t GROUP BY tile),
+              CASE WHEN vmax IS NULL OR pmax IS NULL THEN NULL
+                   ELSE CAST(least(vmax, pmax) - 86400000 AS BIGINT) END AS w_ms
+       FROM (SELECT tile,
+                    max(max(CASE WHEN event_type = 'view'
+                                 THEN epoch_ms(ts) END))
+                      OVER (ORDER BY tile) AS vmax,
+                    max(max(CASE WHEN event_type = 'purchase'
+                                 THEN epoch_ms(ts) END))
+                      OVER (ORDER BY tile) AS pmax
+             FROM t GROUP BY tile) cum),
 matched AS (
   SELECT v.user_id, v.view_id, p.purchase_id,
          CAST(epoch_ms(p.purchase_ts) - epoch_ms(v.view_ts) AS BIGINT) AS gap_ms,
@@ -319,11 +313,14 @@ def stream_leftouter_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the outer-emission policy itself, the subtlest piece of Spark's
     join-state machine. A never-matched view emits its null-joined row only
     when its state can no longer match — i.e. in the FIRST micro-batch whose
-    in-effect watermark (max event time through the previous batch, floored
-    to ms, minus the delay) exceeds view_ts + 7 days at microsecond
-    precision — including the trailing no-data flush batch availableNow
-    runs to cash out watermark-dependent state (T7's event-time-timer
-    analog). Views still inside the join window at end-of-stream are
+    in-effect watermark exceeds view_ts + 7 days at microsecond precision —
+    including the trailing no-data flush batch availableNow runs to cash
+    out watermark-dependent state (T7's event-time-timer analog). The
+    in-effect watermark follows Spark's default multipleWatermarkPolicy
+    'min': min over the two sides' per-operator max event time through the
+    previous batch (each floored to ms), minus the delay — the oracle's wm
+    CTE models the per-side cumulative maxima explicitly rather than the
+    (coincidentally close) max over the union. Views still inside the join window at end-of-stream are
     correctly ABSENT. The oracle derives the full watermark schedule and
     eviction predicate relationally; matched pairs must equal the inner
     join exactly (ordered replay means no match can be lost to eviction —
