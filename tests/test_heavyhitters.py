@@ -125,14 +125,16 @@ def test_interval_join_drain_emits_cross_batch_pairs(spark, sf_dir):
 
     out = stream_interval_join_drain(spark, sf_dir).collect()
     assert out, "drain produced no pairs"
-    e = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .filter(F.col("event_type").isin("view", "purchase"))
-        .withColumn(
-            "tile",
-            F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts")) - 1,
-        )
-    )
+    from topk_spark.io.sources import load_table
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+
+    e = _range_tile(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("event_type").isin("view", "purchase")
+        ),
+        "ts",
+        3,
+    ).withColumnRenamed("_tile", "tile")
     tile_of = {r.event_id: r.tile for r in e.select("event_id", "tile").collect()}
     cross = [r for r in out if tile_of[r.view_id] < tile_of[r.purchase_id]]
     assert cross, "no cross-batch pairs — join state continuity untested"
@@ -159,14 +161,16 @@ def test_leftouter_drain_outer_emission_discipline(spark, sf_dir):
         (r.view_id, None) for r in nulls
     }
     assert nulls, "no outer rows — watermark never expired any view state"
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+    from topk_spark.io.sources import load_table
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+
+    e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
-    from pyspark.sql import Window as W
-
     tiles = {
         r.event_id: r.tile
-        for r in e.withColumn("tile", F.ntile(3).over(W.orderBy("ts")) - 1)
+        for r in _range_tile(e, "ts", 3)
+        .withColumnRenamed("_tile", "tile")
         .select("event_id", "tile")
         .collect()
     }
@@ -230,16 +234,18 @@ def test_streaming_mg_continuity_counterfactual(spark, sf_dir):
     state-reset counterfactual) must be missing at least one of them."""
     from topk_spark.ops.mg_sketch import mg_add, mg_prune
 
+    from topk_spark.io.sources import load_table
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+
     rows = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
+        _range_tile(
+            load_table(spark, sf_dir, "events").select(
+                "ts", (F.col("user_id") % 97).alias("cohort")
+            ),
             "ts",
-            (F.col("user_id") % 97).alias("cohort"),
+            3,
         )
-        .withColumn(
-            "tile",
-            F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts")) - 1,
-        )
+        .withColumnRenamed("_tile", "tile")
         .collect()
     )
     cap = 63
@@ -277,21 +283,20 @@ def test_streaming_hll_reset_counterfactual(spark, sf_dir):
     tercile-2 data alone (per-batch state reset) must miss the 6.5% bound
     for every event type, because (user, day) buckets never recur across
     terciles."""
-    from pyspark.sql import Window as W
-
     from topk_spark.io.sources import load_table
+    from topk_spark.workload.streaming_drain_queries import _range_tile
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
+    ev = _range_tile(
+        load_table(spark, sf_dir, "events").select(
             "ts",
             "event_type",
             F.concat_ws(
                 ":", F.col("user_id"), F.floor(F.unix_millis("ts") / 86400000)
             ).alias("ud"),
-        )
-        .withColumn("tile", F.ntile(3).over(W.orderBy("ts")) - 1)
-    )
+        ),
+        "ts",
+        3,
+    ).withColumnRenamed("_tile", "tile")
     exact = {
         r.event_type: r.x
         for r in ev.groupBy("event_type").agg(F.countDistinct("ud").alias("x")).collect()

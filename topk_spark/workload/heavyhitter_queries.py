@@ -44,11 +44,16 @@ so membership is stable at every scale factor.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.mg_sketch import mg_summarize
 from topk_spark.workload import register
+from topk_spark.workload.streaming_drain_queries import (
+    _bounds_sql,
+    _range_tile,
+    _tile_expr_sql,
+)
 
 #: Misra-Gries summary capacity. CAP + 1 = 64 divides the threshold: the
 #: operator guarantees exactness for any T > W/64. Kept under the 97-cohort
@@ -121,11 +126,13 @@ def spacesaving_heavy_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_heavyhitters_drain",
     tags=("K1", "G4", "T8", "sketch", "streaming"),
-    oracle="""
-WITH e AS (
+    oracle=f"""
+WITH b AS {_bounds_sql("events")},
+e AS (
   SELECT user_id % 97 AS cohort,
          CASE WHEN (user_id % 97) % 19 = 0 AND tile = 0 THEN 20 ELSE 1 END AS w
-  FROM (SELECT user_id, ntile(3) OVER (ORDER BY ts) - 1 AS tile FROM events)
+  FROM (SELECT user_id, {_tile_expr_sql()} AS tile
+        FROM events CROSS JOIN b)
 ),
 tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM e)
 SELECT cohort, CAST(SUM(w) AS BIGINT) AS total_w,
@@ -154,12 +161,14 @@ def stream_heavyhitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topk_spark.workload.streaming_drain_queries import _drain
 
     ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
+        _range_tile(
+            load_table(spark, sf_dir, "events").select(
+                "ts", (F.col("user_id") % 97).alias("cohort")
+            ),
             "ts",
-            (F.col("user_id") % 97).alias("cohort"),
-            (F.ntile(3).over(Window.orderBy("ts")) - 1).alias("tile"),
+            3,
         )
+        .withColumnRenamed("_tile", "tile")
         .withColumn(
             "w",
             F.when((F.col("cohort") % 19 == 0) & (F.col("tile") == 0), F.lit(20))

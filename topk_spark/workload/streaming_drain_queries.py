@@ -90,6 +90,57 @@ def _cleanup() -> None:
 atexit.register(_cleanup)
 
 
+def _range_tile(df: DataFrame, col: str, n: int) -> DataFrame:
+    """Attach `_tile` in [0, n): equal-WIDTH event-time ranges between the
+    column's min and max, computed from ONE min/max aggregate broadcast back
+    onto the rows — no global-order window. (The r5 fixtures used
+    `ntile(n) OVER (ORDER BY col)`, a single-partition sort of the whole
+    source inside a registered query's plan; a 100×-scale fixture prep
+    cannot afford that — same discipline as global_rank_without_global_sort.)
+    Exact integer microsecond arithmetic, reproduced verbatim in the DuckDB
+    oracles via `_tile_expr_sql`:
+
+        tile = least(n-1, (us - tmin) * n div (tmax - tmin + 1))
+
+    Monotone in `col`, so tile order == event-time order (what the ordered
+    replay needs); the +1 keeps the max row in tile n-1 without a branch."""
+    b = df.agg(
+        F.min(F.unix_micros(F.col(col))).alias("_tmin"),
+        F.max(F.unix_micros(F.col(col))).alias("_tmax"),
+    )
+    return (
+        df.crossJoin(F.broadcast(b))
+        .withColumn(
+            "_tile",
+            F.least(
+                F.lit(n - 1),
+                F.expr(f"(unix_micros({col}) - _tmin) * {n} div (_tmax - _tmin + 1)"),
+            ).cast("int"),
+        )
+        .drop("_tmin", "_tmax")
+    )
+
+
+def _tile_expr_sql(ts: str = "ts", n: int = 3) -> str:
+    """Oracle-side twin of `_range_tile`'s arithmetic, expecting a joined
+    relation `b(tmin, tmax)` in scope (see `_bounds_sql`). DuckDB `//` is
+    BIGINT floor division; both operands are non-negative, so it agrees
+    exactly with Spark's `div`."""
+    return (
+        f"CAST(least({n - 1}, (epoch_us({ts}) - b.tmin) * {n}"
+        f" // (b.tmax - b.tmin + 1)) AS INT)"
+    )
+
+
+def _bounds_sql(rel: str, ts: str = "ts") -> str:
+    """`b AS (...)` body: the min/max microsecond bounds of `rel`.`ts` —
+    MUST range over exactly the rows the Spark side passed to _range_tile."""
+    return (
+        f"(SELECT epoch_us(min({ts})) AS tmin, epoch_us(max({ts})) AS tmax"
+        f" FROM {rel})"
+    )
+
+
 def _write_ordered_tiles(
     part_df: DataFrame,
     root: str,
@@ -154,14 +205,16 @@ def _drain(
     for real, not argued.
 
     `ordered_split=(col, n)`: with the multi-batch cap, partition the source
-    into n files by EQUAL-COUNT RANGES of `col` (ntile over the column's
-    total order) instead of round-robin, and stagger the files' mtimes so
-    the FileStreamSource's oldest-first listing (latestFirst=false) replays
-    them in `col` order — micro-batch i sees exactly quantile-range i. That
+    into n files by EQUAL-WIDTH RANGES of `col` between its min and max
+    (`_range_tile` — one aggregate + a broadcast, no global-order window)
+    instead of round-robin, and stagger the files' mtimes so the
+    FileStreamSource's oldest-first listing (latestFirst=false) replays
+    them in `col` order — micro-batch i sees exactly time-range i. That
     makes "arrival order" == "event-time order", which is what lets a
-    relational oracle predict cross-batch first-seen semantics exactly.
-    (Fixture-prep only: the global ntile is one sort of the drain fixture;
-    a production backfill would range-split by time partitions instead.)
+    relational oracle predict cross-batch first-seen semantics exactly
+    (the oracles reproduce the same integer boundary arithmetic via
+    `_tile_expr_sql`/`_bounds_sql`). This is the topology a production
+    backfill uses too: range-split by time partitions.
 
     `keep_bid`: surface the sink's micro-batch id as `_bid` so the caller
     can PROVE multi-batch execution inside the hashed output.
@@ -174,10 +227,7 @@ def _drain(
     if max_files_per_trigger and ordered_split:
         col, n = ordered_split
         assert n == max_files_per_trigger
-        part = src_df.withColumn(
-            "_tile", F.ntile(n).over(Window.orderBy(col)) - 1
-        )
-        _write_ordered_tiles(part, root, "src", n, None)
+        _write_ordered_tiles(_range_tile(src_df, col, n), root, "src", n, None)
         reader = reader.option("maxFilesPerTrigger", 1).option(
             "latestFirst", "false"
         )
@@ -270,11 +320,12 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("D1", "T6", "T8", "streaming"),
     oracle=f"""
 WITH {_ES},
+b AS {_bounds_sql("es")},
 t AS (
-  SELECT es.*, ntile(3) OVER (ORDER BY ts) - 1 AS tile,
+  SELECT es.*, {_tile_expr_sql()} AS tile,
          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts)
            AS rn
-  FROM es
+  FROM es CROSS JOIN b
 ),
 first_seen AS (SELECT * FROM t WHERE rn = 1),
 nb AS (SELECT count(DISTINCT tile) AS n_batches FROM first_seen)

@@ -15,9 +15,10 @@ in the preceding 7 days (`p.ts >= v.ts AND p.ts < v.ts + 7d`).
 
 Drain design (same discipline as streaming_drain_queries):
 
-* The two sources are split into 3 files each by GLOBAL event-time terciles
-  (ntile over the union's ts — fixture ts values are globally unique, so
-  the split is deterministic and identical in the DuckDB oracle), with
+* The two sources are split into 3 files each by GLOBAL event-time ranges
+  (equal-width thirds of the union's [min ts, max ts] — one aggregate plus
+  a broadcast, no global-order window; the boundary arithmetic is exact
+  integer microseconds, reproduced verbatim in the DuckDB oracle), with
   staggered mtimes so each FileStreamSource (latestFirst=false,
   maxFilesPerTrigger=1) replays oldest-first: micro-batch i sees exactly
   tercile i of BOTH sides.
@@ -49,7 +50,7 @@ import tempfile
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from topk_spark.io.sources import load_table
 from topk_spark.workload import register
@@ -119,11 +120,14 @@ def _view_purchase_tiles(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     """The shared drain fixture: view and purchase event streams carrying
     their GLOBAL event-time tercile (`_tile`) — the micro-batch each row
     will arrive in under the ordered replay."""
-    e = (
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+
+    e = _range_tile(
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "purchase"))
-        .select("event_id", "ts", "user_id", "event_type")
-        .withColumn("_tile", F.ntile(3).over(Window.orderBy("ts")) - 1)
+        .select("event_id", "ts", "user_id", "event_type"),
+        "ts",
+        3,
     )
     views = e.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
@@ -178,7 +182,8 @@ WITH e AS (
   SELECT event_id, ts, user_id, event_type FROM events
   WHERE event_type IN ('view', 'purchase')
 ),
-t AS (SELECT e.*, ntile(3) OVER (ORDER BY ts) - 1 AS tile FROM e),
+b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax FROM e),
+t AS (SELECT e.*, CAST(least(2, (epoch_us(ts) - b.tmin) * 3 // (b.tmax - b.tmin + 1)) AS INT) AS tile FROM e CROSS JOIN b),
 v AS (SELECT event_id AS view_id, ts AS view_ts, user_id, tile FROM t
       WHERE event_type = 'view'),
 p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
@@ -211,8 +216,12 @@ def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_enrich_drain",
     tags=("S8", "joins", "streaming"),
     oracle="""
-WITH t AS (SELECT event_id, user_id, ntile(3) OVER (ORDER BY ts) - 1 AS tile
-           FROM events)
+WITH b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax
+           FROM events),
+t AS (SELECT event_id, user_id,
+             CAST(least(2, (epoch_us(ts) - b.tmin) * 3
+                  // (b.tmax - b.tmin + 1)) AS INT) AS tile
+      FROM events CROSS JOIN b)
 SELECT t.event_id, t.user_id, c.c_mktsegment, CAST(c.c_nationkey AS INT) AS nationkey,
        CAST(t.tile AS INT) AS emit_batch
 FROM t JOIN customer c ON t.user_id = c.c_custkey
@@ -262,7 +271,8 @@ WITH e AS (
   SELECT event_id, ts, user_id, event_type FROM events
   WHERE event_type IN ('view', 'purchase')
 ),
-t AS (SELECT e.*, ntile(3) OVER (ORDER BY ts) - 1 AS tile FROM e),
+b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax FROM e),
+t AS (SELECT e.*, CAST(least(2, (epoch_us(ts) - b.tmin) * 3 // (b.tmax - b.tmin + 1)) AS INT) AS tile FROM e CROSS JOIN b),
 v AS (SELECT event_id AS view_id, ts AS view_ts, user_id, tile FROM t
       WHERE event_type = 'view'),
 p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
