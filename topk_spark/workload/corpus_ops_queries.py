@@ -341,6 +341,13 @@ HAVING sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) > 0
 
 @register("dup_ngram_spans", tags=("DD-substring",), oracle=_DUP_SPANS_ORACLE,
           headline=True)  # bench: corpus-wide gram shuffle + exchange-reuse join-back
+# Perf note (r6 audit of the r4->r5 local drift 1.146->1.457 s): code
+# unchanged, plan unchanged; five quiet warm runs at sf0.1 settle at
+# 1.128-1.157 s (consecutive runs within 3%), i.e. back at the r4 number —
+# the r5 reading was host contention (load 3.5-4.8 during that window).
+# The window-over-gram form is kept over groupBy+collect_list deliberately:
+# a window partition sorts and SPILLS per gram, while a hot gram's
+# collect_list is resident memory — the spill-safe shape at 100 TB.
 def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span ratio: the fraction of a doc's distinct
     8-grams that also occur in at least one OTHER document — the
