@@ -21,7 +21,12 @@ import os
 import duckdb
 import pytest
 
-from topk_spark.workload import _FORCE_RESAMPLE, _driver_rounds, load_all
+from topk_spark.workload import (
+    _FORCE_RESAMPLE,
+    _driver_rounds,
+    _ordered_names,
+    load_all,
+)
 
 REGISTRY = load_all()
 ORACLED = [name for name, q in REGISTRY.items() if q.oracle is not None]
@@ -85,13 +90,17 @@ def test_force_resample_round_awareness(tmp_path):
     assert _driver_rounds(root=str(tmp_path))["region_nation_rollup"] == 6
 
 
-def test_round6_window_head():
-    """With the repo's real CORRECTNESS files, the round-6 window head must
-    be: the forced red-fix, then the six never-sampled round-5 queries (in
-    registration order), before any tier-2 name."""
-    names = list(REGISTRY)
-    assert names[0] == "region_nation_rollup"
-    assert set(names[1:7]) == {
+def test_simulated_round6_window_head():
+    """The round-6 ordering scenario, re-asserted against a SIMULATED driver
+    history instead of the repo's live CORRECTNESS files (round-6 verdict
+    item 1: the original hard-coded form went stale the moment the driver
+    wrote CORRECTNESS_r06.json — a self-expiring assertion on a mutable
+    artifact). Simulated state: every registered name verified at r5 EXCEPT
+    region_nation_rollup (red, so absent) and the six round-5b additions
+    (never sampled). The head must then be the forced red-fix, the six
+    unsampled names next, before any tier-2 name — and once all seven are
+    verified at r6, the window must be pure tier-2."""
+    r5b = {
         "spacesaving_heavy_cohorts",
         "stream_heavyhitters_drain",
         "stream_hll_distinct_drain",
@@ -99,6 +108,32 @@ def test_round6_window_head():
         "stream_static_enrich_drain",
         "stream_leftouter_join_drain",
     }
+    pre_r6 = {
+        n: 5 for n in _ordered_names({})
+        if n != "region_nation_rollup" and n not in r5b
+    }
+    names = _ordered_names(pre_r6)
+    assert names[0] == "region_nation_rollup"
+    assert set(names[1:7]) == r5b
+    # After the driver's r6 greens: nothing forced, nothing unsampled.
+    post_r6 = dict(pre_r6, region_nation_rollup=6, **{n: 6 for n in r5b})
+    assert all(post_r6[n] > 0 for n in _ordered_names(post_r6)[:50])
+
+
+def test_forced_pending_names_lead_live_window():
+    """Durable form of the window-head invariant against the LIVE repo state:
+    any _FORCE_RESAMPLE name whose newest verified round predates its fix
+    round must sit inside the first-50 window (ahead of tier-2 names). When
+    nothing is pending — the steady state once the driver records the
+    re-sample — this asserts vacuously, by design."""
+    rounds = _driver_rounds()
+    names = list(REGISTRY)
+    pending = [
+        n for n, fix in _FORCE_RESAMPLE.items()
+        if n in REGISTRY and rounds.get(n, 0) < fix
+    ]
+    outside = [n for n in pending if n not in names[:50]]
+    assert outside == [], f"forced-pending names outside the window: {outside}"
 
 
 def test_every_unsampled_query_inside_window():
@@ -123,6 +158,8 @@ def test_no_decimal_outputs_in_oracles():
     cents / DOUBLE keep both hashes in the regime all 226 green queries
     occupy."""
     sf_dir = os.environ.get("SPARK_GRAFT_DECIMAL_SCAN_SF", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"testdata dir {sf_dir} absent — decimal scan needs views")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -138,6 +175,12 @@ def test_no_decimal_outputs_in_oracles():
             tbl = con.execute(
                 f"SELECT * FROM ({oracle}\n) __probe LIMIT 0"
             ).arrow()
+        except duckdb.CatalogException:
+            # An oracle referencing a table with no view is broken outright
+            # (round-6 ADVICE: surface it — the full-execution fallback would
+            # raise the same opaque error, or worse, mask a partial-views
+            # environment as a decimal result).
+            raise
         except duckdb.Error:
             # A shape LIMIT-0 can't wrap (none today) still gets scanned —
             # just with execution.

@@ -221,7 +221,16 @@ def load_all() -> dict[str, Query]:
         streaming_join_queries,
     )
 
-    rounds = _driver_rounds()
+    ordered = _ordered_names(_driver_rounds())
+    return {n: REGISTRY[n] for n in ordered}
+
+
+def _ordered_names(rounds: dict[str, int]) -> list[str]:
+    """The tier ordering over the CURRENT registry given a name→verified-round
+    map. Split out of load_all() so gate tests can exercise the ordering
+    against SIMULATED driver histories (round-6 verdict item 1: no test may
+    assert the content of the repo's mutable CORRECTNESS artifacts for a
+    fixed round — inject the history instead)."""
     prio = {m: i for i, m in enumerate(_PRIORITY_MODULES)}
 
     def tier(name: str) -> tuple[int, int]:
@@ -233,5 +242,4 @@ def load_all() -> dict[str, Query]:
         mod = REGISTRY[name].fn.__module__.rsplit(".", 1)[-1]
         return (0, prio[mod]) if mod in prio else (1, 0)
 
-    ordered = sorted(REGISTRY, key=tier)  # stable: in-module order preserved
-    return {n: REGISTRY[n] for n in ordered}
+    return sorted(REGISTRY, key=tier)  # stable: in-module order preserved
