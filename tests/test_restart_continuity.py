@@ -1,0 +1,166 @@
+"""Checkpoint-restart continuity for the two stateful operators whose drains
+pin cross-BATCH continuity but not cross-PROCESS continuity (round-6 verdict
+item 7; the pattern is tests/test_streaming_cusum.py's kill-and-restart):
+the symmetric-hash-join buffer and the Misra-Gries summary must survive a
+query stop + fresh query on the SAME checkpoint, because at 100 TB a
+continuous job WILL be rescheduled mid-stream and every buffered-but-unjoined
+row (or sketch counter) lost at that boundary is silent data loss.
+
+Both tests drain, stop, then drain NEW source files through a new query on
+the same checkpoint and assert an output that can only exist if the first
+run's state was restored:
+- join: the view arrives before the restart, its matching purchase after —
+  the pair can only emit from restored view-side state;
+- MG: the heavy key's entire weight arrives before the restart, only noise
+  after — the key can only survive in the final summary via restored
+  counters (its weight is bounded-deficit-guaranteed, so absence is a reset,
+  not pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+T0 = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+_M = 60_000
+
+
+def _write_file(src: str, name: str, rows: list[dict], mtime: int) -> None:
+    os.makedirs(src, exist_ok=True)
+    p = os.path.join(src, name)
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    os.utime(p, (mtime, mtime))
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    from topk_spark.streaming.interval_join import interval_join
+
+    views_dir = str(tmp_path / "views")
+    buys_dir = str(tmp_path / "buys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> list:
+        views = (
+            spark.readStream.schema("view_id string, user_id string, view_ms long")
+            .option("maxFilesPerTrigger", "1")
+            .json(views_dir)
+            .withColumn("view_ts", F.timestamp_millis("view_ms"))
+            .drop("view_ms")
+        )
+        buys = (
+            spark.readStream.schema("order_id string, b_user_id string, buy_ms long")
+            .option("maxFilesPerTrigger", "1")
+            .json(buys_dir)
+            .withColumn("buy_ts", F.timestamp_millis("buy_ms"))
+            .drop("buy_ms")
+        )
+        joined = interval_join(
+            views,
+            buys,
+            left_key="user_id",
+            right_key="b_user_id",
+            left_time="view_ts",
+            right_time="buy_ts",
+            window="60 minutes",
+            watermark_delay="10 hours",
+            how="inner",
+        ).select("view_id", "order_id")
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not os.path.isdir(out):
+            return []
+        return sorted(
+            (r["view_id"], r["order_id"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # Run 1: the view (plus an already-matchable pair as a liveness check);
+    # U1's purchase does not exist yet.
+    _write_file(views_dir, "v0.json", [
+        {"view_id": "V_PRE", "user_id": "U1", "view_ms": T0},
+        {"view_id": "V_W", "user_id": "U2", "view_ms": T0},
+    ], 1000)
+    _write_file(buys_dir, "b0.json", [
+        {"order_id": "O_W", "b_user_id": "U2", "buy_ms": T0 + 5 * _M},
+    ], 1000)
+    first = drain()
+    assert first == [("V_W", "O_W")]
+
+    # Run 2, same checkpoint: ONLY the purchase arrives. The (V_PRE, O_POST)
+    # pair requires V_PRE's buffered state to have been restored.
+    _write_file(buys_dir, "b1.json", [
+        {"order_id": "O_POST", "b_user_id": "U1", "buy_ms": T0 + 30 * _M},
+    ], 1010)
+    second = drain()
+    assert ("V_PRE", "O_POST") in second, (
+        "view state buffered before the restart did not join a purchase "
+        "arriving after it — join state lost across checkpoint restart"
+    )
+
+
+def test_mg_summary_state_survives_restart(spark, tmp_path):
+    from topk_spark.streaming.heavyhitters import streaming_mg_summary
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cap = 4
+
+    def drain() -> dict[int, int]:
+        stream = (
+            spark.readStream.schema("cohort long, w long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = (
+            streaming_mg_summary(stream, cap=cap)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("_bid", F.lit(int(bid)))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out)
+        last = rows.agg(F.max("_bid")).collect()[0][0]
+        return {
+            r["cohort"]: r["est"]
+            for r in rows.filter(F.col("_bid") == last).collect()
+        }
+
+    # Run 1: cohort 7 carries weight 500; 8 noise cohorts at weight 1.
+    _write_file(src, "f0.json", [
+        {"cohort": 7, "w": 500},
+        *({"cohort": 100 + i, "w": 1} for i in range(8)),
+    ], 1000)
+    first = drain()
+    assert first.get(7, 0) >= 400  # present and dominant before the restart
+
+    # Run 2, same checkpoint: noise only — cohort 7 never reappears. Total
+    # weight W = 516, so MG's deficit bound is 2W/(cap+1) ≈ 206: if the
+    # counters were restored, cohort 7 MUST survive with est ≥ ~294; if the
+    # state was reset, batch 2's summary cannot contain it at all.
+    _write_file(src, "f1.json", [
+        {"cohort": 100 + i, "w": 1} for i in range(8)
+    ], 1010)
+    second = drain()
+    assert second.get(7, 0) >= 250, (
+        f"heavy cohort lost across checkpoint restart: {second}"
+    )

@@ -142,3 +142,92 @@ def test_stream_stream_interval_join(spark, tmp_path):
     _drain(q)
     rows = spark.table("attributed").collect()
     assert [(r["order_id"], r["view_id"]) for r in rows] == [("O1", "V1")]
+
+
+def test_interval_join_salted_matches_unsalted(spark, tmp_path):
+    """salt_buckets must change WHERE the join's work lands (hot key spread
+    over N state partitions), never WHAT it returns: on a fixture with one
+    hot user carrying most rows plus a never-matched view, the salted join's
+    full result set — pairs AND left-outer null rows — must equal the
+    unsalted join's, for both join types."""
+    from topk_spark.streaming.interval_join import interval_join
+
+    m = 60_000
+    views_rows = [
+        {"view_id": f"V{i}", "user_id": "U_HOT", "item_id": "I1",
+         "view_ms": T0 + i * 1000}
+        for i in range(12)
+    ] + [
+        # matched tail key + a never-matched view (left_outer null row)
+        {"view_id": "VT", "user_id": "U_TAIL", "item_id": "I2", "view_ms": T0},
+        {"view_id": "VN", "user_id": "U_NONE", "item_id": "I3", "view_ms": T0},
+        # views-side watermark advancer (policy 'min' takes the LOWER of the
+        # two sides' maxima — without this VN's eviction never comes due);
+        # itself still in-window at end-of-stream, so it must NOT appear.
+        {"view_id": "VADV", "user_id": "U_ADV2", "item_id": "I9",
+         "view_ms": T0 + 100 * 60_000},
+    ]
+    buys_rows = [
+        {"order_id": f"O{i}", "user_id": "U_HOT", "item_id": "I1",
+         "buy_ms": T0 + i * 1000 + 500}
+        for i in range(12)
+    ] + [
+        {"order_id": "OT", "user_id": "U_TAIL", "item_id": "I2",
+         "buy_ms": T0 + 5 * m},
+        # watermark advancer: pushes wm past VN's window in the flush batch
+        {"order_id": "OADV", "user_id": "U_ADV", "item_id": "I9",
+         "buy_ms": T0 + 100 * m},
+    ]
+
+    def run(how: str, salt, name: str):
+        vdir = str(tmp_path / f"views_{name}")
+        bdir = str(tmp_path / f"buys_{name}")
+        os.makedirs(vdir)
+        os.makedirs(bdir)
+        _write_jsonl(os.path.join(vdir, "v0.jsonl"), views_rows)
+        _write_jsonl(os.path.join(bdir, "b0.jsonl"), buys_rows)
+        views = (
+            spark.readStream.schema(VIEW_SCHEMA).json(vdir)
+            .withColumn("view_ts", F.timestamp_millis("view_ms"))
+            .drop("view_ms", "item_id")
+        )
+        buys = (
+            spark.readStream.schema(BUY_SCHEMA).json(bdir)
+            .withColumn("buy_ts", F.timestamp_millis("buy_ms"))
+            .drop("buy_ms", "item_id")
+            .withColumnRenamed("user_id", "b_user_id")
+        )
+        joined = interval_join(
+            views,
+            buys,
+            left_key="user_id",
+            right_key="b_user_id",
+            left_time="view_ts",
+            right_time="buy_ts",
+            window="10 minutes",
+            watermark_delay="20 minutes",
+            how=how,
+            salt_buckets=salt,
+        ).select("view_id", "order_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return sorted(
+            (r["view_id"], r["order_id"]) for r in spark.table(name).collect()
+        )
+
+    for how in ("inner", "left_outer"):
+        plain = run(how, None, f"sj_{how}_plain")
+        salted = run(how, 4, f"sj_{how}_salted")
+        assert salted == plain, f"{how}: salted result diverged"
+    # sanity on the fixture itself: the hot key really dominates, and the
+    # left_outer run really exercised a null row
+    inner = run("inner", None, "sj_sanity")
+    assert sum(1 for v, _ in inner if v.startswith("V") and v[1:].isdigit()) >= 60
+    outer = run("left_outer", 4, "sj_sanity_outer")
+    assert ("VN", None) in outer

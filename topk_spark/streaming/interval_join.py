@@ -23,7 +23,14 @@ Semantics (pinned under the driver gate by
 At 100 TB: state per partition is (input rate × window × key share); skew
 concentrates on hot keys, which AQE cannot fix in streaming — pre-salting
 the equality key (ops-level, both sides identically) is the lever, same as
-the batch `salted_skew_join`.
+the batch `salted_skew_join`. `salt_buckets` implements it: the left side
+gets a deterministic per-row salt, the right side is replicated once per
+salt value, and the join key becomes (key, salt) — a hot key's probe and
+emission work then spreads over `salt_buckets` state-store partitions
+instead of serializing on one, at the cost of ×salt right-side state.
+Each (left, right) pair still joins exactly once (the left row carries ONE
+salt; only the matching right replica satisfies the condition), so inner
+results are unchanged and left-outer null-emission policy is untouched.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ def interval_join(
     window: str,
     watermark_delay: str,
     how: str = "inner",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Join two STREAMING DataFrames on `left_key == right_key` where
     `right_time` falls inside `[left_time, left_time + window)`. Both sides
@@ -52,7 +60,22 @@ def interval_join(
     plans, never a stale pre-watermark lineage.
 
     `window` / `watermark_delay` are Spark interval strings ("7 days").
-    `how` is "inner" or "left_outer"."""
+    `how` is "inner" or "left_outer". `salt_buckets` (optional) pre-salts
+    the equality key to spread a hot key over that many partitions — result
+    rows are identical to the unsalted join (module docstring has the
+    argument); use when one key carries a large traffic share."""
+    if salt_buckets is not None and salt_buckets > 1:
+        left = left.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(left_key), F.col(left_time)),
+                F.lit(salt_buckets),
+            ).cast("int"),
+        )
+        right = right.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
     lw = left.withWatermark(left_time, watermark_delay)
     rw = right.withWatermark(right_time, watermark_delay)
     cond = (
@@ -60,4 +83,8 @@ def interval_join(
         & (rw[right_time] >= lw[left_time])
         & (rw[right_time] < lw[left_time] + F.expr(f"INTERVAL {window}"))
     )
+    if salt_buckets is not None and salt_buckets > 1:
+        cond = cond & (lw["_salt"] == rw["_salt"])
+        joined = lw.join(rw, on=cond, how=how)
+        return joined.drop(lw["_salt"]).drop(rw["_salt"])
     return lw.join(rw, on=cond, how=how)

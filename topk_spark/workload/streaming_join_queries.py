@@ -144,7 +144,9 @@ def _view_purchase_tiles(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     return views, purchases
 
 
-def _build_join(how: str, delay: str) -> Callable[[DataFrame, DataFrame], DataFrame]:
+def _build_join(
+    how: str, delay: str, salt_buckets: int | None = None
+) -> Callable[[DataFrame, DataFrame], DataFrame]:
     """build() for drain_join: the reusable interval_join operator
     (streaming/interval_join.py) on user_id with the 7-day view→purchase
     window, projected to the drains' hashed output columns."""
@@ -161,6 +163,7 @@ def _build_join(how: str, delay: str) -> Callable[[DataFrame, DataFrame], DataFr
             window="7 DAYS",
             watermark_delay=delay,
             how=how,
+            salt_buckets=salt_buckets,
         )
         return joined.select(
             "user_id",
@@ -174,10 +177,11 @@ def _build_join(how: str, delay: str) -> Callable[[DataFrame, DataFrame], DataFr
     return build
 
 
-@register(
-    "stream_interval_join_drain",
-    tags=("T1", "T8", "joins", "streaming"),
-    oracle="""
+# Shared by the plain and the pre-salted inner-join drains: salting is a
+# physical re-partitioning lever (streaming/interval_join.py docstring), so
+# BOTH must hash-match the same relational derivation — same pairs, same
+# emit batches.
+_INNER_JOIN_ORACLE = """
 WITH e AS (
   SELECT event_id, ts, user_id, event_type FROM events
   WHERE event_type IN ('view', 'purchase')
@@ -195,7 +199,13 @@ FROM v JOIN p
   ON v.user_id = p.user_id
  AND p.purchase_ts >= v.view_ts
  AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY
-""",
+"""
+
+
+@register(
+    "stream_interval_join_drain",
+    tags=("T1", "T8", "joins", "streaming"),
+    oracle=_INNER_JOIN_ORACLE,
 )
 def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join, drained through THREE
@@ -208,6 +218,34 @@ def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     views, purchases = _view_purchase_tiles(spark, sf_dir)
     drained = drain_join(
         spark, views, purchases, _build_join("inner", "90 days"), n_batches=3
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_interval_join_salted_drain",
+    tags=("T1", "T8", "joins", "streaming", "skew"),
+    oracle=_INNER_JOIN_ORACLE,
+)
+def stream_interval_join_salted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-SALTED stream-stream interval join (salt_buckets=8 — the
+    documented hot-key lever, streaming/interval_join.py) under the same
+    oracle as the unsalted drain: the left side carries a deterministic salt,
+    the right side replicates once per salt value, and the join key widens to
+    (user_id, salt), spreading a hot key's probe + emission over 8 state
+    partitions. Identical hash REQUIRED: same pairs (each left row holds one
+    salt, so exactly one right replica matches), same emit batches (a
+    replica arrives in its original row's micro-batch, so the later-leg
+    emission rule is untouched). bench.py's streaming_join_skew section
+    measures the per-pair cost story; THIS pins that the optimization cannot
+    change results."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark,
+        views,
+        purchases,
+        _build_join("inner", "90 days", salt_buckets=8),
+        n_batches=3,
     )
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
 
