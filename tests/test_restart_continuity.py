@@ -14,7 +14,16 @@ run's state was restored:
 - MG: the heavy key's entire weight arrives before the restart, only noise
   after — the key can only survive in the final summary via restored
   counters (its weight is bounded-deficit-guaranteed, so absence is a reset,
-  not pruning).
+  not pruning);
+- dedup: a key first seen before the restart recurs after it — suppression
+  requires the restored first-seen state (a reset re-admits it);
+- HLL: distinct items split across the restart — the final estimate covers
+  both halves only if the sketch state was restored (a reset would halve
+  it, far outside the sketch's error bound).
+
+With these four, every stateful-operator class the engine ships (symmetric
+hash join, custom GroupState sketch/dedup, built-in windowed/sketch
+aggregation state) has a restart pin.
 """
 
 from __future__ import annotations
@@ -163,4 +172,98 @@ def test_mg_summary_state_survives_restart(spark, tmp_path):
     second = drain()
     assert second.get(7, 0) >= 250, (
         f"heavy cohort lost across checkpoint restart: {second}"
+    )
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    from topk_spark.streaming.stateful_dedup import dedup_stateful
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> list[str]:
+        stream = (
+            spark.readStream.schema("event_id string, timestamp long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = (
+            dedup_stateful(stream, key="event_id", ttl_ms=None)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+
+    _write_file(src, "f0.json", [
+        {"event_id": "E1", "timestamp": 1},
+        {"event_id": "E2", "timestamp": 2},
+    ], 1000)
+    assert drain() == ["E1", "E2"]
+
+    # Run 2, same checkpoint: E1 recurs — suppressing it requires the
+    # restored first-seen state; a reset would admit it a second time.
+    _write_file(src, "f1.json", [
+        {"event_id": "E1", "timestamp": 3},
+        {"event_id": "E3", "timestamp": 4},
+    ], 1010)
+    assert drain() == ["E1", "E2", "E3"], (
+        "first-seen dedup state lost across checkpoint restart"
+    )
+
+
+def test_hll_agg_state_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> int:
+        stream = (
+            spark.readStream.schema("k int, item string")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = (
+            stream.groupBy("k")
+            .agg(F.hll_sketch_agg("item", F.lit(12)).alias("sk"))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("_bid", F.lit(int(bid)))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out)
+        last = rows.agg(F.max("_bid")).collect()[0][0]
+        return (
+            rows.filter(F.col("_bid") == last)
+            .select(F.hll_sketch_estimate("sk").cast("long").alias("est"))
+            .collect()[0]["est"]
+        )
+
+    # 500 distinct items before the restart, 500 DIFFERENT ones after: the
+    # final estimate covers ~1000 only if the sketch state was restored —
+    # a reset lands near 500, an order of magnitude outside the ~4σ bound.
+    _write_file(src, "f0.json", [
+        {"k": 0, "item": f"i{n}"} for n in range(500)
+    ], 1000)
+    first = drain()
+    assert abs(first - 500) <= 0.065 * 500
+
+    _write_file(src, "f1.json", [
+        {"k": 0, "item": f"j{n}"} for n in range(500)
+    ], 1010)
+    second = drain()
+    assert abs(second - 1000) <= 0.065 * 1000, (
+        f"HLL aggregation state lost across restart: estimate {second}"
     )
