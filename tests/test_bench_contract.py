@@ -42,6 +42,7 @@ def _full_record(n_regressions: int = 0) -> dict:
         "streaming_join_skew": {
             "skew_over_uniform_per_pair": 0.084,
             "salted_over_uniform_per_pair": 0.093,
+            "hot": {"salted_speedup": 1.9},
             "flagged": [],
         },
         "e2e_latency": {"raw_visible_s": 0.718, "rollup_visible_s": 1.675},
