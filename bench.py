@@ -1034,6 +1034,20 @@ def _regressions_vs_last_round(
     return out
 
 
+def _canary_time(spark) -> float:
+    """Min-of-2 wall time of a fixed pure-CPU aggregate (no IO, no shuffle
+    variance): the yardstick for whether a measurement window is contended.
+    On this host, co-tenant load inflates EVERYTHING in a window 1.3–3×
+    on identical code (documented in _regressions_vs_last_round); a real
+    plan regression slows one query and leaves the canary alone."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -1050,7 +1064,9 @@ def main() -> None:
     # first-ever-query JIT cost.
     for name, q in headline.items():
         q.fn(spark, sf_dir).count()
-    print("# warm-up pass done; timing steady-state runs", file=sys.stderr)
+    canary_first = _canary_time(spark)
+    print(f"# warm-up pass done (canary {canary_first:.3f}s); timing "
+          f"steady-state runs", file=sys.stderr)
 
     # Two timed runs per query, report the min: GC pauses and JIT
     # recompiles land on one run or the other, not both, so min-of-2 is a
@@ -1154,6 +1170,8 @@ def main() -> None:
     # stays loud for real plan regressions (those reproduce) without
     # crying wolf every contended window.
     noise_cleared: list[dict] = []
+    window_contended: list[dict] = []
+    canary_retry = None
     if regressions:
         confirmed = []
         for entry in regressions:
@@ -1169,12 +1187,30 @@ def main() -> None:
                 confirmed.append(entry)
             else:
                 noise_cleared.append(entry)
+        # Contention check on the confirmation window itself: if the fixed
+        # pure-CPU canary ALSO slowed ≥1.3× vs the post-warm-up measurement,
+        # co-tenant load is inflating every number in this window (observed:
+        # retries coming back 2–3× WORSE than the flagged time — a real plan
+        # regression reproduces at the same level, it does not keep growing).
+        # Those flags are quarantined to `regressions_window_contended`
+        # rather than recorded as confirmed reds; a real regression will
+        # re-flag in the next clean window because the baseline BENCH record
+        # it was compared against is only replaced by a parseable new one.
+        if confirmed:
+            canary_retry = _canary_time(spark)
+            if canary_retry > 1.3 * canary_first:
+                window_contended = confirmed
+                confirmed = []
         regressions = confirmed
     if regressions:
         print(f"# PERF REGRESSIONS vs last round: {regressions}", file=sys.stderr)
     if noise_cleared:
         print(f"# regression flags cleared on retry (transients): "
               f"{noise_cleared}", file=sys.stderr)
+    if window_contended:
+        print(f"# regression flags quarantined — confirmation window "
+              f"contended (canary {canary_first:.3f}s -> {canary_retry:.3f}s):"
+              f" {window_contended}", file=sys.stderr)
     # Round-1's headline set was these 7; the set has since widened, so the
     # stable cross-round trend signal is this subset total, not `value`.
     _R01_SET = (
@@ -1207,6 +1243,11 @@ def main() -> None:
         "scaling": scaling,
         "regressions": regressions,
         "regressions_noise_cleared": noise_cleared,
+        "regressions_window_contended": window_contended,
+        "canary_s": {
+            "first": round(canary_first, 4),
+            "retry": round(canary_retry, 4) if canary_retry else None,
+        },
     }
     here = os.path.dirname(os.path.abspath(__file__))
     import glob
@@ -1262,6 +1303,7 @@ def _compact_summary(full: dict, detail_name: str) -> str:
         + len(jskew["flagged"]),
         "regressions": full["regressions"],
         "noise_cleared": len(full["regressions_noise_cleared"]),
+        "window_contended": len(full.get("regressions_window_contended", [])),
         "detail": detail_name,
     }
     line = json.dumps(compact)

@@ -58,6 +58,8 @@ def _full_record(n_regressions: int = 0) -> dict:
             }
         ][:n_regressions] * n_regressions,
         "regressions_noise_cleared": [],
+        "regressions_window_contended": [],
+        "canary_s": {"first": 0.21, "retry": None},
     }
 
 
