@@ -1,13 +1,13 @@
-"""Checkpoint-restart continuity for the two stateful operators whose drains
-pin cross-BATCH continuity but not cross-PROCESS continuity (round-6 verdict
+"""Checkpoint-restart continuity for the stateful operators whose drains pin
+cross-BATCH continuity but not cross-PROCESS continuity (round-6 verdict
 item 7; the pattern is tests/test_streaming_cusum.py's kill-and-restart):
-the symmetric-hash-join buffer and the Misra-Gries summary must survive a
-query stop + fresh query on the SAME checkpoint, because at 100 TB a
-continuous job WILL be rescheduled mid-stream and every buffered-but-unjoined
-row (or sketch counter) lost at that boundary is silent data loss.
+state must survive a query stop + fresh query on the SAME checkpoint,
+because at 100 TB a continuous job WILL be rescheduled mid-stream and every
+buffered-but-unjoined row (or sketch counter, or dedup key, or canonical
+document) lost at that boundary is silent data loss.
 
-Both tests drain, stop, then drain NEW source files through a new query on
-the same checkpoint and assert an output that can only exist if the first
+Each test drains, stops, then drains NEW source files through a new query on
+the same checkpoint and asserts an output that can only exist if the first
 run's state was restored:
 - join: the view arrives before the restart, its matching purchase after —
   the pair can only emit from restored view-side state;
@@ -19,11 +19,15 @@ run's state was restored:
   requires the restored first-seen state (a reset re-admits it);
 - HLL: distinct items split across the restart — the final estimate covers
   both halves only if the sketch state was restored (a reset would halve
-  it, far outside the sketch's error bound).
+  it, far outside the sketch's error bound);
+- near-dup: the canonical document's band-bucket entries are written before
+  the restart, its near-duplicate arrives after — the match can only be
+  emitted against restored bucket state (a reset silently re-admits the
+  duplicate, the worst failure mode for an ingest-time suppressor).
 
-With these four, every stateful-operator class the engine ships (symmetric
-hash join, custom GroupState sketch/dedup, built-in windowed/sketch
-aggregation state) has a restart pin.
+With these, every stateful-operator class the engine ships (symmetric hash
+join, custom GroupState sketch/dedup/bucket state, built-in
+windowed/sketch aggregation state) has a restart pin.
 """
 
 from __future__ import annotations
@@ -266,4 +270,57 @@ def test_hll_agg_state_survives_restart(spark, tmp_path):
     second = drain()
     assert abs(second - 1000) <= 0.065 * 1000, (
         f"HLL aggregation state lost across restart: estimate {second}"
+    )
+
+
+def test_neardup_bucket_state_survives_restart(spark, tmp_path):
+    from topk_spark.streaming.neardup import neardup_match_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def drain() -> list[tuple[int, int]]:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = (
+            neardup_match_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not os.path.isdir(out):
+            return []
+        return sorted(
+            (r["id"], r["dup_of"])
+            for r in spark.read.parquet(out)
+            .dropDuplicates(["id", "dup_of"])
+            .collect()
+        )
+
+    # Run 1: the canonical doc plus an unrelated one — no matches yet.
+    _write_file(src, "f0.json", [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "completely different words about spark "
+                              "streaming state stores and checkpoints"},
+    ], 1000)
+    assert drain() == []
+
+    # Run 2, same checkpoint: a near-duplicate of doc 1 (one word changed).
+    # The suppression match exists only if doc 1's band-bucket entries were
+    # restored; a reset admits doc 3 as a new canonical, silently.
+    _write_file(src, "f1.json", [
+        {"doc_id": 3, "text": base.replace("today", "tonight")},
+    ], 1010)
+    assert drain() == [(3, 1)], (
+        "near-dup bucket state lost across checkpoint restart"
     )
