@@ -313,3 +313,46 @@ def test_streaming_hll_reset_counterfactual(spark, sf_dir):
             f"{etype}: tercile-2-only estimate {t2[etype]} within bound of "
             f"{x} — the continuity check is vacuous on this fixture"
         )
+
+
+def test_stream_percentile_drain_ok_and_reset_counterfactual(spark, sf_dir):
+    """(a) The drained GK quantile state passes the 1%-of-span bound for
+    every event type; (b) the bound is LOAD-BEARING: the median of the last
+    event-time tercile alone (what a per-batch state reset would leave in
+    the summary) sits ~33% of the span from the true median — vacuous-check
+    insurance, same pattern as the HLL drain's counterfactual."""
+    import pyspark.sql.functions as F
+
+    from topk_spark.io.sources import load_table
+    from topk_spark.workload import load_all
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+
+    rows = load_all()["stream_percentile_drain"].fn(spark, sf_dir).collect()
+    assert rows and all(r.med_ok and r.p95_ok for r in rows)
+
+    ev = _range_tile(
+        load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", F.unix_millis("ts").cast("double").alias("v")
+        ),
+        "ts",
+        3,
+    )
+    span = ev.agg((F.max("v") - F.min("v")).alias("s")).collect()[0].s
+    full = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    t2 = {
+        r.event_type: r.m
+        for r in ev.filter(F.col("_tile") == 2)
+        .groupBy("event_type")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    for etype, m in full.items():
+        assert abs(t2[etype] - m) > 10 * 0.01 * span, (
+            f"{etype}: tercile-2-only median within 10x the bound — "
+            f"the continuity check would be vacuous on this fixture"
+        )

@@ -261,3 +261,70 @@ def stream_hll_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.065) * F.col("exact")
         ).alias("ok"),
     )
+
+
+@register(
+    "stream_percentile_drain",
+    tags=("A7", "T8", "sketch", "streaming"),
+    oracle="SELECT event_type, true AS med_ok, true AS p95_ok "
+           "FROM events GROUP BY event_type",
+)
+def stream_percentile_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approx-QUANTILES: `percentile_approx` (Greenwald–Khanna
+    summary) as streaming aggregation state — the quantile sibling of
+    `stream_hll_distinct_drain`, and the last sketch class the drain suite
+    lacked (distinct → HLL, frequency → Misra-Gries, rank → this). The
+    reference publishes latency percentiles over its rollups (BASELINE.md's
+    P50/P99 serving claims); a continuous engine computes them as live
+    state, never by re-sorting history.
+
+    Design that makes cross-batch continuity LOAD-BEARING: the aggregated
+    value is the event's epoch-millisecond timestamp itself, monotone in
+    event time, and the replay is event-time-ordered terciles — so the
+    true median sits at ~50 % of the fixture's time span while the median
+    of tercile 2 alone sits at ~83 %. A sketch that reset per micro-batch
+    would therefore miss the 1 %-of-span bound below by ~30× (pinned as a
+    counterfactual in tests/test_heavyhitters.py); the merged GK summary
+    passes it. At the gate scale the per-type row count is far below the
+    10,000 accuracy parameter, so the summary is in its exact regime (the
+    ceil(p·n)-th order statistic) and the 1 % bound is slack only for the
+    interpolation difference vs the oracle-side exact percentile.
+
+    At 100 TB: state per group is the GK summary (O(accuracy) entries),
+    independent of row count; the raw stream never shuffles beyond the
+    keyed aggregation exchange — the same posture as every other sketch
+    drain."""
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.unix_millis("ts").cast("double").alias("v"),
+    )
+    drained = _drain(
+        spark,
+        ev,
+        lambda s: s.groupBy("event_type").agg(
+            F.percentile_approx("v", F.lit(0.5), F.lit(10000)).alias("med"),
+            F.percentile_approx("v", F.lit(0.95), F.lit(10000)).alias("p95"),
+        ),
+        output_mode="update",
+        last_per=["event_type"],
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("x_med"),
+        F.expr("percentile(v, 0.95)").alias("x_p95"),
+    )
+    span = ev.agg((F.max("v") - F.min("v")).alias("span"))
+    tol = F.lit(0.01) * F.col("span")
+    return (
+        drained.join(exact, "event_type")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            (F.abs(F.col("med") - F.col("x_med")) <= tol).alias("med_ok"),
+            (F.abs(F.col("p95") - F.col("x_p95")) <= tol).alias("p95_ok"),
+        )
+    )
