@@ -3,10 +3,9 @@
 Re-exports the topk_spark workload registry:
 - ``entry(spark)``      — flagship query at sf0.001 (smoke),
 - ``queries()``         — name → (spark, sf_dir) -> DataFrame,
-- ``oracle_sql()``      — name → DuckDB SQL (omitted only for the
-                          engine-specific MinHash pair-set query → driver
-                          records a rows-only check; its recall twin is
-                          oracled).
+- ``oracle_sql()``      — name → DuckDB SQL. Every registered query is
+                          oracled (zero rows-only entries since round 5),
+                          so this dict covers ``queries()`` exactly.
 """
 
 from __future__ import annotations

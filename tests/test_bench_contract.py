@@ -56,7 +56,7 @@ def _full_record(n_regressions: int = 0) -> dict:
                 "ratio": 1.36,
                 "retry_s": 1.4011,
             }
-        ][:n_regressions] * n_regressions,
+        ] * n_regressions,
         "regressions_noise_cleared": [],
         "regressions_window_contended": [],
         "canary_s": {"first": 0.21, "retry": None},

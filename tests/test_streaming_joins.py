@@ -231,3 +231,56 @@ def test_interval_join_salted_matches_unsalted(spark, tmp_path):
     assert sum(1 for v, _ in inner if v.startswith("V") and v[1:].isdigit()) >= 60
     outer = run("left_outer", 4, "sj_sanity_outer")
     assert ("VN", None) in outer
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    """salt_buckets' result-invariance argument only covers inner and
+    left_outer (right-side replication makes every unmatched right row emit
+    salt_buckets-1 spurious null-joined duplicates under right/full outer)
+    — the operator must refuse, not silently corrupt."""
+    import pytest
+
+    from topk_spark.streaming.interval_join import interval_join
+
+    v = spark.createDataFrame([("V1", "U1", 0)], "view_id string, user_id string, view_ms long").withColumn("view_ts", F.timestamp_millis("view_ms"))
+    b = spark.createDataFrame([("O1", "U1", 0)], "order_id string, b_user_id string, buy_ms long").withColumn("buy_ts", F.timestamp_millis("buy_ms"))
+    kwargs = dict(
+        left_key="user_id",
+        right_key="b_user_id",
+        left_time="view_ts",
+        right_time="buy_ts",
+        window="10 minutes",
+        watermark_delay="20 minutes",
+    )
+    for how in ("right_outer", "full_outer", "left_semi"):
+        with pytest.raises(ValueError, match="salt_buckets"):
+            interval_join(v, b, how=how, salt_buckets=4, **kwargs)
+    # unsalted right_outer stays the caller's business — no guard triggers
+    interval_join(v, b, how="inner", salt_buckets=4, **kwargs)
+
+
+def test_salted_join_rejects_salt_column_collision(spark):
+    """A caller-owned `_salt` column on either input would be silently
+    overwritten by the salting lever and then dropped from the output —
+    refuse instead."""
+    import pytest
+
+    from topk_spark.streaming.interval_join import interval_join
+
+    v = spark.createDataFrame([("V1", "U1", 0, 9)], "view_id string, user_id string, view_ms long, _salt int").withColumn("view_ts", F.timestamp_millis("view_ms"))
+    b = spark.createDataFrame([("O1", "U1", 0)], "order_id string, b_user_id string, buy_ms long").withColumn("buy_ts", F.timestamp_millis("buy_ms"))
+    kwargs = dict(
+        left_key="user_id",
+        right_key="b_user_id",
+        left_time="view_ts",
+        right_time="buy_ts",
+        window="10 minutes",
+        watermark_delay="20 minutes",
+    )
+    with pytest.raises(ValueError, match="_salt"):
+        interval_join(v, b, salt_buckets=4, **kwargs)
+    with pytest.raises(ValueError, match="_salt"):
+        interval_join(b.withColumnRenamed("order_id", "oid"), v.withColumnRenamed("view_id", "vid").withColumnRenamed("user_id", "u2").withColumnRenamed("view_ts", "vts2"), left_key="b_user_id", right_key="u2", left_time="buy_ts", right_time="vts2", window="10 minutes", watermark_delay="20 minutes", salt_buckets=4)
+    # without salting the caller's _salt column is untouched and legal
+    out = interval_join(v, b, **kwargs)
+    assert "_salt" in out.columns

@@ -65,6 +65,22 @@ def interval_join(
     rows are identical to the unsalted join (module docstring has the
     argument); use when one key carries a large traffic share."""
     if salt_buckets is not None and salt_buckets > 1:
+        # The result-invariance argument (module docstring) is made for
+        # inner and left_outer only. A right/full outer would emit one
+        # null-joined row PER UNMATCHED RIGHT REPLICA — salt_buckets-1
+        # spurious duplicates — so refuse rather than silently corrupt.
+        if how not in ("inner", "left_outer"):
+            raise ValueError(
+                f"salt_buckets requires how in ('inner', 'left_outer'); "
+                f"got {how!r} — right-side replication would duplicate "
+                f"unmatched-right null rows"
+            )
+        for side, df in (("left", left), ("right", right)):
+            if "_salt" in df.columns:
+                raise ValueError(
+                    f"salt_buckets reserves column name '_salt', which the "
+                    f"{side} input already carries — rename it first"
+                )
         left = left.withColumn(
             "_salt",
             F.pmod(
