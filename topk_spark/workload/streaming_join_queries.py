@@ -301,10 +301,12 @@ def stream_static_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
 
 
-@register(
-    "stream_leftouter_join_drain",
-    tags=("T1", "T7", "T8", "joins", "streaming"),
-    oracle="""
+# Shared by the plain and the pre-salted LEFT OUTER drains — the null-
+# emission schedule (which micro-batch each never-matched view's null row
+# emits in, under the min-of-both-sides watermark policy) is the subtle half
+# of the salting invariance argument, so the salted variant must hash-match
+# this same derivation, not merely the same pair set.
+_LEFTOUTER_JOIN_ORACLE = """
 WITH e AS (
   SELECT event_id, ts, user_id, event_type FROM events
   WHERE event_type IN ('view', 'purchase')
@@ -354,7 +356,13 @@ nulls AS (
     ON epoch_us(u.view_ts) + 604800000000 < wm.w_ms * 1000
   GROUP BY u.user_id, u.view_id)
 SELECT * FROM matched UNION ALL SELECT * FROM nulls
-""",
+"""
+
+
+@register(
+    "stream_leftouter_join_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming"),
+    oracle=_LEFTOUTER_JOIN_ORACLE,
 )
 def stream_leftouter_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream interval join with a live (1-day) watermark:
@@ -376,5 +384,38 @@ def stream_leftouter_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     views, purchases = _view_purchase_tiles(spark, sf_dir)
     drained = drain_join(
         spark, views, purchases, _build_join("left_outer", "1 day"), n_batches=3
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_leftouter_join_salted_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming", "skew"),
+    oracle=_LEFTOUTER_JOIN_ORACLE,
+)
+def stream_leftouter_join_salted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-SALTED left-outer interval join (salt_buckets=8) under the
+    SAME oracle as the unsalted left-outer drain — completing the salting
+    invariance argument under the hash gate. The inner-join salted drain
+    (round 7) pins that salting keeps the matched-pair set and its emit
+    batches; what it cannot see is the NULL-EMISSION schedule, the watermark-
+    driven half of the state machine: a never-matched view's null row must
+    still emit in the first micro-batch whose min-of-both-sides watermark
+    passes view_ts + 7 days, including the trailing flush batch. Salting
+    must leave that schedule untouched because (a) the left row keeps its
+    arrival batch (only a salt column is added), (b) each right replica
+    arrives in its original row's batch so per-side max event time — hence
+    the watermark schedule — is unchanged, and (c) a left row is unmatched
+    under (key, salt) iff it was unmatched under key alone (its one salt's
+    replica set contains exactly the rows the unsalted join would probe).
+    A hash match against the unsalted derivation is therefore REQUIRED;
+    divergence would mean the skew lever changes outer-join results."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark,
+        views,
+        purchases,
+        _build_join("left_outer", "1 day", salt_buckets=8),
+        n_batches=3,
     )
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
