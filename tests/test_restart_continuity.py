@@ -28,6 +28,14 @@ run's state was restored:
 With these, every stateful-operator class the engine ships (symmetric hash
 join, custom GroupState sketch/dedup/bucket state, built-in
 windowed/sketch aggregation state) has a restart pin.
+
+The whole matrix runs under BOTH state-store providers (round-7 verdict
+item 4): the default HDFS-backed store AND RocksDB — the provider the 100 TB
+deployment story names (session.set_state_store, benched since round 4).
+Restart × provider is exactly where state-format surprises live: RocksDB
+persists state as SST files + changelog rather than in-memory maps written
+to delta files, so recovery exercises an entirely different serialization
+and reload path per provider.
 """
 
 from __future__ import annotations
@@ -36,9 +44,30 @@ import json
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 T0 = 1_704_067_200_000  # 2024-01-01T00:00:00Z
 _M = 60_000
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def store(spark, request):
+    """Run each restart pin under both state-store providers. The conf is
+    read at STREAMING QUERY START, so flipping it between tests is safe; the
+    previous value is restored so other test modules keep the default."""
+    from topk_spark.session import _STATE_STORE_CONF, set_state_store
+
+    try:
+        prev = spark.conf.get(_STATE_STORE_CONF)
+    except Exception:
+        prev = None
+    if not set_state_store(spark, request.param):
+        pytest.skip(f"{request.param} state-store provider unavailable")
+    yield request.param
+    if prev is None:
+        spark.conf.unset(_STATE_STORE_CONF)
+    else:
+        spark.conf.set(_STATE_STORE_CONF, prev)
 
 
 def _write_file(src: str, name: str, rows: list[dict], mtime: int) -> None:
@@ -49,7 +78,7 @@ def _write_file(src: str, name: str, rows: list[dict], mtime: int) -> None:
     os.utime(p, (mtime, mtime))
 
 
-def test_interval_join_state_survives_restart(spark, tmp_path):
+def test_interval_join_state_survives_restart(spark, tmp_path, store):
     from topk_spark.streaming.interval_join import interval_join
 
     views_dir = str(tmp_path / "views")
@@ -124,7 +153,7 @@ def test_interval_join_state_survives_restart(spark, tmp_path):
     )
 
 
-def test_mg_summary_state_survives_restart(spark, tmp_path):
+def test_mg_summary_state_survives_restart(spark, tmp_path, store):
     from topk_spark.streaming.heavyhitters import streaming_mg_summary
 
     src = str(tmp_path / "src")
@@ -179,7 +208,7 @@ def test_mg_summary_state_survives_restart(spark, tmp_path):
     )
 
 
-def test_dedup_state_survives_restart(spark, tmp_path):
+def test_dedup_state_survives_restart(spark, tmp_path, store):
     from topk_spark.streaming.stateful_dedup import dedup_stateful
 
     src = str(tmp_path / "src")
@@ -222,7 +251,7 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     )
 
 
-def test_hll_agg_state_survives_restart(spark, tmp_path):
+def test_hll_agg_state_survives_restart(spark, tmp_path, store):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -273,7 +302,7 @@ def test_hll_agg_state_survives_restart(spark, tmp_path):
     )
 
 
-def test_neardup_bucket_state_survives_restart(spark, tmp_path):
+def test_neardup_bucket_state_survives_restart(spark, tmp_path, store):
     from topk_spark.streaming.neardup import neardup_match_stream
 
     src = str(tmp_path / "src")
