@@ -356,3 +356,88 @@ def test_stream_percentile_drain_ok_and_reset_counterfactual(spark, sf_dir):
             f"{etype}: tercile-2-only median within 10x the bound — "
             f"the continuity check would be vacuous on this fixture"
         )
+
+
+def test_streaming_gk_sketch_approximate_regime(spark, tmp_path):
+    """The GK summary exercised where it actually COMPRESSES (round-7
+    verdict item 3): stream_percentile_drain runs at gate scale with
+    accuracy 10,000 over far fewer rows per group, so percentile_approx
+    stays in its exact regime and the drain never tests the approximation.
+    Here accuracy=50 (rank error bound eps*n = n/50) over n=20,000 distinct
+    values per group — 400x the accuracy parameter, so the summary provably
+    cannot retain the inputs and must compress — streamed as aggregation
+    state across three micro-batches (merges of partial GK summaries in the
+    state store, the regime the drain's docstring claims).
+
+    Values are a deterministic bijection of 0..n-1, so rank(v) = v + 1 and
+    the Greenwald-Khanna guarantee |rank(returned) - p*n| <= n/accuracy is
+    directly checkable per decile. Compression evidence: with ~400x
+    compression at least one probed decile must differ from the exact order
+    statistic (all nine exact would mean the summary retained full rank
+    information)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    n = 20_000
+    acc = 50
+    probes = [i / 10 for i in range(1, 10)]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _os.makedirs(src)
+    # v = (id * 99991) % n is a bijection on 0..n-1 (gcd(99991, n) = 1), so
+    # arrival order is decorrelated from rank; 3 files = 3 micro-batches.
+    rows_all = [
+        {"k": g, "v": (i * 99991) % n} for i in range(n) for g in (0, 1)
+    ]
+    m = len(rows_all)
+    thirds = [rows_all[: m // 3], rows_all[m // 3 : 2 * m // 3], rows_all[2 * m // 3 :]]
+    for b, chunk in enumerate(thirds):
+        p = _os.path.join(src, f"f{b}.json")
+        with open(p, "w") as fh:
+            fh.write("\n".join(_json.dumps(r) for r in chunk))
+        _os.utime(p, (1000 + 10 * b, 1000 + 10 * b))
+
+    stream = (
+        spark.readStream.schema("k int, v long")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .json(src)
+    )
+    agg = stream.groupBy("k").agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(p) for p in probes]), F.lit(acc)
+        ).alias("qs")
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("_bid", F.lit(int(bid)))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out)
+    last = res.agg(F.max("_bid")).collect()[0][0]
+    assert last >= 2, "expected 3 micro-batches (state merged across them)"
+    final = {r["k"]: list(r["qs"]) for r in res.filter(F.col("_bid") == last).collect()}
+    assert set(final) == {0, 1}
+    bound = n / acc  # GK rank-error guarantee
+    for g, qs in final.items():
+        inexact = 0
+        for p, v in zip(probes, qs):
+            exact_v = -(-p * n // 1) - 1  # ceil(p*n)-th smallest of 0..n-1
+            # rank(v) = v + 1; target rank p*n
+            assert abs((v + 1) - p * n) <= bound + 1, (
+                f"group {g} p={p}: {v} violates the eps*n rank bound {bound}"
+            )
+            inexact += int(v != exact_v)
+        assert inexact >= 1, (
+            f"group {g}: all {len(probes)} deciles exactly equal the order "
+            f"statistics — summary did not compress; regime is not approximate"
+        )

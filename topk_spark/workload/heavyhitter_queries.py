@@ -288,7 +288,12 @@ def stream_percentile_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes it. At the gate scale the per-type row count is far below the
     10,000 accuracy parameter, so the summary is in its exact regime (the
     ceil(p·n)-th order statistic) and the 1 % bound is slack only for the
-    interpolation difference vs the oracle-side exact percentile.
+    interpolation difference vs the oracle-side exact percentile. The
+    APPROXIMATE regime — accuracy 50 over 20k distinct values per group,
+    where the summary provably compresses and only the ε·n rank guarantee
+    holds — is exercised separately by
+    tests/test_heavyhitters.py::test_streaming_gk_sketch_approximate_regime
+    (same streaming-aggregation-state shape, three merged micro-batches).
 
     At 100 TB: state per group is the GK summary (O(accuracy) entries),
     independent of row count; the raw stream never shuffles beyond the
