@@ -818,9 +818,14 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
         }
         if salt:
             out[name]["salt_buckets"] = salt
-    assert out["skewed_salted"]["pairs"] == out["skewed"]["pairs"], (
-        "salting changed join results"
-    )
+    # RuntimeError, not assert: this is a correctness tripwire inside a
+    # perf harness — it must survive `python -O` (round-7 ADVICE), or the
+    # bench would silently record a salted speedup over different results.
+    if out["skewed_salted"]["pairs"] != out["skewed"]["pairs"]:
+        raise RuntimeError(
+            f"salting changed join results: {out['skewed_salted']['pairs']} "
+            f"salted vs {out['skewed']['pairs']} unsalted pairs"
+        )
     ratio = round(
         out["skewed"]["us_per_pair"] / out["uniform"]["us_per_pair"], 3
     )
@@ -890,15 +895,32 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
         return pairs, round(time.perf_counter() - t0, 3)
 
     hp, hw = run_hot(None)
-    sp, sw = run_hot(8)
-    assert sp == hp, "salting changed hot-block join results"
+    # Bucket-sizing curve (round-7 verdict item 7): the lever costs ×N
+    # right-side state, so "how many buckets" needs a measured answer, not
+    # a guess — N=2 shows whether halving the hot partition already pays,
+    # N=32 whether over-salting's replication cost eats the win. N=8 stays
+    # the headline salted_speedup for cross-round trend continuity.
+    curve: dict[str, dict] = {}
+    for n_salt in (2, 8, 32):
+        sp, sw = run_hot(n_salt)
+        if sp != hp:  # correctness tripwire; must survive python -O
+            raise RuntimeError(
+                f"salting (buckets={n_salt}) changed hot-block join results: "
+                f"{sp} vs {hp} pairs"
+            )
+        curve[str(n_salt)] = {
+            "wall_s": sw,
+            "speedup": round(hw / sw, 2),
+        }
+    sw = curve["8"]["wall_s"]
     out["hot"] = {
         "events": n_hot,
         "window": "30 minutes",
         "pairs": hp,
         "unsalted_wall_s": hw,
         "salted_wall_s": sw,
-        "salted_speedup": round(hw / sw, 2),
+        "salted_speedup": curve["8"]["speedup"],
+        "bucket_curve": curve,
     }
     if sw > hw:
         out["flagged"].append(
@@ -1032,6 +1054,59 @@ def _regressions_vs_last_round(
                 {"query": name, "prev_s": p, "now_s": t, "ratio": round(t / p, 2)}
             )
     return out
+
+
+def _prior_canary_floor(here: str) -> float | None:
+    """The post-warm-up canary from the newest committed bench record — a
+    known-clean yardstick for this host. Round-7 ADVICE: comparing the
+    confirmation-window canary only against THIS run's first canary lets a
+    contended warm-up window mask a contended confirmation window (both
+    inflated → ratio < 1.3 → false regressions recorded as confirmed)."""
+    import glob
+    import re
+
+    numbered = []
+    for path in glob.glob(os.path.join(here, "bench_r*_local*.json")):
+        m = re.search(r"bench_r(\d+)_local", os.path.basename(path))
+        if m:
+            numbered.append((int(m.group(1)), path))
+    for _, path in sorted(numbered, reverse=True):
+        try:
+            with open(path) as fh:
+                c = json.load(fh).get("canary_s", {}).get("first")
+            if isinstance(c, (int, float)) and c > 0:
+                return float(c)
+        except (OSError, ValueError, AttributeError):
+            continue
+    return None
+
+
+def _detail_record_name(here: str, rounds: list[int]) -> str:
+    """Collision-safe name for the full bench record (round-7 verdict item
+    1): the round's committed bench_r{N}_local.json is the builder's
+    evidence, and the driver re-runs this script AFTER that commit — so if
+    the target name is already git-tracked AND present, write
+    bench_r{N}_local.driver.json (gitignored) instead of silently diverging
+    the committed file from the working tree at judging time. A plain
+    re-run before any commit still overwrites its own record."""
+    import subprocess
+
+    name = f"bench_r{max(rounds, default=0) + 1}_local.json"
+    if os.path.exists(os.path.join(here, name)):
+        try:
+            tracked = (
+                subprocess.run(
+                    ["git", "-C", here, "ls-files", "--error-unmatch", name],
+                    capture_output=True,
+                    timeout=10,
+                ).returncode
+                == 0
+            )
+        except Exception:
+            tracked = False
+        if tracked:
+            return name.replace(".json", ".driver.json")
+    return name
 
 
 def _canary_time(spark) -> float:
@@ -1198,7 +1273,17 @@ def main() -> None:
         # it was compared against is only replaced by a parseable new one.
         if confirmed:
             canary_retry = _canary_time(spark)
-            if canary_retry > 1.3 * canary_first:
+            # Floor = the cleanest canary this host has shown: min of this
+            # run's post-warm-up canary and the newest committed record's
+            # (round-7 ADVICE — a contended warm-up window must not
+            # legitimize an equally contended confirmation window).
+            prior_floor = _prior_canary_floor(
+                os.path.dirname(os.path.abspath(__file__))
+            )
+            clean_floor = min(
+                [canary_first] + ([prior_floor] if prior_floor else [])
+            )
+            if canary_retry > 1.3 * clean_floor:
                 window_contended = confirmed
                 confirmed = []
         regressions = confirmed
@@ -1258,7 +1343,7 @@ def main() -> None:
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
         if (m := re.search(r"_r(\d+)\.json$", p))
     ]
-    detail_name = f"bench_r{max(rounds, default=0) + 1}_local.json"
+    detail_name = _detail_record_name(here, rounds)
     with open(os.path.join(here, detail_name), "w") as fh:
         json.dump(full, fh, indent=1)
     print(f"# full record written to {detail_name}", file=sys.stderr)

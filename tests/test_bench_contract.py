@@ -92,3 +92,49 @@ def test_compact_line_sheds_queries_rather_than_overflowing():
     # (12 confirmed regressions) must survive the shedding
     r = parsed["regressions"]
     assert (len(r) if isinstance(r, list) else r) == 12
+
+
+def test_detail_record_name_collision_guard(tmp_path):
+    """Round-7 verdict item 1: the driver re-runs bench AFTER the builder
+    commits bench_r{N}_local.json, and the overwrite left the committed
+    record silently diverged from disk at judging time. The guard: a
+    git-tracked-and-present target routes to the gitignored .driver.json
+    name; an uncommitted record (the builder iterating pre-commit) is still
+    overwritten in place."""
+    import subprocess
+
+    from bench import _detail_record_name
+
+    here = str(tmp_path)
+    # no file yet -> plain name
+    assert _detail_record_name(here, [7]) == "bench_r8_local.json"
+    # file exists but is untracked (no git repo even) -> still plain name
+    (tmp_path / "bench_r8_local.json").write_text("{}")
+    assert _detail_record_name(here, [7]) == "bench_r8_local.json"
+    # tracked and present -> refuse to clobber
+    subprocess.run(["git", "init", "-q"], cwd=here, check=True)
+    subprocess.run(["git", "add", "bench_r8_local.json"], cwd=here, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "rec"],
+        cwd=here, check=True,
+    )
+    assert _detail_record_name(here, [7]) == "bench_r8_local.driver.json"
+    # a later round's name is free again
+    assert _detail_record_name(here, [8]) == "bench_r9_local.json"
+
+
+def test_prior_canary_floor_reads_newest_record(tmp_path):
+    from bench import _prior_canary_floor
+
+    assert _prior_canary_floor(str(tmp_path)) is None
+    (tmp_path / "bench_r6_local.json").write_text(
+        json.dumps({"canary_s": {"first": 0.30, "retry": None}})
+    )
+    (tmp_path / "bench_r7_local.json").write_text(
+        json.dumps({"canary_s": {"first": 0.15, "retry": 0.2}})
+    )
+    assert _prior_canary_floor(str(tmp_path)) == 0.15
+    # newest record malformed -> falls back to the next one
+    (tmp_path / "bench_r8_local.json").write_text("not json")
+    assert _prior_canary_floor(str(tmp_path)) == 0.15
