@@ -190,6 +190,7 @@ def _drain(
     max_files_per_trigger: int | None = None,
     ordered_split: tuple[str, int] | None = None,
     keep_bid: bool = False,
+    restart_after: int | None = None,
 ) -> DataFrame:
     """Run `build(stream)` over a one-file parquet stream of `src_df`,
     drained with availableNow into a parquet sink; return the drained rows.
@@ -218,41 +219,76 @@ def _drain(
 
     `keep_bid`: surface the sink's micro-batch id as `_bid` so the caller
     can PROVE multi-batch execution inside the hashed output.
+
+    `restart_after=k` (requires `ordered_split`): split the drain into TWO
+    query generations on the SAME checkpoint — generation 1 sees only tiles
+    < k (later tile files are held out), terminates, and a freshly-built
+    query processes the restored remaining tiles. A mid-stream
+    stop/reschedule: state, per-operator watermarks, and the source's
+    processed-files log all come from the checkpoint alone.
     """
     root = tempfile.mkdtemp(prefix="topk_spark_drain_")
     _TMP_ROOTS.append(root)
     src = os.path.join(root, "src")
     out = os.path.join(root, "out")
-    reader = spark.readStream.schema(src_df.schema)
+    if restart_after is not None and not ordered_split:
+        raise ValueError("restart_after requires ordered_split")
     if max_files_per_trigger and ordered_split:
         col, n = ordered_split
         assert n == max_files_per_trigger
         _write_ordered_tiles(_range_tile(src_df, col, n), root, "src", n, None)
-        reader = reader.option("maxFilesPerTrigger", 1).option(
-            "latestFirst", "false"
-        )
     elif max_files_per_trigger:
         src_df.repartition(max_files_per_trigger).write.mode(
             "overwrite"
         ).parquet(src)
-        reader = reader.option("maxFilesPerTrigger", 1)
     else:
         src_df.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = reader.parquet(src)
-    result = build(stream)
-    result_schema = result.schema
+
+    result_schema = None
 
     def write_batch(df: DataFrame, bid: int) -> None:
         df.withColumn("_bid", F.lit(int(bid))).write.mode("append").parquet(out)
 
-    q = (
-        result.writeStream.foreachBatch(write_batch)
-        .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    def run_generation() -> None:
+        nonlocal result_schema
+        reader = spark.readStream.schema(src_df.schema)
+        if max_files_per_trigger and ordered_split:
+            reader = reader.option("maxFilesPerTrigger", 1).option(
+                "latestFirst", "false"
+            )
+        elif max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        result = build(reader.parquet(src))
+        result_schema = result.schema
+        q = (
+            result.writeStream.foreachBatch(write_batch)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    held: list[tuple[str, str, float]] = []
+    if restart_after is not None:
+        holdout = os.path.join(root, "holdout")
+        os.makedirs(holdout)
+        for fn in sorted(os.listdir(src)):
+            if fn.endswith(".parquet") and int(fn.split(".")[0]) >= restart_after:
+                p = os.path.join(src, fn)
+                h = os.path.join(holdout, fn)
+                mt = os.stat(p).st_mtime
+                shutil.move(p, h)
+                held.append((h, p, mt))
+
+    run_generation()
+
+    if restart_after is not None:
+        for h, p, mt in held:
+            shutil.move(h, p)
+            os.utime(p, (mt, mt))
+        run_generation()
+
     if not os.path.isdir(out):  # zero emissions end-to-end
         return spark.createDataFrame([], result_schema)
     drained = spark.read.parquet(out)
@@ -315,10 +351,12 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_dedup_multibatch_drain",
-    tags=("D1", "T6", "T8", "streaming"),
-    oracle=f"""
+# Shared by the 3-batch continuity drain and its checkpoint-RESTART twin:
+# `n_batches` counts DISTINCT sink batch ids that emitted a survivor, which
+# is invariant under the engine's internal batch-id renumbering across a
+# restart (generation 1's trailing flush batch consumes an id without
+# emitting), so the same derivation gates both.
+_DEDUP_MULTIBATCH_ORACLE = f"""
 WITH {_ES},
 b AS {_bounds_sql("es")},
 t AS (
@@ -334,7 +372,13 @@ SELECT event_type, count(*) AS survivors,
        CAST(nb.n_batches AS BIGINT) AS n_batches
 FROM first_seen CROSS JOIN nb
 GROUP BY event_type, nb.n_batches
-""",
+"""
+
+
+@register(
+    "stream_dedup_multibatch_drain",
+    tags=("D1", "T6", "T8", "streaming"),
+    oracle=_DEDUP_MULTIBATCH_ORACLE,
 )
 def stream_dedup_multibatch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-BATCH state continuity under the gate: the same stateful
@@ -366,6 +410,52 @@ def stream_dedup_multibatch_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         max_files_per_trigger=3,
         ordered_split=("ts", 3),
         keep_bid=True,
+    )
+    nb = drained.agg(
+        F.countDistinct("_bid").cast("long").alias("n_batches")
+    )
+    return (
+        drained.groupBy("event_type")
+        .agg(
+            F.count("*").alias("survivors"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+
+
+@register(
+    "stream_dedup_restart_drain",
+    tags=("D1", "T6", "T8", "streaming", "restart"),
+    oracle=_DEDUP_MULTIBATCH_ORACLE,
+)
+def stream_dedup_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART continuity for the custom GroupState operator
+    under the driver hash gate (the join-buffer twin is
+    `stream_interval_join_restart_drain`; the pytest matrix pins both ×2
+    state-store providers): the same first-seen dedup as the multibatch
+    drain, but the drain STOPS after the first two event-time terciles and
+    a freshly-built query — new lineage, same checkpoint — processes the
+    third. Every (user, event_type) key recurring in tercile 2 must be
+    SUPPRESSED by first-seen state recovered from the checkpoint: a restart
+    that reset the GroupState would re-admit those keys in the restored
+    generation, inflating the survivor counts, adding a third distinct
+    emitting batch (`n_batches`), and failing the hash. The oracle is the
+    multibatch drain's SQL verbatim — a mid-stream reschedule must be
+    invisible in the results."""
+    from topk_spark.streaming.stateful_dedup import dedup_stateful
+
+    es = order_stream(spark, sf_dir)
+    drained = _drain(
+        spark,
+        es,
+        lambda s: dedup_stateful(
+            s, key=["user_id", "event_type"], ttl_ms=None, order_col="ts"
+        ),
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        keep_bid=True,
+        restart_after=2,
     )
     nb = drained.agg(
         F.countDistinct("_bid").cast("long").alias("n_batches")

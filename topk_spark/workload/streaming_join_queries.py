@@ -72,12 +72,22 @@ def drain_join(
     right_df: DataFrame,
     build: Callable[[DataFrame, DataFrame], DataFrame],
     n_batches: int,
+    restart_after: int | None = None,
 ) -> DataFrame:
     """Run `build(left_stream, right_stream)` with both sides replayed as
     `n_batches` tile-ordered arrival files (inputs carry `_tile`), drained
     with availableNow into a parquet sink; returns the drained rows with
     the sink micro-batch id as `_bid`. Append mode (the only output mode
-    stream-stream joins support)."""
+    stream-stream joins support).
+
+    `restart_after=k` splits the drain into TWO query generations on the
+    SAME checkpoint: generation 1 sees only tiles < k (later tiles are held
+    out of the source dirs), terminates, and a freshly-built query then
+    processes the restored remaining tiles — a mid-stream stop/reschedule.
+    Everything a restart must preserve (buffered join state, per-side
+    watermarks, the FileStreamSource's processed-files log) comes from the
+    checkpoint alone; generation 2 shares no driver-side lineage with
+    generation 1."""
     from topk_spark.workload.streaming_drain_queries import _write_ordered_tiles
 
     root = tempfile.mkdtemp(prefix="topk_spark_sjoin_")
@@ -94,23 +104,50 @@ def drain_join(
             .parquet(src)
         )
 
-    result = build(
-        read(lsrc, left_df.drop("_tile").schema),
-        read(rsrc, right_df.drop("_tile").schema),
-    )
-    result_schema = result.schema
-
     def write_batch(df: DataFrame, bid: int) -> None:
         df.withColumn("_bid", F.lit(int(bid))).write.mode("append").parquet(out)
 
-    q = (
-        result.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    result_schema = None
+
+    def run_generation() -> None:
+        """Build a FRESH query (new readStream lineage) and drain what the
+        sources currently expose; state/progress come from the checkpoint."""
+        nonlocal result_schema
+        result = build(
+            read(lsrc, left_df.drop("_tile").schema),
+            read(rsrc, right_df.drop("_tile").schema),
+        )
+        result_schema = result.schema
+        q = (
+            result.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    held: list[tuple[str, str, float]] = []
+    if restart_after is not None:
+        holdout = os.path.join(root, "holdout")
+        os.makedirs(holdout)
+        for src in (lsrc, rsrc):
+            for fn in sorted(os.listdir(src)):
+                if fn.endswith(".parquet") and int(fn.split(".")[0]) >= restart_after:
+                    p = os.path.join(src, fn)
+                    h = os.path.join(holdout, os.path.basename(src) + "_" + fn)
+                    mt = os.stat(p).st_mtime
+                    shutil.move(p, h)
+                    held.append((h, p, mt))
+
+    run_generation()
+
+    if restart_after is not None:
+        for h, p, mt in held:
+            shutil.move(h, p)
+            os.utime(p, (mt, mt))
+        run_generation()
+
     if not os.path.isdir(out):
         return spark.createDataFrame([], result_schema)
     return spark.read.parquet(out)
@@ -248,6 +285,58 @@ def stream_interval_join_salted_drain(spark: SparkSession, sf_dir: str) -> DataF
         n_batches=3,
     )
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_interval_join_restart_drain",
+    tags=("T1", "T8", "joins", "streaming", "restart"),
+    oracle=_INNER_JOIN_ORACLE,
+)
+def stream_interval_join_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART continuity under the driver hash gate (pytest
+    pins it per-operator in tests/test_restart_continuity.py; this makes it
+    oracle-checked): the same interval join and fixture as
+    `stream_interval_join_drain`, but the drain STOPS after the first two
+    event-time terciles and a freshly-built query — new readStream lineage,
+    nothing shared but the checkpoint — processes the third. Every pair
+    whose view arrived before the stop and whose purchase arrived after it
+    (~26 % of pairs at sf0.01) exists in the output ONLY if the restored
+    generation recovered the buffered view-side join state, the per-side
+    watermarks, and the source's processed-files log from the checkpoint; a
+    restart that lost state would drop those rows and fail both the row
+    count and the hash.
+
+    The oracle is the unsalted inner drain's SQL verbatim — a restart must
+    be INVISIBLE in the results, emission schedule included. `emit_batch`
+    is normalized to the rank of the emitting micro-batch among batches
+    that emitted rows (engine batch ids are an internal counter: the
+    trailing no-data flush batch of generation 1 consumes an id without
+    emitting, so generation 2's data batch lands at id 3; the observable —
+    which arrival wave emitted each pair — is rank 2, exactly the
+    greatest-tercile schedule the oracle derives)."""
+    from pyspark.sql import Window
+
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark,
+        views,
+        purchases,
+        _build_join("inner", "90 days"),
+        n_batches=3,
+        restart_after=2,
+    )
+    rank = (
+        drained.select("_bid")
+        .distinct()
+        .withColumn(
+            "emit_batch",
+            (F.dense_rank().over(Window.orderBy("_bid")) - 1).cast("int"),
+        )
+    )
+    return (
+        drained.join(F.broadcast(rank), "_bid")
+        .select("user_id", "view_id", "purchase_id", "gap_ms", "emit_batch")
+    )
 
 
 @register(
