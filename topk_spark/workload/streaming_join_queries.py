@@ -325,6 +325,10 @@ def stream_interval_join_restart_drain(spark: SparkSession, sf_dir: str) -> Data
         n_batches=3,
         restart_after=2,
     )
+    # Unpartitioned window over the DISTINCT batch ids only — a frame of
+    # ≤ n_batches+1 rows regardless of data scale (the drained rows
+    # themselves never pass through it; they pick the rank up via the
+    # broadcast join below).
     rank = (
         drained.select("_bid")
         .distinct()
