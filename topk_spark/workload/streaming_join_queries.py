@@ -451,6 +451,36 @@ nulls AS (
 SELECT * FROM matched UNION ALL SELECT * FROM nulls
 """
 
+# The RESTART variant's oracle derives the PHYSICAL emission schedule of the
+# two-generation topology (restart_after=2) from the same relational model,
+# keyed on one engine fact measured in tests/test_streaming_joins.py: an
+# availableNow generation ends with a trailing no-data flush batch that
+# consumes a sink batch id and emits only watermark-due state. Physical
+# batches: 0,1 = generation-1 data; 2 = generation-1 flush (in-effect
+# watermark advances to f(tiles 0-1)); 3 = generation-2 data (same restored
+# watermark); 4 = generation-2 flush (f(tiles 0-2)). Hence logical → raw id:
+# matched pairs of tercile 2 emit in the gen-2 DATA batch (2 → 3), while
+# null rows due at the f(tiles 0-1) watermark emit in the gen-1 FLUSH batch
+# (logical b=2 stays 2) and the final nulls in the gen-2 flush (b=3 → 4) —
+# data-driven emissions move with the data, watermark-driven emissions fire
+# at the first watermark advance, generation boundary notwithstanding.
+_LEFTOUTER_RESTART_ORACLE = _LEFTOUTER_JOIN_ORACLE.replace(
+    "CAST(greatest(v.tile, p.tile) AS INT) AS emit_batch",
+    "CAST(greatest(v.tile, p.tile) + CASE WHEN greatest(v.tile, p.tile) = 2 "
+    "THEN 1 ELSE 0 END AS INT) AS emit_batch",
+).replace(
+    "CAST(min(wm.b) AS INT) AS emit_batch",
+    "CAST(CASE WHEN min(wm.b) >= 3 THEN min(wm.b) + 1 "
+    "ELSE min(wm.b) END AS INT) AS emit_batch",
+)
+if _LEFTOUTER_RESTART_ORACLE.count("CASE WHEN greatest") != 1 or (
+    "CASE WHEN min(wm.b)" not in _LEFTOUTER_RESTART_ORACLE
+):
+    raise AssertionError(
+        "left-outer restart oracle derivation no longer matches the base "
+        "oracle's emit_batch expressions — update the .replace targets"
+    )
+
 
 @register(
     "stream_leftouter_join_drain",
@@ -510,5 +540,40 @@ def stream_leftouter_join_salted_drain(spark: SparkSession, sf_dir: str) -> Data
         purchases,
         _build_join("left_outer", "1 day", salt_buckets=8),
         n_batches=3,
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_leftouter_join_restart_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming", "restart"),
+    oracle=_LEFTOUTER_RESTART_ORACLE,
+)
+def stream_leftouter_join_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join across a checkpoint restart, with the
+    oracle deriving the restarted topology's PHYSICAL emission schedule
+    from first principles (_LEFTOUTER_RESTART_ORACLE's derivation comment)
+    — the sharpest restart pin in the suite, because outer emission is
+    driven by the watermark rather than by data arrival. What the hash
+    asserts, per row and with RAW sink batch ids: (a) matched pairs whose
+    view predates the stop and purchase postdates it emit from restored
+    join-buffer state in generation 2's data batch; (b) null rows whose
+    deadline passes at the f(tiles 0-1) watermark emit in generation 1's
+    TRAILING FLUSH batch — before the restart — while nulls due only at
+    end-of-stream emit in generation 2's flush, i.e. the restored
+    generation recovered BOTH sides' per-operator watermarks exactly
+    (min-policy included; a watermark reset to -inf would defer the former
+    nulls into generation 2 and change their batch id); (c) views still
+    inside their window at end-of-stream stay buffered across BOTH
+    generations and emit nothing. No bid normalization: the oracle predicts
+    the engine's actual batch-id allocation, trailing-flush slots and all."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark,
+        views,
+        purchases,
+        _build_join("left_outer", "1 day"),
+        n_batches=3,
+        restart_after=2,
     )
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
