@@ -470,6 +470,45 @@ def stream_dedup_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_restart_rocksdb_drain",
+    tags=("D1", "T6", "T8", "streaming", "restart", "rocksdb"),
+    oracle=_DEDUP_MULTIBATCH_ORACLE,
+)
+def stream_dedup_restart_rocksdb_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup restart drain executed under the ROCKSDB state-store
+    provider — the backend the 100 TB deployment story names (state spills
+    to local disk with bounded memory; session.set_state_store, benched
+    since round 4). Recovery from a RocksDB checkpoint is a different code
+    path from the default HDFS-backed store (SST files + changelog replay
+    rather than delta files into in-memory maps), so this puts the
+    provider's own persist-and-reload cycle under the oracle hash, not
+    just pytest (tests/test_restart_continuity.py covers all five stateful
+    classes ×2 providers behaviorally; this adds the driver-gated exact-
+    result check). The conf is read at streaming-query start and restored
+    afterwards, so a driver-owned session is left untouched; on a build
+    without the provider the drain falls back to the default store —
+    results are identical either way, which is the point being proven."""
+    from topk_spark.session import _STATE_STORE_CONF, set_state_store
+
+    try:
+        prev = spark.conf.get(_STATE_STORE_CONF)
+    except Exception:
+        prev = None
+    applied = set_state_store(spark, "rocksdb")
+    try:
+        return stream_dedup_restart_drain(spark, sf_dir)
+    finally:
+        # The streaming queries have already drained (awaitTermination runs
+        # inside _drain); the returned DataFrame is a batch read of the
+        # sink, so restoring the conf here cannot affect its evaluation.
+        if applied:
+            if prev is None:
+                spark.conf.unset(_STATE_STORE_CONF)
+            else:
+                spark.conf.set(_STATE_STORE_CONF, prev)
+
+
 # ---------------------------------------------------------------------------
 # K1 — continuous per-key top-K (ProcessFunctions.kt:62-134)
 # ---------------------------------------------------------------------------
