@@ -470,6 +470,30 @@ def stream_dedup_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _under_rocksdb(spark: SparkSession, run: Callable[[], DataFrame]) -> DataFrame:
+    """Execute a drain under the RocksDB state-store provider, restoring the
+    previous conf afterwards (it is read at streaming-query start, so a
+    driver-owned session is left untouched; the drain's streaming queries
+    have fully terminated before the restore — the returned DataFrame is a
+    batch read of the sink). Falls back to the default store on a build
+    without the provider; results are identical either way."""
+    from topk_spark.session import _STATE_STORE_CONF, set_state_store
+
+    try:
+        prev = spark.conf.get(_STATE_STORE_CONF)
+    except Exception:
+        prev = None
+    applied = set_state_store(spark, "rocksdb")
+    try:
+        return run()
+    finally:
+        if applied:
+            if prev is None:
+                spark.conf.unset(_STATE_STORE_CONF)
+            else:
+                spark.conf.set(_STATE_STORE_CONF, prev)
+
+
 @register(
     "stream_dedup_restart_rocksdb_drain",
     tags=("D1", "T6", "T8", "streaming", "restart", "rocksdb"),
@@ -485,28 +509,11 @@ def stream_dedup_restart_rocksdb_drain(spark: SparkSession, sf_dir: str) -> Data
     provider's own persist-and-reload cycle under the oracle hash, not
     just pytest (tests/test_restart_continuity.py covers all five stateful
     classes ×2 providers behaviorally; this adds the driver-gated exact-
-    result check). The conf is read at streaming-query start and restored
-    afterwards, so a driver-owned session is left untouched; on a build
-    without the provider the drain falls back to the default store —
-    results are identical either way, which is the point being proven."""
-    from topk_spark.session import _STATE_STORE_CONF, set_state_store
-
-    try:
-        prev = spark.conf.get(_STATE_STORE_CONF)
-    except Exception:
-        prev = None
-    applied = set_state_store(spark, "rocksdb")
-    try:
-        return stream_dedup_restart_drain(spark, sf_dir)
-    finally:
-        # The streaming queries have already drained (awaitTermination runs
-        # inside _drain); the returned DataFrame is a batch read of the
-        # sink, so restoring the conf here cannot affect its evaluation.
-        if applied:
-            if prev is None:
-                spark.conf.unset(_STATE_STORE_CONF)
-            else:
-                spark.conf.set(_STATE_STORE_CONF, prev)
+    result check). Provider flip + restore via `_under_rocksdb`; the
+    join-buffer twin is `stream_interval_join_restart_rocksdb_drain`."""
+    return _under_rocksdb(
+        spark, lambda: stream_dedup_restart_drain(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

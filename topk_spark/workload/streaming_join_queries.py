@@ -344,6 +344,31 @@ def stream_interval_join_restart_drain(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "stream_interval_join_restart_rocksdb_drain",
+    tags=("T1", "T8", "joins", "streaming", "restart", "rocksdb"),
+    oracle=_INNER_JOIN_ORACLE,
+)
+def stream_interval_join_restart_rocksdb_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The interval-join restart drain under the ROCKSDB state-store
+    provider — join-buffer recovery on the store the 100 TB deployment
+    names, which at scale is the single most consequential state class: a
+    symmetric hash join's buffers dwarf sketch/dedup state (every in-window
+    row on both sides), and RocksDB restores them by SST + changelog replay
+    rather than the default store's delta-file reload. Same fixture, same
+    stop-after-two-terciles topology, same verbatim inner-join oracle as
+    `stream_interval_join_restart_drain`: cross-restart pairs exist only if
+    generation 2 recovered the RocksDB-persisted view buffers. Provider
+    flip + restore via `_under_rocksdb` (driver session untouched)."""
+    from topk_spark.workload.streaming_drain_queries import _under_rocksdb
+
+    return _under_rocksdb(
+        spark, lambda: stream_interval_join_restart_drain(spark, sf_dir)
+    )
+
+
+@register(
     "stream_static_enrich_drain",
     tags=("S8", "joins", "streaming"),
     oracle="""
