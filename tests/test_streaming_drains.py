@@ -136,3 +136,51 @@ def _transitive_closure_edges(edges: set[frozenset]) -> set[frozenset]:
             for b in members[i + 1:]:
                 out.add(frozenset((a, b)))
     return out
+
+
+def test_under_rocksdb_restores_provider_conf(spark):
+    """The RocksDB drain variants flip the state-store conf for the drain
+    and must leave a driver-owned session exactly as found — both when a
+    previous value existed and when the conf was unset."""
+    from topk_spark.session import _STATE_STORE_CONF
+    from topk_spark.workload.streaming_drain_queries import _under_rocksdb
+
+    sentinel = spark.createDataFrame([(1,)], "x int")
+
+    def probe():
+        # conf must be rocksdb DURING the drain body
+        return spark.conf.get(_STATE_STORE_CONF)
+
+    try:
+        prev = spark.conf.get(_STATE_STORE_CONF)
+    except Exception:
+        prev = None
+
+    during = _under_rocksdb(spark, lambda: (probe(), sentinel)[0])
+    assert "RocksDB" in during
+    try:
+        after = spark.conf.get(_STATE_STORE_CONF)
+    except Exception:
+        after = None
+    assert after == prev, f"conf not restored: {after!r} vs {prev!r}"
+
+    # with an explicit prior value, that exact value comes back
+    spark.conf.set(_STATE_STORE_CONF, "com.example.FakeProvider")
+    try:
+        _under_rocksdb(spark, lambda: None)
+        assert spark.conf.get(_STATE_STORE_CONF) == "com.example.FakeProvider"
+    finally:
+        spark.conf.unset(_STATE_STORE_CONF)
+
+
+def test_drain_restart_requires_ordered_split(spark):
+    """restart_after without the ordered tile layout has no defined batch
+    schedule — _drain must refuse rather than produce an un-oracle-able
+    drain."""
+    import pytest
+
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    df = spark.createDataFrame([(1, "a")], "ts long, k string")
+    with pytest.raises(ValueError, match="ordered_split"):
+        _drain(spark, df, lambda s: s, restart_after=1)
