@@ -231,8 +231,12 @@ def _drain(
     _TMP_ROOTS.append(root)
     src = os.path.join(root, "src")
     out = os.path.join(root, "out")
-    if restart_after is not None and not ordered_split:
-        raise ValueError("restart_after requires ordered_split")
+    if restart_after is not None and not (ordered_split and max_files_per_trigger):
+        raise ValueError(
+            "restart_after requires the ordered_split + max_files_per_trigger "
+            "tile layout — it is the only source layout with a defined "
+            "per-batch schedule to hold out and restore"
+        )
     if max_files_per_trigger and ordered_split:
         col, n = ordered_split
         assert n == max_files_per_trigger
