@@ -874,7 +874,7 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
 
         return build
 
-    def run_hot(salt) -> tuple[int, float]:
+    def run_hot(salt, trials: int = 2) -> tuple[int, float]:
         e = _range_tile(hot_base, "ts", 3)
         views = e.filter(F.col("event_type") == "view").select(
             F.col("event_id").alias("view_id"),
@@ -888,12 +888,25 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
             F.col("uid").alias("p_user_id"),
             "_tile",
         )
-        t0 = time.perf_counter()
-        pairs = drain_join(
-            spark, views, purchases, make_build_hot(salt), n_batches=3
-        ).count()
-        return pairs, round(time.perf_counter() - t0, 3)
+        # Min-of-2 like the headline queries: a ~30 s streaming drain is a
+        # big co-tenant-stall target, and single-shot curve points produced
+        # one wild outlier per window (N=2 at 0.78×, N=32 at 0.93× in
+        # otherwise-consistent runs) — a GC pause or contended stretch
+        # lands on one trial, not both.
+        pairs, best = 0, float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            pairs = drain_join(
+                spark, views, purchases, make_build_hot(salt), n_batches=3
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        return pairs, round(best, 3)
 
+    # Untimed priming drain at the hot block's own scale/window: the first
+    # drain of a new shape pays one-time codegen + state-store init, and
+    # the unsalted baseline is the denominator of every curve speedup — an
+    # unprimed hw would bias the whole curve upward.
+    run_hot(None, trials=1)
     hp, hw = run_hot(None)
     # Bucket-sizing curve (round-7 verdict item 7): the lever costs ×N
     # right-side state, so "how many buckets" needs a measured answer, not
@@ -1057,20 +1070,46 @@ def _regressions_vs_last_round(
 
 
 def _prior_canary_floor(here: str) -> float | None:
-    """The post-warm-up canary from the newest committed bench record — a
+    """The post-warm-up canary from the newest COMMITTED bench record — a
     known-clean yardstick for this host. Round-7 ADVICE: comparing the
     confirmation-window canary only against THIS run's first canary lets a
     contended warm-up window mask a contended confirmation window (both
-    inflated → ratio < 1.3 → false regressions recorded as confirmed)."""
+    inflated → ratio < 1.3 → false regressions recorded as confirmed).
+
+    Only git-tracked records qualify (the committed record is the round's
+    reviewed evidence; an untracked .driver.json or not-yet-committed file
+    may come from any window). Staleness self-heals: every bench run
+    commits a fresh record carrying the CURRENT host profile's canary, so
+    a permanent host slowdown shifts the floor within one round — it
+    over-quarantines only the transition round, which is the correct read
+    (everything slowed ⇒ not a plan regression). Falls back to any
+    readable record when git is unavailable."""
     import glob
     import re
+    import subprocess
 
-    numbered = []
+    candidates = []
     for path in glob.glob(os.path.join(here, "bench_r*_local*.json")):
         m = re.search(r"bench_r(\d+)_local", os.path.basename(path))
         if m:
-            numbered.append((int(m.group(1)), path))
-    for _, path in sorted(numbered, reverse=True):
+            candidates.append((int(m.group(1)), path))
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "-C", here, "ls-files", "--", "bench_r*_local*.json"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.split()
+        )
+    except Exception:
+        tracked = set()
+    if tracked:
+        committed = [
+            (n, p) for n, p in candidates if os.path.basename(p) in tracked
+        ]
+        candidates = committed or candidates
+    for _, path in sorted(candidates, reverse=True):
         try:
             with open(path) as fh:
                 c = json.load(fh).get("canary_s", {}).get("first")

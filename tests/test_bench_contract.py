@@ -138,3 +138,34 @@ def test_prior_canary_floor_reads_newest_record(tmp_path):
     # newest record malformed -> falls back to the next one
     (tmp_path / "bench_r8_local.json").write_text("not json")
     assert _prior_canary_floor(str(tmp_path)) == 0.15
+
+
+def test_prior_canary_floor_prefers_committed_records(tmp_path):
+    """An untracked record (e.g. a driver-window .driver.json) must not
+    become the floor when a committed record exists — the committed one is
+    the reviewed evidence; uncommitted windows may be arbitrarily idle or
+    contended."""
+    import subprocess
+
+    from bench import _prior_canary_floor
+
+    (tmp_path / "bench_r6_local.json").write_text(
+        json.dumps({"canary_s": {"first": 0.30}})
+    )
+    subprocess.run(["git", "init", "-q"], cwd=str(tmp_path), check=True)
+    subprocess.run(
+        ["git", "add", "bench_r6_local.json"], cwd=str(tmp_path), check=True
+    )
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "rec"],
+        cwd=str(tmp_path), check=True,
+    )
+    # newer but untracked records (plain and .driver) must be ignored
+    (tmp_path / "bench_r7_local.json").write_text(
+        json.dumps({"canary_s": {"first": 0.05}})
+    )
+    (tmp_path / "bench_r7_local.driver.json").write_text(
+        json.dumps({"canary_s": {"first": 0.04}})
+    )
+    assert _prior_canary_floor(str(tmp_path)) == 0.30

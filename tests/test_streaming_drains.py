@@ -142,7 +142,9 @@ def test_under_rocksdb_restores_provider_conf(spark):
     """The RocksDB drain variants flip the state-store conf for the drain
     and must leave a driver-owned session exactly as found — both when a
     previous value existed and when the conf was unset."""
-    from topk_spark.session import _STATE_STORE_CONF
+    import pytest
+
+    from topk_spark.session import _STATE_STORE_CONF, set_state_store
     from topk_spark.workload.streaming_drain_queries import _under_rocksdb
 
     sentinel = spark.createDataFrame([(1,)], "x int")
@@ -155,6 +157,15 @@ def test_under_rocksdb_restores_provider_conf(spark):
         prev = spark.conf.get(_STATE_STORE_CONF)
     except Exception:
         prev = None
+    # Mirror the test_restart_continuity store fixture: on a build without
+    # the provider, _under_rocksdb's documented behavior is fallback — the
+    # "conf is rocksdb during the body" half of this test does not apply.
+    if not set_state_store(spark, "rocksdb"):
+        pytest.skip("rocksdb state-store provider unavailable")
+    if prev is None:
+        spark.conf.unset(_STATE_STORE_CONF)
+    else:
+        spark.conf.set(_STATE_STORE_CONF, prev)
 
     during = _under_rocksdb(spark, lambda: (probe(), sentinel)[0])
     assert "RocksDB" in during

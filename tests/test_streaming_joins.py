@@ -252,11 +252,14 @@ def test_salted_join_rejects_unsupported_how(spark):
         window="10 minutes",
         watermark_delay="20 minutes",
     )
-    for how in ("right_outer", "full_outer", "left_semi"):
+    for how in ("right_outer", "full_outer", "left_semi", "rightouter"):
         with pytest.raises(ValueError, match="salt_buckets"):
             interval_join(v, b, how=how, salt_buckets=4, **kwargs)
-    # unsalted right_outer stays the caller's business — no guard triggers
-    interval_join(v, b, how="inner", salt_buckets=4, **kwargs)
+    # Spark's alias spellings of the safe types pass the guard
+    for how in ("inner", "left_outer", "leftouter", "left"):
+        interval_join(v, b, how=how, salt_buckets=4, **kwargs)
+    # unsalted joins of ANY type stay the caller's business — no guard
+    interval_join(v, b, how="right_outer", **kwargs)
 
 
 def test_salted_join_rejects_salt_column_collision(spark):

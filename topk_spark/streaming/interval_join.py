@@ -69,7 +69,10 @@ def interval_join(
         # inner and left_outer only. A right/full outer would emit one
         # null-joined row PER UNMATCHED RIGHT REPLICA — salt_buckets-1
         # spurious duplicates — so refuse rather than silently corrupt.
-        if how not in ("inner", "left_outer"):
+        # Spark accepts alias spellings ("leftouter", "left") for the same
+        # join type; normalize so a caller using Spark's own naming is not
+        # refused a combination that is actually safe.
+        if how.replace("_", "").lower() not in ("inner", "leftouter", "left"):
             raise ValueError(
                 f"salt_buckets requires how in ('inner', 'left_outer'); "
                 f"got {how!r} — right-side replication would duplicate "

@@ -181,6 +181,41 @@ def _write_ordered_tiles(
     return src, base_mtime
 
 
+def _restart_generations(
+    run_generation: Callable[[], None],
+    src_dirs: list[str],
+    restart_after: int | None,
+    root: str,
+) -> None:
+    """Shared two-generation orchestration for `_drain` and `drain_join`:
+    hold tile files >= `restart_after` out of every source dir, run
+    generation 1 (which therefore ends believing the stream is drained),
+    restore the held files with their original mtimes (preserving the
+    oldest-first arrival order), and run a freshly-built generation 2 on
+    the same checkpoint. With `restart_after=None`, runs a single
+    generation — the non-restart drains go through the same code path."""
+    held: list[tuple[str, str, float]] = []
+    if restart_after is not None:
+        holdout = os.path.join(root, "holdout")
+        os.makedirs(holdout)
+        for src in src_dirs:
+            for fn in sorted(os.listdir(src)):
+                if fn.endswith(".parquet") and int(fn.split(".")[0]) >= restart_after:
+                    p = os.path.join(src, fn)
+                    h = os.path.join(holdout, os.path.basename(src) + "_" + fn)
+                    mt = os.stat(p).st_mtime
+                    shutil.move(p, h)
+                    held.append((h, p, mt))
+
+    run_generation()
+
+    if restart_after is not None:
+        for h, p, mt in held:
+            shutil.move(h, p)
+            os.utime(p, (mt, mt))
+        run_generation()
+
+
 def _drain(
     spark: SparkSession,
     src_df: DataFrame,
@@ -273,25 +308,7 @@ def _drain(
         )
         q.awaitTermination()
 
-    held: list[tuple[str, str, float]] = []
-    if restart_after is not None:
-        holdout = os.path.join(root, "holdout")
-        os.makedirs(holdout)
-        for fn in sorted(os.listdir(src)):
-            if fn.endswith(".parquet") and int(fn.split(".")[0]) >= restart_after:
-                p = os.path.join(src, fn)
-                h = os.path.join(holdout, fn)
-                mt = os.stat(p).st_mtime
-                shutil.move(p, h)
-                held.append((h, p, mt))
-
-    run_generation()
-
-    if restart_after is not None:
-        for h, p, mt in held:
-            shutil.move(h, p)
-            os.utime(p, (mt, mt))
-        run_generation()
+    _restart_generations(run_generation, [src], restart_after, root)
 
     if not os.path.isdir(out):  # zero emissions end-to-end
         return spark.createDataFrame([], result_schema)

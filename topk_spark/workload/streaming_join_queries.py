@@ -127,26 +127,9 @@ def drain_join(
         )
         q.awaitTermination()
 
-    held: list[tuple[str, str, float]] = []
-    if restart_after is not None:
-        holdout = os.path.join(root, "holdout")
-        os.makedirs(holdout)
-        for src in (lsrc, rsrc):
-            for fn in sorted(os.listdir(src)):
-                if fn.endswith(".parquet") and int(fn.split(".")[0]) >= restart_after:
-                    p = os.path.join(src, fn)
-                    h = os.path.join(holdout, os.path.basename(src) + "_" + fn)
-                    mt = os.stat(p).st_mtime
-                    shutil.move(p, h)
-                    held.append((h, p, mt))
+    from topk_spark.workload.streaming_drain_queries import _restart_generations
 
-    run_generation()
-
-    if restart_after is not None:
-        for h, p, mt in held:
-            shutil.move(h, p)
-            os.utime(p, (mt, mt))
-        run_generation()
+    _restart_generations(run_generation, [lsrc, rsrc], restart_after, root)
 
     if not os.path.isdir(out):
         return spark.createDataFrame([], result_schema)
