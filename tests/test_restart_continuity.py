@@ -353,3 +353,60 @@ def test_neardup_bucket_state_survives_restart(spark, tmp_path, store):
     assert drain() == [(3, 1)], (
         "near-dup bucket state lost across checkpoint restart"
     )
+
+
+def test_restart_drain_counterfactual_fresh_checkpoint_diverges(spark, tmp_path):
+    """The restart drains' sensitivity, executed rather than argued: the
+    same two-generation dedup topology as stream_dedup_restart_drain, but
+    generation 2 runs on a FRESH checkpoint — the state loss the drains
+    exist to catch. The divergence must be exactly what the oracle would
+    flag: keys first seen before the 'restart' are re-admitted after it
+    (survivor count inflates; a third emitting batch appears). If this test
+    ever starts passing dedup through a fresh checkpoint, the restart
+    drains' hash gate has gone vacuous."""
+    from topk_spark.streaming.stateful_dedup import dedup_stateful
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("event_id string, timestamp long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = (
+            dedup_stateful(stream, key="event_id", ttl_ms=None)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Generation 1: keys E1, E2.
+    _write_file(src, "f0.json", [
+        {"event_id": "E1", "timestamp": 1},
+        {"event_id": "E2", "timestamp": 2},
+    ], 1000)
+    drain(str(tmp_path / "ckpt1"))
+    # Generation 2 on a FRESH checkpoint sees ALL files again (no
+    # processed-files log) and holds no dedup state: E1 and E2 re-emit.
+    _write_file(src, "f1.json", [
+        {"event_id": "E1", "timestamp": 3},
+        {"event_id": "E3", "timestamp": 4},
+    ], 1010)
+    drain(str(tmp_path / "ckpt2"))
+
+    emitted = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    # Proper restart (test_dedup_state_survives_restart) yields exactly
+    # [E1, E2, E3]; the fresh checkpoint must NOT — E1 (and E2, re-read
+    # from f0) are re-admitted.
+    assert emitted != ["E1", "E2", "E3"], (
+        "fresh-checkpoint run reproduced the restored-state output — the "
+        "restart drains' divergence signal is vacuous"
+    )
+    assert emitted.count("E1") >= 2, f"expected E1 re-admission, got {emitted}"
