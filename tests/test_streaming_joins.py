@@ -174,12 +174,16 @@ def test_interval_join_salted_matches_unsalted(spark, tmp_path):
     ] + [
         {"order_id": "OT", "user_id": "U_TAIL", "item_id": "I2",
          "buy_ms": T0 + 5 * m},
+        # never-matched EARLY buy: its right_outer/full_outer null row comes
+        # due in the flush batch (wm passes T0), unlike OADV below
+        {"order_id": "ON", "user_id": "U_NOBODY", "item_id": "I4",
+         "buy_ms": T0},
         # watermark advancer: pushes wm past VN's window in the flush batch
         {"order_id": "OADV", "user_id": "U_ADV", "item_id": "I9",
          "buy_ms": T0 + 100 * m},
     ]
 
-    def run(how: str, salt, name: str):
+    def run(how: str, salt, name: str, salt_side: str = "left"):
         vdir = str(tmp_path / f"views_{name}")
         bdir = str(tmp_path / f"buys_{name}")
         os.makedirs(vdir)
@@ -208,6 +212,128 @@ def test_interval_join_salted_matches_unsalted(spark, tmp_path):
             watermark_delay="20 minutes",
             how=how,
             salt_buckets=salt,
+            salt_side=salt_side,
+        )
+        cols = ["view_id"] if how == "left_semi" else ["view_id", "order_id"]
+        joined = joined.select(*cols)
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return sorted(
+            (tuple(r[c] for c in cols) for r in spark.table(name).collect()),
+            key=lambda t: tuple((x is None, x or "") for x in t),
+        )
+
+    for how, side in (
+        ("inner", "left"),
+        ("inner", "right"),
+        ("left_outer", "left"),
+        ("right_outer", "right"),
+        ("left_semi", "left"),
+    ):
+        plain = run(how, None, f"sj_{how}_{side}_plain")
+        salted = run(how, 4, f"sj_{how}_{side}_salted", salt_side=side)
+        assert salted == plain, f"{how}/{side}: salted result diverged"
+    # sanity on the fixture itself: the hot key really dominates, and each
+    # outer/semi run really exercised its distinguishing rows
+    inner = run("inner", None, "sj_sanity")
+    assert sum(1 for v, _ in inner if v.startswith("V") and v[1:].isdigit()) >= 60
+    outer = run("left_outer", 4, "sj_sanity_outer")
+    assert ("VN", None) in outer
+    router = run("right_outer", 4, "sj_sanity_router", salt_side="right")
+    assert (None, "ON") in router
+    sem = run("left_semi", 4, "sj_sanity_semi")
+    assert ("VT",) in sem and ("VN",) not in sem
+    assert len(sem) == len(set(sem)), "semi emitted a view more than once"
+
+
+def test_outer_eviction_boundary(spark, tmp_path):
+    """Pins the outer null-emission deadlines at MICROSECOND precision —
+    the exact predicates the drains' oracles encode. The two sides are NOT
+    symmetric, and each boundary's strictness is forced by the strictness
+    of the condition bound that produces it (condition:
+    left_ts <= right_ts < left_ts + window):
+
+    - left_outer deadline, NON-strict at µs: a left row is dead once no
+      future right row (arriving at event time >= wm) can satisfy the
+      STRICT upper bound right_ts < left_ts + window — i.e. exactly when
+      left_us + window_us <= wm_us. Deadline == wm emits; deadline 500 µs
+      past wm does not.
+    - right_outer deadline, strict by a FULL millisecond: a right row could
+      still match a future left row at event time == wm via the non-strict
+      lower bound left_ts <= right_ts, so right_ts == wm stays alive; the
+      engine evicts at right_us + 1000 <= wm_us (1 ms, the watermark's
+      granularity — measured: wm−999 µs alive, wm−1000 µs due).
+
+    One data batch (watermark still initial → nothing due), then the
+    availableNow trailing flush batch evicts with wm = min-of-sides maxima
+    minus the 20-minute delay."""
+    from topk_spark.streaming.interval_join import interval_join
+
+    mu = 60_000_000  # one minute in µs
+    t0_us = T0 * 1000
+    wm_us = t0_us + 40 * mu  # both advancers at T0+60m, delay 20m
+    w_us = 10 * mu  # join window
+
+    views_rows = [
+        # matched-pair sanity leg
+        {"view_id": "VM", "user_id": "U_M", "view_us": t0_us},
+        # deadline == wm exactly → non-strict: MUST emit
+        {"view_id": "V_d0", "user_id": "U_V0", "view_us": wm_us - w_us},
+        # deadline 500 µs past wm → alive
+        {"view_id": "V_dp500", "user_id": "U_V5", "view_us": wm_us - w_us + 500},
+        # deadline 500 µs before wm → due
+        {"view_id": "V_dm500", "user_id": "U_V6", "view_us": wm_us - w_us - 500},
+        {"view_id": "VADV", "user_id": "U_V9", "view_us": t0_us + 60 * mu},
+    ]
+    buys_rows = [
+        {"order_id": "OM", "user_id": "U_M", "buy_us": t0_us + 5 * mu},
+        # == wm → alive (future left at == wm could still match)
+        {"order_id": "B_0", "user_id": "U_B0", "buy_us": wm_us},
+        # 999 µs below wm → still alive (sub-ms of the watermark tick)
+        {"order_id": "B_m999", "user_id": "U_B1", "buy_us": wm_us - 999},
+        # exactly 1 ms below wm → due
+        {"order_id": "B_m1000", "user_id": "U_B2", "buy_us": wm_us - 1000},
+        {"order_id": "B_ADV", "user_id": "U_B9", "buy_us": t0_us + 60 * mu},
+    ]
+
+    def run(how: str, name: str):
+        vdir = str(tmp_path / f"views_{name}")
+        bdir = str(tmp_path / f"buys_{name}")
+        os.makedirs(vdir)
+        os.makedirs(bdir)
+        _write_jsonl(os.path.join(vdir, "v0.jsonl"), views_rows)
+        _write_jsonl(os.path.join(bdir, "b0.jsonl"), buys_rows)
+        views = (
+            spark.readStream
+            .schema("view_id string, user_id string, view_us long")
+            .json(vdir)
+            .withColumn("view_ts", F.timestamp_micros("view_us"))
+            .drop("view_us")
+        )
+        buys = (
+            spark.readStream
+            .schema("order_id string, user_id string, buy_us long")
+            .json(bdir)
+            .withColumn("buy_ts", F.timestamp_micros("buy_us"))
+            .drop("buy_us")
+            .withColumnRenamed("user_id", "b_user_id")
+        )
+        joined = interval_join(
+            views,
+            buys,
+            left_key="user_id",
+            right_key="b_user_id",
+            left_time="view_ts",
+            right_time="buy_ts",
+            window="10 minutes",
+            watermark_delay="20 minutes",
+            how=how,
         ).select("view_id", "order_id")
         q = (
             joined.writeStream.format("memory")
@@ -218,26 +344,80 @@ def test_interval_join_salted_matches_unsalted(spark, tmp_path):
         )
         _drain(q)
         return sorted(
-            (r["view_id"], r["order_id"]) for r in spark.table(name).collect()
+            ((r["view_id"], r["order_id"]) for r in spark.table(name).collect()),
+            key=lambda t: tuple((x is None, x or "") for x in t),
         )
 
-    for how in ("inner", "left_outer"):
-        plain = run(how, None, f"sj_{how}_plain")
-        salted = run(how, 4, f"sj_{how}_salted")
-        assert salted == plain, f"{how}: salted result diverged"
-    # sanity on the fixture itself: the hot key really dominates, and the
-    # left_outer run really exercised a null row
-    inner = run("inner", None, "sj_sanity")
-    assert sum(1 for v, _ in inner if v.startswith("V") and v[1:].isdigit()) >= 60
-    outer = run("left_outer", 4, "sj_sanity_outer")
-    assert ("VN", None) in outer
+    router = run("right_outer", "boundary_ro")
+    assert ("VM", "OM") in router
+    assert (None, "B_m1000") in router, "1 ms-below-wm right null row missing"
+    assert (None, "B_m999") not in router, "sub-ms right row evicted early"
+    assert (None, "B_0") not in router, "right row at wm evicted early"
+    louter = run("left_outer", "boundary_lo")
+    assert ("V_dm500", None) in louter, "due left null row missing"
+    assert ("V_d0", None) in louter, "deadline==wm left row must emit (<=)"
+    assert ("V_dp500", None) not in louter, "past-deadline left row emitted"
+    fouter = run("full_outer", "boundary_fo")
+    assert {("VM", "OM"), (None, "B_m1000"), ("V_d0", None),
+            ("V_dm500", None)} <= set(fouter)
+    assert (None, "B_m999") not in fouter and ("V_dp500", None) not in fouter
+
+    # The derived ANTI join inherits exactly the left deadline schedule:
+    # absence-decided views only, left columns only, matched rows gone.
+    from topk_spark.streaming.interval_join import interval_anti_join
+
+    vdir = str(tmp_path / "views_anti")
+    bdir = str(tmp_path / "buys_anti")
+    os.makedirs(vdir)
+    os.makedirs(bdir)
+    _write_jsonl(os.path.join(vdir, "v0.jsonl"), views_rows)
+    _write_jsonl(os.path.join(bdir, "b0.jsonl"), buys_rows)
+    av = (
+        spark.readStream.schema("view_id string, user_id string, view_us long")
+        .json(vdir)
+        .withColumn("view_ts", F.timestamp_micros("view_us"))
+        .drop("view_us")
+    )
+    ab = (
+        spark.readStream.schema("order_id string, user_id string, buy_us long")
+        .json(bdir)
+        .withColumn("buy_ts", F.timestamp_micros("buy_us"))
+        .drop("buy_us")
+        .withColumnRenamed("user_id", "b_user_id")
+    )
+    anti = interval_anti_join(
+        av, ab,
+        left_key="user_id", right_key="b_user_id",
+        left_time="view_ts", right_time="buy_ts",
+        window="10 minutes", watermark_delay="20 minutes",
+    )
+    assert set(anti.columns) == {"view_id", "user_id", "view_ts"}
+    q = (
+        anti.select("view_id").writeStream.format("memory")
+        .queryName("boundary_anti").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    _drain(q)
+    got = sorted(r["view_id"] for r in spark.table("boundary_anti").collect())
+    assert got == ["V_d0", "V_dm500"]  # matched VM and live views absent
+
+    import pytest
+
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_anti_join(
+            av, ab.withColumnRenamed("order_id", "view_id"),
+            left_key="user_id", right_key="b_user_id",
+            left_time="view_ts", right_time="buy_ts",
+            window="10 minutes", watermark_delay="20 minutes",
+        )
 
 
 def test_salted_join_rejects_unsupported_how(spark):
-    """salt_buckets' result-invariance argument only covers inner and
-    left_outer (right-side replication makes every unmatched right row emit
-    salt_buckets-1 spurious null-joined duplicates under right/full outer)
-    — the operator must refuse, not silently corrupt."""
+    """salt_buckets' result-invariance argument requires the REPLICATED side
+    to anchor no output rows of its own: replicating an outer (or semi) side
+    would emit salt_buckets-1 spurious duplicates per row it anchors. The
+    operator must refuse every unsafe (how, salt_side) pair — and accept
+    exactly the proven ones — rather than silently corrupt."""
     import pytest
 
     from topk_spark.streaming.interval_join import interval_join
@@ -252,14 +432,27 @@ def test_salted_join_rejects_unsupported_how(spark):
         window="10 minutes",
         watermark_delay="20 minutes",
     )
-    for how in ("right_outer", "full_outer", "left_semi", "rightouter"):
+    # salt_side='left' (replicate right): right/full outer unsafe
+    for how in ("right_outer", "full_outer", "rightouter", "outer"):
         with pytest.raises(ValueError, match="salt_buckets"):
             interval_join(v, b, how=how, salt_buckets=4, **kwargs)
-    # Spark's alias spellings of the safe types pass the guard
-    for how in ("inner", "left_outer", "leftouter", "left"):
+    # salt_side='right' (replicate left): left outer / semi / full unsafe
+    for how in ("left_outer", "left", "left_semi", "semi", "full_outer"):
+        with pytest.raises(ValueError, match="salt_buckets"):
+            interval_join(v, b, how=how, salt_buckets=4, salt_side="right", **kwargs)
+    # the proven-safe table, alias spellings included
+    for how in ("inner", "left_outer", "leftouter", "left", "left_semi", "semi"):
         interval_join(v, b, how=how, salt_buckets=4, **kwargs)
+    for how in ("inner", "right_outer", "rightouter", "right"):
+        interval_join(v, b, how=how, salt_buckets=4, salt_side="right", **kwargs)
+    # bogus spellings refused outright
+    with pytest.raises(ValueError, match="join type"):
+        interval_join(v, b, how="sideways", salt_buckets=4, **kwargs)
+    with pytest.raises(ValueError, match="salt_side"):
+        interval_join(v, b, salt_buckets=4, salt_side="middle", **kwargs)
     # unsalted joins of ANY type stay the caller's business — no guard
     interval_join(v, b, how="right_outer", **kwargs)
+    interval_join(v, b, how="full_outer", **kwargs)
 
 
 def test_salted_join_rejects_salt_column_collision(spark):

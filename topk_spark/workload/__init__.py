@@ -219,6 +219,8 @@ def load_all() -> dict[str, Query]:
         # round's driver window (stable sort preserves import order).
         heavyhitter_queries,
         streaming_join_queries,
+        # Round-8: per-event top-K on the StatefulProcessor API.
+        per_event_topk_queries,
     )
 
     ordered = _ordered_names(_driver_rounds())

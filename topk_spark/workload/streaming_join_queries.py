@@ -165,11 +165,17 @@ def _view_purchase_tiles(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
 
 
 def _build_join(
-    how: str, delay: str, salt_buckets: int | None = None
+    how: str,
+    delay: str,
+    salt_buckets: int | None = None,
+    salt_side: str = "left",
 ) -> Callable[[DataFrame, DataFrame], DataFrame]:
     """build() for drain_join: the reusable interval_join operator
     (streaming/interval_join.py) on user_id with the 7-day view→purchase
-    window, projected to the drains' hashed output columns."""
+    window, projected to the drains' hashed output columns. For the
+    right/full outer drains `user_id` is coalesced across sides (it is the
+    equality key, so both sides agree whenever both are present); a left
+    semi join projects left columns only."""
     from topk_spark.streaming.interval_join import interval_join
 
     def build(v: DataFrame, p: DataFrame) -> DataFrame:
@@ -184,9 +190,12 @@ def _build_join(
             watermark_delay=delay,
             how=how,
             salt_buckets=salt_buckets,
+            salt_side=salt_side,
         )
+        if how == "left_semi":
+            return joined.select("user_id", "view_id")
         return joined.select(
-            "user_id",
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
             "view_id",
             "purchase_id",
             (F.unix_millis("purchase_ts") - F.unix_millis("view_ts"))
@@ -428,6 +437,11 @@ p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
 -- value and nothing is evicted, which the NULL-propagating predicate below
 -- reproduces. Units: state comparisons happen at microsecond precision
 -- against the millisecond watermark, so the predicate scales w_ms to us.
+-- The deadline comparison is NON-strict (<=): a view whose eviction
+-- deadline equals the watermark exactly is already dead, because a future
+-- purchase arrives at event time >= wm and the STRICT window bound
+-- p < v + window then cannot hold (measured at sub-ms precision:
+-- tests/test_streaming_joins.py::test_outer_eviction_boundary).
 wm AS (SELECT tile + 1 AS b,
               CASE WHEN vmax IS NULL OR pmax IS NULL THEN NULL
                    ELSE CAST(least(vmax, pmax) - 86400000 AS BIGINT) END AS w_ms
@@ -454,7 +468,7 @@ nulls AS (
   SELECT u.user_id, u.view_id, CAST(NULL AS BIGINT) AS purchase_id,
          CAST(NULL AS BIGINT) AS gap_ms, CAST(min(wm.b) AS INT) AS emit_batch
   FROM unmatched u JOIN wm
-    ON epoch_us(u.view_ts) + 604800000000 < wm.w_ms * 1000
+    ON epoch_us(u.view_ts) + 604800000000 <= wm.w_ms * 1000
   GROUP BY u.user_id, u.view_id)
 SELECT * FROM matched UNION ALL SELECT * FROM nulls
 """
@@ -584,4 +598,486 @@ def stream_leftouter_join_restart_drain(spark: SparkSession, sf_dir: str) -> Dat
         n_batches=3,
         restart_after=2,
     )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+# ---------------------------------------------------------------------------
+# Right / full outer + left semi: the rest of the stream-stream join family.
+#
+# The right-outer null schedule is the mirror image of the left-outer one
+# with a DIFFERENT deadline: a never-matched purchase is due as soon as the
+# in-effect watermark passes its OWN timestamp (matchable views satisfy
+# view_ts <= purchase_ts, and new arrivals carry event time >= the
+# watermark, so once wm > purchase_ts nothing can reach it) — there is no
+# "+ window" term, because the window bounds the PAST side of the
+# condition, not the future one.
+#
+# Deadline precision is MEASURED, not assumed, and the two sides differ
+# (tests/test_streaming_joins.py::test_outer_eviction_boundary, sub-ms
+# probes): the left deadline is non-strict at microsecond precision
+# (view_us + window_us <= wm_us — forced by the STRICT upper bound
+# `p < v + window`: a future purchase at event time == wm matches only
+# views with deadline > wm), while the right deadline lags the watermark by
+# one full millisecond (purchase_us + 1000 <= wm_us — the NON-strict lower
+# bound `p >= v` keeps a purchase at wm alive, and the engine's eviction
+# threshold advances in watermark ticks, i.e. whole ms). All prior CTEs are
+# shared verbatim so the three outer oracles cannot drift apart.
+_OUTER_FAMILY_PREFIX = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax FROM e),
+t AS (SELECT e.*, CAST(least(2, (epoch_us(ts) - b.tmin) * 3 // (b.tmax - b.tmin + 1)) AS INT) AS tile FROM e CROSS JOIN b),
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id, tile FROM t
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
+      WHERE event_type = 'purchase'),
+wm AS (SELECT tile + 1 AS b,
+              CASE WHEN vmax IS NULL OR pmax IS NULL THEN NULL
+                   ELSE CAST(least(vmax, pmax) - 86400000 AS BIGINT) END AS w_ms
+       FROM (SELECT tile,
+                    max(max(CASE WHEN event_type = 'view'
+                                 THEN epoch_ms(ts) END))
+                      OVER (ORDER BY tile) AS vmax,
+                    max(max(CASE WHEN event_type = 'purchase'
+                                 THEN epoch_ms(ts) END))
+                      OVER (ORDER BY tile) AS pmax
+             FROM t GROUP BY tile) cum),
+matched AS (
+  SELECT v.user_id, v.view_id, p.purchase_id,
+         CAST(epoch_ms(p.purchase_ts) - epoch_ms(v.view_ts) AS BIGINT) AS gap_ms,
+         CAST(greatest(v.tile, p.tile) AS INT) AS emit_batch
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY),
+r_nulls AS (
+  SELECT u.user_id, CAST(NULL AS BIGINT) AS view_id, u.purchase_id,
+         CAST(NULL AS BIGINT) AS gap_ms, CAST(min(wm.b) AS INT) AS emit_batch
+  FROM (SELECT * FROM p WHERE NOT EXISTS
+          (SELECT 1 FROM matched m WHERE m.purchase_id = p.purchase_id)) u
+  JOIN wm ON epoch_us(u.purchase_ts) + 1000 <= wm.w_ms * 1000
+  GROUP BY u.user_id, u.purchase_id),
+l_nulls AS (
+  SELECT u.user_id, u.view_id, CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS BIGINT) AS gap_ms, CAST(min(wm.b) AS INT) AS emit_batch
+  FROM (SELECT * FROM v WHERE NOT EXISTS
+          (SELECT 1 FROM matched m WHERE m.view_id = v.view_id)) u
+  JOIN wm ON epoch_us(u.view_ts) + 604800000000 <= wm.w_ms * 1000
+  GROUP BY u.user_id, u.view_id)
+"""
+
+# Shared by the plain and the pre-salted (salt_side='right') variants — the
+# mirror image of the inner/left-outer sharing above.
+_RIGHTOUTER_JOIN_ORACLE = (
+    _OUTER_FAMILY_PREFIX
+    + "SELECT * FROM matched UNION ALL SELECT * FROM r_nulls"
+)
+
+_FULLOUTER_JOIN_ORACLE = (
+    _OUTER_FAMILY_PREFIX
+    + "SELECT * FROM matched UNION ALL SELECT * FROM l_nulls\n"
+    + "UNION ALL SELECT * FROM r_nulls"
+)
+
+
+@register(
+    "stream_rightouter_join_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming"),
+    oracle=_RIGHTOUTER_JOIN_ORACLE,
+)
+def stream_rightouter_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER stream-stream interval join with a live (1-day)
+    watermark — the mirror of stream_leftouter_join_drain with a
+    structurally DIFFERENT null deadline: an unmatched purchase's null row
+    emits in the first micro-batch whose min-of-both-sides watermark passes
+    the purchase's own timestamp (no '+ window' term — the interval bounds
+    the past, not the future, of the right side), including availableNow's
+    trailing flush batch. Matched pairs must equal the inner join exactly.
+    The oracle derives both the pair set and the right-null watermark
+    schedule relationally from the same shared CTEs as the other outer
+    drains."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark, views, purchases, _build_join("right_outer", "1 day"), n_batches=3
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_rightouter_join_salted_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming", "skew"),
+    oracle=_RIGHTOUTER_JOIN_ORACLE,
+)
+def stream_rightouter_join_salted_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pre-salted right-outer interval join with the salt on the RIGHT
+    side (salt_side='right', salt_buckets=8) under the unsalted right-outer
+    oracle verbatim — the mirror-image completion of the salting invariance
+    argument. Here the LEFT side is replicated once per salt value and each
+    purchase carries one deterministic salt, so: (a) every (view, purchase)
+    pair still joins exactly once (only the replica matching the purchase's
+    salt satisfies the condition); (b) a purchase is unmatched under
+    (key, salt) iff unmatched under key alone, and being the SALTED side it
+    anchors exactly ONE null row; (c) replicas arrive in their original
+    row's micro-batch, so per-side max event times — hence the watermark
+    schedule driving null emission — are unchanged. A hash match is
+    REQUIRED; divergence would mean the hot-key lever corrupts right-outer
+    results. The refusal table (interval_join._SAFE_SALT_SIDES) blocks the
+    unsafe orientation where the replicated side is the outer one."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark,
+        views,
+        purchases,
+        _build_join("right_outer", "1 day", salt_buckets=8, salt_side="right"),
+        n_batches=3,
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_fullouter_join_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming"),
+    oracle=_FULLOUTER_JOIN_ORACLE,
+)
+def stream_fullouter_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join: BOTH null schedules live in
+    one query — never-matched views null-emit when the watermark passes
+    view_ts + 7 days, never-matched purchases when it passes purchase_ts,
+    each side evicted on its own deadline while matched pairs still follow
+    the later-leg rule. This is the strictest single pin on the symmetric
+    join state machine (two eviction clocks + pair emission, one hash); the
+    oracle is the shared outer-family prefix with both null CTEs unioned
+    in. Rows still inside their horizon at end-of-stream stay buffered on
+    BOTH sides and must be absent."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark, views, purchases, _build_join("full_outer", "1 day"), n_batches=3
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+# Left semi: first-match emission. greatest(v.tile, p.tile) is the batch
+# where a given candidate pair meets; the FIRST such batch over a view's
+# matches is when the semi join emits the view — afterwards the left row is
+# marked matched and emits nothing more. The condition forces
+# purchase_ts >= view_ts, and the ordered replay makes tiles monotone in
+# ts, so min(greatest(...)) == min matching purchase tile.
+_SEMIJOIN_ORACLE = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax FROM e),
+t AS (SELECT e.*, CAST(least(2, (epoch_us(ts) - b.tmin) * 3 // (b.tmax - b.tmin + 1)) AS INT) AS tile FROM e CROSS JOIN b),
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id, tile FROM t
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
+      WHERE event_type = 'purchase')
+SELECT v.user_id, v.view_id,
+       CAST(min(greatest(v.tile, p.tile)) AS INT) AS emit_batch
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY
+GROUP BY v.user_id, v.view_id
+"""
+
+
+@register(
+    "stream_semijoin_drain",
+    tags=("T1", "T8", "joins", "streaming"),
+    oracle=_SEMIJOIN_ORACLE,
+)
+def stream_semijoin_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join — existence, not enrichment:
+    each view with at least one purchase in its 7-day window emits ONCE
+    (left columns only), in the micro-batch where its FIRST matching
+    purchase arrives. That pins two state behaviors the outer drains
+    cannot: the matched-flag (a second matching purchase in a later batch
+    must NOT re-emit the view — the state machine remembers emission, not
+    just buffering) and first-match timing (emit_batch == the earliest
+    matching purchase's tercile, which the oracle derives as
+    min(greatest(tiles)) under the ts-ordered replay). Wide watermark so
+    no view is evicted before a potential match — the EXISTS set must be
+    exact. At 100 TB a semi join is the cheap side of this family: output
+    is bounded by the left input, and a matched left row's state can be
+    dropped at emission rather than held for the window."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark, views, purchases, _build_join("left_semi", "90 days"), n_batches=3
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_semijoin_salted_drain",
+    tags=("T1", "T8", "joins", "streaming", "skew"),
+    oracle=_SEMIJOIN_ORACLE,
+)
+def stream_semijoin_salted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-salted left-semi interval join (salt_side='left',
+    salt_buckets=8) under the unsalted semi oracle verbatim. The semi-
+    specific half of the invariance argument: a view carries ONE salt, so
+    its candidate set under (key, salt) is exactly its unsalted candidate
+    set (every purchase is replicated into the view's bucket), the first
+    match arrives in the same micro-batch as unsalted (replicas ride their
+    original row's batch), and one view still emits at most one row —
+    replication happens on the NON-anchoring side. Hash match required."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark,
+        views,
+        purchases,
+        _build_join("left_semi", "90 days", salt_buckets=8),
+        n_batches=3,
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators: interval join → tumbling windowed aggregation
+# in ONE streaming query (Spark's multiple-stateful-operator support).
+#
+# The 100 TB story this pins: without operator chaining, a pipeline that
+# wants "daily rollups of attributed pairs" needs TWO jobs with a durable
+# topic between them (join job → Kafka → rollup job) — double the
+# infrastructure, double the end-to-end latency, and an extra at-least-once
+# boundary to reconcile. Chaining runs both state machines in one
+# checkpointed topology.
+#
+# The oracle encodes the one non-obvious semantic: WATERMARK PROPAGATION
+# through the join. The join's output watermark is held back by the
+# biggest event-time delay the join can introduce — a buffered view can be
+# up to `window` (7 days) older than the global watermark, and Spark
+# publishes ONE output watermark covering every event-time column — so the
+# downstream aggregation closes a window only when
+#     window_end <= min(vmax, pmax) - watermark_delay - join_window
+# (measured: at sf0.001 exactly the 20 of 29 candidate daily windows below
+# this cutoff emit; a cutoff without the join-window term would claim 27).
+# Same `<=` close convention the driver-green stream_rollup_drain pinned.
+_JOIN_ROLLUP_ORACLE = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id FROM e
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM e
+      WHERE event_type = 'purchase'),
+fw AS (SELECT least((SELECT CAST(floor(epoch_ms(max(view_ts))) AS BIGINT) FROM v),
+                    (SELECT CAST(floor(epoch_ms(max(purchase_ts))) AS BIGINT) FROM p))
+              - 86400000 - 604800000 AS w),
+pairs AS (
+  SELECT CAST(epoch_ms(p.purchase_ts) // 86400000 * 86400000 AS BIGINT)
+           AS window_start_ms,
+         epoch_ms(p.purchase_ts) - epoch_ms(v.view_ts) AS gap
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY)
+SELECT window_start_ms, count(*) AS pair_count,
+       CAST(sum(gap) AS BIGINT) AS gap_ms_sum
+FROM pairs, fw
+WHERE window_start_ms + 86400000 <= fw.w
+GROUP BY window_start_ms
+"""
+
+
+def _build_join_rollup_chain(v: DataFrame, p: DataFrame) -> DataFrame:
+    """The chained topology both chain drains run: interval join (inner,
+    7-day window, 1-day watermark) feeding a 1-day tumbling windowed
+    aggregation of the attributed pairs — two state machines, one query."""
+    from topk_spark.streaming.interval_join import interval_join
+
+    j = interval_join(
+        v,
+        p,
+        left_key="user_id",
+        right_key="p_user_id",
+        left_time="view_ts",
+        right_time="purchase_ts",
+        window="7 DAYS",
+        watermark_delay="1 day",
+        how="inner",
+    )
+    return (
+        j.groupBy(F.window("purchase_ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.sum(
+                F.unix_millis("purchase_ts") - F.unix_millis("view_ts")
+            ).alias("gap_ms_sum"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "pair_count",
+            "gap_ms_sum",
+        )
+    )
+
+
+@register(
+    "stream_join_rollup_chain_drain",
+    tags=("T1", "T3", "T8", "joins", "streaming", "chained"),
+    oracle=_JOIN_ROLLUP_ORACLE,
+)
+def stream_join_rollup_chain_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in one streaming query: the 7-day
+    view→purchase interval join feeding a 1-day tumbling windowed
+    aggregation of the attributed pairs (pair count + summed view→purchase
+    gap per day), append mode, one checkpoint. Pins three things at once:
+    (a) join-buffer continuity — cross-tercile pairs must reach the
+    aggregation, so a per-batch state reset shows up as wrong counts;
+    (b) aggregation-state continuity — a day's pairs arrive across
+    micro-batches and must accumulate; (c) the WATERMARK PROPAGATION rule
+    between chained stateful operators — the aggregation's close schedule
+    runs on the join's output watermark, which lags the global watermark by
+    the join window (oracle comment derives the cutoff; at sf0.001 the
+    no-lag model over-emits 27 windows vs the correct 20). Windows past the
+    propagated watermark at end-of-stream stay open and must be absent."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark, views, purchases, _build_join_rollup_chain, n_batches=3
+    )
+    return drained.drop("_bid")
+
+
+@register(
+    "stream_join_rollup_chain_restart_drain",
+    tags=("T1", "T3", "T8", "joins", "streaming", "chained", "restart"),
+    oracle=_JOIN_ROLLUP_ORACLE,
+)
+def stream_join_rollup_chain_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The chained join→rollup topology across a CHECKPOINT RESTART: stop
+    after two event-time terciles, resume as a freshly-built query on the
+    same checkpoint. One restart now has to restore BOTH state machines at
+    once — the symmetric join's buffers AND the windowed aggregation's
+    partial sums — plus the per-side watermarks and the join's PROPAGATED
+    output watermark that drives the aggregation's close schedule. The
+    oracle is the non-restart chain drain's SQL verbatim: a restart must be
+    invisible in the aggregated output. Failure modes it catches: lost join
+    buffers (cross-restart pairs missing from day counts), lost agg state
+    (day windows spanning the stop under-count), and a propagated-watermark
+    reset (windows close on the wrong schedule → wrong emitted-window
+    set)."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark,
+        views,
+        purchases,
+        _build_join_rollup_chain,
+        n_batches=3,
+        restart_after=2,
+    )
+    return drained.drop("_bid")
+
+
+# Anti join: the l_nulls derivation alone — absence within the horizon,
+# decidable only at the left-outer null deadline. Shared verbatim between
+# the plain and salted (salt_side='left') variants.
+_ANTIJOIN_ORACLE = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax FROM e),
+t AS (SELECT e.*, CAST(least(2, (epoch_us(ts) - b.tmin) * 3 // (b.tmax - b.tmin + 1)) AS INT) AS tile FROM e CROSS JOIN b),
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id, tile FROM t
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, tile FROM t
+      WHERE event_type = 'purchase'),
+wm AS (SELECT tile + 1 AS b,
+              CASE WHEN vmax IS NULL OR pmax IS NULL THEN NULL
+                   ELSE CAST(least(vmax, pmax) - 86400000 AS BIGINT) END AS w_ms
+       FROM (SELECT tile,
+                    max(max(CASE WHEN event_type = 'view'
+                                 THEN epoch_ms(ts) END))
+                      OVER (ORDER BY tile) AS vmax,
+                    max(max(CASE WHEN event_type = 'purchase'
+                                 THEN epoch_ms(ts) END))
+                      OVER (ORDER BY tile) AS pmax
+             FROM t GROUP BY tile) cum)
+SELECT u.user_id, u.view_id, CAST(min(wm.b) AS INT) AS emit_batch
+FROM (SELECT * FROM v WHERE NOT EXISTS
+        (SELECT 1 FROM p
+         WHERE p.user_id = v.user_id
+           AND p.purchase_ts >= v.view_ts
+           AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY)) u
+JOIN wm ON epoch_us(u.view_ts) + 604800000000 <= wm.w_ms * 1000
+GROUP BY u.user_id, u.view_id
+"""
+
+
+@register(
+    "stream_antijoin_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming"),
+    oracle=_ANTIJOIN_ORACLE,
+)
+def stream_antijoin_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANTI join (NOT EXISTS within the 7-day horizon): views
+    with no purchase by the same user in window, emitted exactly once at
+    the left-outer null deadline — the only point where absence becomes
+    decidable under a watermark. Spark has no native streaming left_anti
+    (analysis-time refusal, message quoted at the operator); the engine
+    ships the standard derivation as a first-class operator
+    (`interval_anti_join`: left_outer + unmatched filter + left-only
+    projection), and this drain pins that the derivation inherits the
+    outer join's watermark schedule exactly — emit_batch per row, matched
+    and still-live views absent."""
+    from topk_spark.streaming.interval_join import interval_anti_join
+
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+
+    def build(v: DataFrame, p: DataFrame) -> DataFrame:
+        return interval_anti_join(
+            v,
+            p,
+            left_key="user_id",
+            right_key="p_user_id",
+            left_time="view_ts",
+            right_time="purchase_ts",
+            window="7 DAYS",
+            watermark_delay="1 day",
+        ).select("user_id", "view_id")
+
+    drained = drain_join(spark, views, purchases, build, n_batches=3)
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_antijoin_salted_drain",
+    tags=("T1", "T7", "T8", "joins", "streaming", "skew"),
+    oracle=_ANTIJOIN_ORACLE,
+)
+def stream_antijoin_salted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti join through the salted left_outer (salt_buckets=8,
+    salt_side='left') under the same oracle verbatim: anti output rows are
+    anchored by unreplicated left rows, a view is unmatched under
+    (key, salt) iff unmatched under key, and the null deadline schedule is
+    watermark-driven and salt-invariant — so the hot-key lever must not
+    change which views are absent-matched nor when they emit."""
+    from topk_spark.streaming.interval_join import interval_anti_join
+
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+
+    def build(v: DataFrame, p: DataFrame) -> DataFrame:
+        return interval_anti_join(
+            v,
+            p,
+            left_key="user_id",
+            right_key="p_user_id",
+            left_time="view_ts",
+            right_time="purchase_ts",
+            window="7 DAYS",
+            watermark_delay="1 day",
+            salt_buckets=8,
+        ).select("user_id", "view_id")
+
+    drained = drain_join(spark, views, purchases, build, n_batches=3)
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
