@@ -23,7 +23,11 @@ run's state was restored:
 - near-dup: the canonical document's band-bucket entries are written before
   the restart, its near-duplicate arrives after — the match can only be
   emitted against restored bucket state (a reset silently re-admits the
-  duplicate, the worst failure mode for an ingest-time suppressor).
+  duplicate, the worst failure mode for an ingest-time suppressor);
+- per-event top-K (round-8 late): the item counts AND the per-key snapshot
+  sequence counter must both resume — generation 2's lone event must emit
+  snapshot seq=3 with the pre-restart counts folded in (a reset restarts
+  both at 1, no partial credit).
 
 With these, every stateful-operator class the engine ships (symmetric hash
 join, custom GroupState sketch/dedup/bucket state, built-in
@@ -410,3 +414,73 @@ def test_restart_drain_counterfactual_fresh_checkpoint_diverges(spark, tmp_path)
         "restart drains' divergence signal is vacuous"
     )
     assert emitted.count("E1") >= 2, f"expected E1 re-admission, got {emitted}"
+
+
+def test_per_event_topk_state_survives_restart(spark, tmp_path, store):
+    """Sixth stateful class in the matrix: the per-event top-K's GroupState
+    (item counts + the per-key sequence counter) across a cross-process
+    restart, both providers. Generation 2 sees ONE event; its snapshot must
+    say seq=3 with the pre-restart counts folded in (A:2, B:1). A state
+    loss has no partial credit: seq restarts at 1 and the counts at 1."""
+    from topk_spark.streaming.continuous_topk_tws import continuous_topk_per_event
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> list:
+        stream = (
+            spark.readStream.schema(
+                "restaurant_id string, menu_item_id string, "
+                "event_id long, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = (
+            continuous_topk_per_event(stream, k=5)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not os.path.isdir(out):
+            return []
+        return sorted(
+            (r["snap_seq"], r["rank"], r["menu_item_id"], r["order_count"],
+             r["snap_event_id"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    t0_us = T0 * 1000
+    _write_file(src, "b0.json", [
+        {"restaurant_id": "R1", "menu_item_id": "A", "event_id": 1,
+         "ts_us": t0_us},
+        {"restaurant_id": "R1", "menu_item_id": "B", "event_id": 2,
+         "ts_us": t0_us + 1_000_000},
+    ], 1000)
+    first = drain()
+    assert first == [
+        (1, 1, "A", 1, 1),
+        (2, 1, "A", 1, 2),
+        (2, 2, "B", 1, 2),
+    ]
+
+    # Generation 2, same checkpoint, fresh query lineage: one more A.
+    _write_file(src, "b1.json", [
+        {"restaurant_id": "R1", "menu_item_id": "A", "event_id": 3,
+         "ts_us": t0_us + 2_000_000},
+    ], 1010)
+    second = drain()
+    gen2 = [r for r in second if r not in first]
+    assert gen2 == [
+        (3, 1, "A", 2, 3),
+        (3, 2, "B", 1, 3),
+    ], (
+        "per-event top-K state (counts and/or sequence counter) did not "
+        f"survive the checkpoint restart under {store}: {gen2}"
+    )
