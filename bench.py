@@ -856,7 +856,7 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
         F.floor(F.lit(100.0) * F.pow(uh, F.lit(4.0))).cast("long").alias("uid"),
     )
 
-    def make_build_hot(salt):
+    def make_build_hot(salt, salt_side="left"):
         def build(v, p):
             j = interval_join(
                 v,
@@ -869,12 +869,13 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
                 watermark_delay="90 days",
                 how="inner",
                 salt_buckets=salt,
+                salt_side=salt_side,
             )
             return j.select("user_id", "view_id", "purchase_id")
 
         return build
 
-    def run_hot(salt, trials: int = 2) -> tuple[int, float]:
+    def run_hot(salt, trials: int = 2, salt_side: str = "left") -> tuple[int, float]:
         e = _range_tile(hot_base, "ts", 3)
         views = e.filter(F.col("event_type") == "view").select(
             F.col("event_id").alias("view_id"),
@@ -897,7 +898,8 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
         for _ in range(trials):
             t0 = time.perf_counter()
             pairs = drain_join(
-                spark, views, purchases, make_build_hot(salt), n_batches=3
+                spark, views, purchases,
+                make_build_hot(salt, salt_side), n_batches=3,
             ).count()
             best = min(best, time.perf_counter() - t0)
         return pairs, round(best, 3)
@@ -926,6 +928,17 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
             "speedup": round(hw / sw, 2),
         }
     sw = curve["8"]["wall_s"]
+    # Mirror orientation (round-8: salting became side-aware): salt the
+    # RIGHT side, replicate the left — the orientation right_outer needs.
+    # The hot key is hot on BOTH sides here, so the mirror lever must show
+    # the same physics; a result-count change is a correctness tripwire and
+    # a missing speedup means the mirror path's partitioning is broken.
+    rp, rw_wall = run_hot(8, salt_side="right")
+    if rp != hp:
+        raise RuntimeError(
+            f"salt_side='right' changed hot-block join results: {rp} vs "
+            f"{hp} pairs"
+        )
     out["hot"] = {
         "events": n_hot,
         "window": "30 minutes",
@@ -934,10 +947,19 @@ def bench_streaming_join_skew(spark, sf_dir: str) -> dict:
         "salted_wall_s": sw,
         "salted_speedup": curve["8"]["speedup"],
         "bucket_curve": curve,
+        "salt_side_right": {
+            "wall_s": rw_wall,
+            "speedup": round(hw / rw_wall, 2),
+        },
     }
     if sw > hw:
         out["flagged"].append(
             {"op": "interval_join_salt_lever", "unsalted_s": hw, "salted_s": sw}
+        )
+    if rw_wall > hw:
+        out["flagged"].append(
+            {"op": "interval_join_salt_side_right", "unsalted_s": hw,
+             "salted_s": rw_wall}
         )
     return out
 

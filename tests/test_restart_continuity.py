@@ -27,11 +27,16 @@ run's state was restored:
 - per-event top-K (round-8 late): the item counts AND the per-key snapshot
   sequence counter must both resume — generation 2's lone event must emit
   snapshot seq=3 with the pre-restart counts folded in (a reset restarts
-  both at 1, no partial credit).
+  both at 1, no partial credit);
+- session windows (round-8 late): MERGING state — an open session must
+  absorb a post-restart in-gap event into one merged row, the only class
+  where recovery must support merge-into-existing, not just key-value
+  reload.
 
 With these, every stateful-operator class the engine ships (symmetric hash
-join, custom GroupState sketch/dedup/bucket state, built-in
-windowed/sketch aggregation state) has a restart pin.
+join, custom GroupState sketch/dedup/bucket/counter state, built-in
+windowed/sketch aggregation state, merging session-window state) has a
+restart pin.
 
 The whole matrix runs under BOTH state-store providers (round-7 verdict
 item 4): the default HDFS-backed store AND RocksDB — the provider the 100 TB
@@ -483,4 +488,74 @@ def test_per_event_topk_state_survives_restart(spark, tmp_path, store):
     ], (
         "per-event top-K state (counts and/or sequence counter) did not "
         f"survive the checkpoint restart under {store}: {gen2}"
+    )
+
+
+def test_session_window_state_survives_restart(spark, tmp_path, store):
+    """Seventh stateful class: MERGING session-window state. An open
+    session (two events before the restart) must absorb a third event
+    arriving after the restart into ONE merged session — session state is
+    the only class where recovery must support in-place MERGE, not just
+    key-value reload. The watermark advancer in generation 2 then closes
+    it; the single emitted row carries all three events and the
+    pre-restart session_start. A state loss emits a 1-event session
+    starting at the post-restart event instead."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> list:
+        stream = (
+            spark.readStream.schema("user_id string, ms long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .withColumn("ts", F.timestamp_millis("ms"))
+            .drop("ms")
+        )
+        sessions = (
+            stream.withWatermark("ts", "10 hours")
+            .groupBy(F.session_window("ts", "60 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_millis("w.start").alias("start_ms"),
+                F.unix_millis("w.end").alias("end_ms"),
+                "n_events",
+            )
+        )
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not os.path.isdir(out):
+            return []
+        return sorted(
+            (r["user_id"], r["start_ms"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    _write_file(src, "b0.json", [
+        {"user_id": "U1", "ms": T0},
+        {"user_id": "U1", "ms": T0 + 10 * _M},
+    ], 1000)
+    first = drain()
+    assert first == [], f"session emitted while still open: {first}"
+
+    # Generation 2: a third in-gap event (must MERGE into restored session
+    # state) plus an advancer that pushes the watermark past the merged
+    # session's end (wm = T0+20h − 10h = T0+10h > T0+30m+60m).
+    _write_file(src, "b1.json", [
+        {"user_id": "U1", "ms": T0 + 30 * _M},
+        {"user_id": "U_ADV", "ms": T0 + 20 * 60 * _M},
+    ], 1010)
+    second = drain()
+    assert second == [("U1", T0, 3)], (
+        "session-window state did not merge across the checkpoint restart "
+        f"under {store}: {second}"
     )
