@@ -219,8 +219,10 @@ def load_all() -> dict[str, Query]:
         # round's driver window (stable sort preserves import order).
         heavyhitter_queries,
         streaming_join_queries,
-        # Round-8: per-event top-K on the StatefulProcessor API.
+        # Round-8: per-event top-K on the StatefulProcessor API; event-time
+        # timer-driven emission.
         per_event_topk_queries,
+        timer_queries,
     )
 
     ordered = _ordered_names(_driver_rounds())
