@@ -38,7 +38,24 @@ from topk_spark.workload import register
 _GAP_MS = 6 * 3600 * 1000  # 6 hours of inactivity
 _DELAY_MS = 60_000  # 1 minute watermark delay
 
-_TIMER_EXPIRY_ORACLE = f"""
+
+def _timer_oracle(split_extra: str, emit_expr: str) -> str:
+    """The timer-schedule oracle, parameterized for the two topologies:
+
+    - plain (3 data batches + 1 flush): a run splits between consecutive
+      events i, i+1 iff first_due_batch(i) < arrival_tile(i+1) strictly
+      (data in the due batch beats the timer), and a due timer fires at
+      its logical first_due batch.
+    - restart_after=2 (2 data batches, gen-1 flush, 1 data batch, gen-2
+      flush): the gen-1 FLUSH sits between tile 1 and tile 2, so timers
+      due at wm(tiles 0-1) — first_due_b == 2 — fire there even when the
+      key HAS tile-2 data (that data is not visible yet; the restart
+      converts those data-beats-timer saves into real expiries:
+      `split_extra` adds the (first_due_b = 2 AND next_tile = 2) case).
+      Physical batch ids: logical 1→1, 2→2 (gen-1 flush takes the id the
+      tile-2 data batch had), 3→4 (gen-2 data is 3, gen-2 flush is 4) —
+      `emit_expr` applies the remap."""
+    return f"""
 WITH b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax
            FROM events),
 ev AS (
@@ -64,7 +81,8 @@ seq AS (
 flags AS (
   SELECT *,
          CASE WHEN first_due_b IS NOT NULL
-                   AND (next_tile IS NULL OR first_due_b < next_tile)
+                   AND (next_tile IS NULL OR first_due_b < next_tile
+                        {split_extra})
               THEN 1 ELSE 0 END AS is_split
   FROM seq
 ),
@@ -79,12 +97,20 @@ SELECT key,
        CAST(min(ms) AS BIGINT) AS run_start_ms,
        CAST(max(ms) AS BIGINT) AS last_ms,
        count(*) AS n_events,
-       CAST(max(CASE WHEN is_split = 1 THEN first_due_b END) AS INT)
+       CAST(max(CASE WHEN is_split = 1 THEN {emit_expr} END) AS INT)
          AS emit_batch
 FROM runs
 GROUP BY key, run_id
 HAVING max(is_split) = 1
 """
+
+
+_TIMER_EXPIRY_ORACLE = _timer_oracle("", "first_due_b")
+
+_TIMER_RESTART_ORACLE = _timer_oracle(
+    "OR (first_due_b = 2 AND next_tile = 2)",
+    "CASE WHEN first_due_b = 3 THEN 4 ELSE first_due_b END",
+)
 
 
 @register(
@@ -118,5 +144,53 @@ def stream_timer_expiry_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=3,
         ordered_split=("ts", 3),
         keep_bid=True,
+    )
+    return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_timer_expiry_restart_drain",
+    tags=("T7", "T8", "streaming", "timers", "restart"),
+    oracle=_TIMER_RESTART_ORACLE,
+)
+def stream_timer_expiry_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The timer operator across a CHECKPOINT RESTART — and unlike every
+    other restart drain, here a restart is OBSERVABLE and the oracle
+    predicts exactly how. Stopping after two terciles makes generation 1's
+    trailing flush advance the watermark to wm(tiles 0-1) and fire every
+    timer due at it; keys whose NEXT event sits in tile 2 would, in the
+    uninterrupted run, have had that data beat the timer — but tile 2 is
+    not visible to generation 1, so the shutdown flush legitimately
+    expires them and their tile-2 data starts a fresh run under the
+    restored generation. The oracle adds exactly that case
+    (first_due_b = 2 AND next_tile = 2) to the split rule and remaps
+    logical firing batches onto the two-generation physical schedule
+    (gen-1 flush inherits id 2; end-of-stream timers fire in gen-2's
+    flush, id 4). What the hash therefore proves: timeout TIMESTAMPS are
+    restored from the checkpoint (a gen-2 timer reset would shift the
+    remaining schedule), run state survives for keys untouched by the
+    forced flush, and the restart's observable effect is precisely the
+    predicted set of converted expiries — nothing more."""
+    from topk_spark.streaming.timers import inactivity_expiry
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    drained = _drain(
+        spark,
+        ev,
+        lambda s: inactivity_expiry(
+            s, gap_ms=_GAP_MS, watermark_delay="1 minute"
+        ),
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        keep_bid=True,
+        restart_after=2,
     )
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
