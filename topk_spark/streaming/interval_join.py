@@ -98,7 +98,7 @@ def interval_join(
     left_time: str,
     right_time: str,
     window: str,
-    watermark_delay: str,
+    watermark_delay: str | None,
     how: str = "inner",
     salt_buckets: int | None = None,
     salt_side: str = "left",
@@ -111,12 +111,17 @@ def interval_join(
     plans, never a stale pre-watermark lineage.
 
     `window` / `watermark_delay` are Spark interval strings ("7 days").
-    `how` is "inner", "left_outer", "right_outer", "full_outer", or
-    "left_semi". `salt_buckets` (optional) pre-salts the equality key to
-    spread a hot key over that many partitions — result rows are identical
-    to the unsalted join (module docstring has the argument); `salt_side`
-    picks the salted (non-replicated) side and must be a safe side for
-    `how`; use when one key carries a large traffic share."""
+    `watermark_delay=None` means BOTH inputs already carry watermarks
+    (e.g. they flow out of an upstream stateful stage such as
+    dropDuplicatesWithinWatermark — Spark disallows redefining a
+    watermark downstream, so a chained topology must watermark once, at
+    the top) and none is applied here. `how` is "inner", "left_outer",
+    "right_outer", "full_outer", or "left_semi". `salt_buckets`
+    (optional) pre-salts the equality key to spread a hot key over that
+    many partitions — result rows are identical to the unsalted join
+    (module docstring has the argument); `salt_side` picks the salted
+    (non-replicated) side and must be a safe side for `how`; use when one
+    key carries a large traffic share."""
     if salt_buckets is not None and salt_buckets > 1:
         canon = _HOW_CANON.get(how.replace("_", "").lower())
         if canon is None:
@@ -159,8 +164,11 @@ def interval_join(
                     F.lit(salt_buckets),
                 ).cast("int"),
             )
-    lw = left.withWatermark(left_time, watermark_delay)
-    rw = right.withWatermark(right_time, watermark_delay)
+    if watermark_delay is not None:
+        lw = left.withWatermark(left_time, watermark_delay)
+        rw = right.withWatermark(right_time, watermark_delay)
+    else:
+        lw, rw = left, right
     cond = (
         (lw[left_key] == rw[right_key])
         & (rw[right_time] >= lw[left_time])
@@ -185,7 +193,7 @@ def interval_anti_join(
     left_time: str,
     right_time: str,
     window: str,
-    watermark_delay: str,
+    watermark_delay: str | None,
     salt_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming NOT-EXISTS within the horizon: left rows with NO right row

@@ -1081,3 +1081,78 @@ def stream_antijoin_salted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     drained = drain_join(spark, views, purchases, build, n_batches=3)
     return drained.withColumn("emit_batch", F.col("_bid").cast("int")).drop("_bid")
+
+
+@register(
+    "stream_dedup_join_rollup_chain_drain",
+    tags=("D1", "T1", "T3", "T8", "joins", "streaming", "chained"),
+    oracle=_JOIN_ROLLUP_ORACLE,
+)
+def stream_dedup_join_rollup_chain_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THREE stateful operators in one streaming query — the complete
+    reference pipeline shape (dedup → keyed enrichment → windowed rollup,
+    TopKStreamingJob.kt's full topology) with zero intermediate topics:
+    per-side `dropDuplicatesWithinWatermark` feeding the 7-day interval
+    join feeding the 1-day tumbling rollup, one watermark declared at the
+    top of each side (Spark disallows redefining watermarks downstream of
+    a stateful stage — `interval_join(watermark_delay=None)` is the
+    chained-topology form), one checkpoint.
+
+    The DEDUP stage is load-bearing, not decorative: every 5th view and
+    every 5th purchase is injected as an exact duplicate (same id, same
+    event time, same arrival tile), and the oracle is the CLEAN chain
+    drain's SQL verbatim over the original table — so the hash matches
+    only if the first stage suppressed every duplicate before it could
+    inflate the join (a duplicated view would double its pairs; a
+    duplicated purchase would double pair counts AND day sums). Dedup
+    state, join buffers, and window partials all recover/evict under the
+    same propagated-watermark schedule the two-operator chain pinned."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    vdup = views.filter(F.col("view_id") % 5 == 0)
+    pdup = purchases.filter(F.col("purchase_id") % 5 == 0)
+
+    def build(v: DataFrame, p: DataFrame) -> DataFrame:
+        from topk_spark.streaming.interval_join import interval_join
+
+        v = v.withWatermark("view_ts", "1 day").dropDuplicatesWithinWatermark(
+            ["view_id"]
+        )
+        p = p.withWatermark(
+            "purchase_ts", "1 day"
+        ).dropDuplicatesWithinWatermark(["purchase_id"])
+        j = interval_join(
+            v,
+            p,
+            left_key="user_id",
+            right_key="p_user_id",
+            left_time="view_ts",
+            right_time="purchase_ts",
+            window="7 DAYS",
+            watermark_delay=None,
+            how="inner",
+        )
+        return (
+            j.groupBy(F.window("purchase_ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("pair_count"),
+                F.sum(
+                    F.unix_millis("purchase_ts") - F.unix_millis("view_ts")
+                ).alias("gap_ms_sum"),
+            )
+            .select(
+                F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                "pair_count",
+                "gap_ms_sum",
+            )
+        )
+
+    drained = drain_join(
+        spark,
+        views.unionByName(vdup),
+        purchases.unionByName(pdup),
+        build,
+        n_batches=3,
+    )
+    return drained.drop("_bid")
