@@ -1070,6 +1070,47 @@ def bench_streaming_chain(spark, sf_dir: str) -> dict:
     )
     n_windows = chained.count()
     chained_s = time.perf_counter() - t0
+
+    # three stateful operators: per-side dedup ahead of the same chain
+    # (stream_dedup_join_rollup_chain_drain's topology, duplicates and all)
+    def build_three(v, p):
+        v = v.withWatermark("view_ts", "1 day").dropDuplicatesWithinWatermark(
+            ["view_id"]
+        )
+        p = p.withWatermark(
+            "purchase_ts", "1 day"
+        ).dropDuplicatesWithinWatermark(["purchase_id"])
+        j = interval_join(
+            v, p,
+            left_key="user_id", right_key="p_user_id",
+            left_time="view_ts", right_time="purchase_ts",
+            window="7 DAYS", watermark_delay=None, how="inner",
+        )
+        return (
+            j.groupBy(F.window("purchase_ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("pair_count"),
+                F.sum(
+                    F.unix_millis("purchase_ts") - F.unix_millis("view_ts")
+                ).alias("gap_ms_sum"),
+            )
+            .select(
+                F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                "pair_count", "gap_ms_sum",
+            )
+        )
+
+    vdup = views.filter(F.col("view_id") % 5 == 0)
+    pdup = purchases.filter(F.col("purchase_id") % 5 == 0)
+    t0 = time.perf_counter()
+    drain_join(
+        spark,
+        views.unionByName(vdup),
+        purchases.unionByName(pdup),
+        build_three,
+        n_batches=3,
+    ).count()
+    three_op_s = time.perf_counter() - t0
     views.unpersist()
     purchases.unpersist()
 
@@ -1084,6 +1125,8 @@ def bench_streaming_chain(spark, sf_dir: str) -> dict:
         "windows": n_windows,
         "join_only_s": round(join_only_s, 3),
         "chained_s": round(chained_s, 3),
+        "three_op_s": round(three_op_s, 3),
+        "three_op_over_join_only": round(three_op_s / join_only_s, 3),
         "two_stage_s": round(join_only_s + second_stage_s, 3),
         "chain_over_join_only": overhead,
         "flagged": flagged,

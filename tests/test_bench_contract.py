@@ -45,6 +45,11 @@ def _full_record(n_regressions: int = 0) -> dict:
             "hot": {"salted_speedup": 1.9},
             "flagged": [],
         },
+        "streaming_chain": {
+            "chain_over_join_only": 1.113,
+            "three_op_over_join_only": 1.2,
+            "flagged": [],
+        },
         "e2e_latency": {"raw_visible_s": 0.718, "rollup_visible_s": 1.675},
         "serving_point_read": {"warm": {"p50_ms": 40.9, "p99_ms": 59.0}},
         "scaling": {"flagged": []},
@@ -73,8 +78,8 @@ def test_compact_line_parses_and_fits_tail_capture():
         "metric", "value", "unit", "queries", "r01_subset_total", "sf",
         "ingest_eps", "ingest_skew_eps", "e2e_raw_s", "e2e_rollup_s",
         "serve_p50_ms", "serve_p99_ms", "join_alpha",
-        "join_skew_per_pair_ratio", "scaling_flagged", "regressions",
-        "detail",
+        "join_skew_per_pair_ratio", "chain_over_join_only",
+        "scaling_flagged", "regressions", "detail",
     ):
         assert k in parsed, f"missing {k}"
     assert parsed["queries"] == {n: 1.2345 for n in _QUERY_NAMES}
