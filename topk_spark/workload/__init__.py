@@ -223,6 +223,9 @@ def load_all() -> dict[str, Query]:
         # timer-driven emission.
         per_event_topk_queries,
         timer_queries,
+        # Round-8 late: KMV distinct sketches (hash-gated mergeability) and
+        # the continuous weighted priority sample.
+        bottomk_queries,
     )
 
     ordered = _ordered_names(_driver_rounds())

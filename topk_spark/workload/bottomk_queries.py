@@ -1,0 +1,200 @@
+"""Bottom-k family: KMV distinct sketches and continuous priority
+sampling — round-8 additions.
+
+Two gaps these close:
+
+1. The approx-distinct surface (reference declares sketch distincts on
+   its rollup schema, orders_1m_rollup_schema.json:50-53) was HLL-only —
+   correct, but its driver gates are error-BOUND checks because no SQL
+   engine replays Datasketches registers. KMV (`ops/kmv.py`) is the
+   deterministic sketch: DuckDB reproduces the k-minimum-values estimator
+   bit-for-bit, so the estimator itself sits under the hash gate, and the
+   merge path (union of per-group sketches -> global sketch) is pinned
+   EQUAL to the direct path, not just close to it. That's the sketch
+   property 100 TB actually relies on: per-partition/per-day sketches
+   merged later must answer exactly like one big scan.
+
+2. The sampling surface was batch-only. `stream_priority_sample_drain`
+   keeps `weighted_priority_sample`'s DLT sample as streaming state
+   (streaming/priority_sample.py): m rows per source, maintained as the
+   crawl lands. Arrival-order invariance makes the batch SQL the oracle
+   verbatim; cross-batch state continuity is load-bearing because the
+   md5 priorities are independent of the doc_id tiling, so every tile
+   contributes winners — a state reset leaves only last-tile docs (the
+   counterfactual in tests/test_bottomk.py measures the loss).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.ops.kmv import SCALE, bottom_k_distinct, kmv_estimate, u48_expr
+from topk_spark.workload import register
+from topk_spark.workload.sampling_queries import _SCALE, _W_CAP
+
+_K = 64
+
+# DuckDB twin of ops/kmv.py's hashing: distinct 48-bit hashes of the
+# (user, utc-day) string per event type.
+_UD_HASHES = """
+h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(
+           CAST(user_id AS VARCHAR) || ':' ||
+           CAST(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS VARCHAR)
+         ), 1, 12) AS BIGINT) AS u
+  FROM events
+)
+"""
+
+
+def _ud_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = F.concat_ws(
+        ":", F.col("user_id"), F.floor(F.unix_millis("ts") / 86400000)
+    )
+    return ev.select("event_type", u48_expr(ud).alias("u"))
+
+
+@register(
+    "kmv_distinct_userdays",
+    tags=("A7", "A8", "sketch"),
+    oracle=f"""
+WITH {_UD_HASHES},
+r AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM h
+)
+SELECT event_type,
+       CAST(CASE WHEN count(*) < {_K} THEN count(*)
+            ELSE ({(_K - 1) * SCALE} // greatest(max(u), 1)) END
+       AS BIGINT) AS est_distinct
+FROM r WHERE rn <= {_K}
+GROUP BY event_type
+""",
+)
+def kmv_distinct_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimate of distinct (user, day) pairs per event type, k=64.
+
+    The Spark plan is the TWO-LEVEL merge (per-bucket local sketches, then
+    bottom-k of the <= k*32 survivors — ops/kmv.py); the oracle computes
+    the DIRECT single-pass sketch. Hash-match therefore certifies the
+    mergeability identity on real data, which is the property that lets
+    per-partition sketches at 100 TB be combined without re-scanning."""
+    sk = bottom_k_distinct(
+        _ud_hashed(spark, sf_dir), ["event_type"], "u", k=_K, pre_buckets=32
+    )
+    return kmv_estimate(sk, ["event_type"], "u", k=_K)
+
+
+@register(
+    "kmv_union_distinct",
+    tags=("A7", "A8", "sketch"),
+    oracle=f"""
+WITH {_UD_HASHES},
+g AS (SELECT DISTINCT u FROM h),
+r AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM g)
+SELECT CAST(CASE WHEN count(*) < {_K} THEN count(*)
+            ELSE ({(_K - 1) * SCALE} // greatest(max(u), 1)) END
+       AS BIGINT) AS est_distinct
+FROM r WHERE rn <= {_K}
+""",
+)
+def kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user, day) pairs across ALL event types, answered by
+    MERGING the five per-type KMV sketches (bottom-k over the union of
+    their k-value sets) — the set-union read path a rollup store serves
+    without touching raw data. The oracle is the direct global sketch;
+    equality is exact (every global bottom-k hash survives each per-type
+    sketch that contains it), so this pins cross-SET mergeability where
+    `kmv_distinct_userdays` pins cross-PARTITION mergeability."""
+    per_type = bottom_k_distinct(
+        _ud_hashed(spark, sf_dir), ["event_type"], "u", k=_K, pre_buckets=32
+    )
+    merged = per_type.select("u").distinct().withColumn("_g", F.lit(0))
+    global_sk = bottom_k_distinct(merged, ["_g"], "u", k=_K, pre_buckets=1)
+    return kmv_estimate(global_sk, ["_g"], "u", k=_K).drop("_g")
+
+
+# ---------------------------------------------------------------------------
+# Continuous weighted priority sample
+# ---------------------------------------------------------------------------
+
+_M_PER_SOURCE = 5
+
+
+def _with_priority(docs: DataFrame) -> DataFrame:
+    """The DLT priority columns of workload/sampling_queries.py, computed
+    map-side: w = clamped n_chars, u48 = md5 uniform of doc_id,
+    priority = w * 2^48 div (u48 + 1). Only these four narrow columns ever
+    reach the stateful operator — never text."""
+    return docs.select(
+        "source",
+        "doc_id",
+        F.least(F.col("n_chars").cast("long"), F.lit(_W_CAP).cast("long"))
+        .alias("weight"),
+        u48_expr(F.col("doc_id")).alias("u48"),
+    ).selectExpr(
+        "source",
+        "doc_id",
+        "weight",
+        f"(weight * CAST({_SCALE} AS BIGINT)) div (u48 + 1) AS priority",
+    )
+
+
+_SAMPLE_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source, least(n_chars, {_W_CAP}) AS w,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+           AS u48
+  FROM documents
+),
+q AS (
+  SELECT source, doc_id, w, (w * {_SCALE}) // (u48 + 1) AS priority
+  FROM u
+),
+r AS (
+  SELECT source, doc_id, w, priority,
+         row_number() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id
+         ) AS rn
+  FROM q
+)
+SELECT source, doc_id, CAST(w AS BIGINT) AS weight,
+       CAST(priority AS BIGINT) AS priority
+FROM r WHERE rn <= {_M_PER_SOURCE}
+"""
+
+
+@register(
+    "stream_priority_sample_drain",
+    tags=("sampling", "T8", "streaming"),
+    oracle=_SAMPLE_ORACLE,
+)
+def stream_priority_sample_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the continuous priority sampler over the documents table split
+    into 3 doc_id-ordered micro-batches: per source, the top-5 priority
+    sample maintained as streaming state. The oracle is the BATCH top-5
+    per source — valid precisely because the operator's state makes the
+    answer arrival-order invariant. Continuity is load-bearing: md5
+    scrambles doc_id order, so winners come from all three tiles; a
+    per-batch state reset would emit the last tile's local top-5 instead
+    (measured divergence pinned in tests/test_bottomk.py)."""
+    from topk_spark.streaming.priority_sample import streaming_priority_sample
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return _drain(
+        spark,
+        docs,
+        lambda s: streaming_priority_sample(_with_priority(s), m=_M_PER_SOURCE),
+        output_mode="update",
+        last_per=["source"],
+        max_files_per_trigger=3,
+        ordered_split=("doc_id", 3),
+    )

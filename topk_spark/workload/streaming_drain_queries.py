@@ -103,10 +103,18 @@ def _range_tile(df: DataFrame, col: str, n: int) -> DataFrame:
         tile = least(n-1, (us - tmin) * n div (tmax - tmin + 1))
 
     Monotone in `col`, so tile order == event-time order (what the ordered
-    replay needs); the +1 keeps the max row in tile n-1 without a branch."""
+    replay needs); the +1 keeps the max row in tile n-1 without a branch.
+
+    `col` may also be an integer column (e.g. doc_id for a corpus stream):
+    the ranges are then over the raw values — same arithmetic, no epoch
+    conversion."""
+    us = (
+        f"unix_micros({col})"
+        if dict(df.dtypes)[col].startswith("timestamp")
+        else f"CAST({col} AS BIGINT)"
+    )
     b = df.agg(
-        F.min(F.unix_micros(F.col(col))).alias("_tmin"),
-        F.max(F.unix_micros(F.col(col))).alias("_tmax"),
+        F.expr(f"min({us})").alias("_tmin"), F.expr(f"max({us})").alias("_tmax")
     )
     return (
         df.crossJoin(F.broadcast(b))
@@ -114,7 +122,7 @@ def _range_tile(df: DataFrame, col: str, n: int) -> DataFrame:
             "_tile",
             F.least(
                 F.lit(n - 1),
-                F.expr(f"(unix_micros({col}) - _tmin) * {n} div (_tmax - _tmin + 1)"),
+                F.expr(f"({us} - _tmin) * {n} div (_tmax - _tmin + 1)"),
             ).cast("int"),
         )
         .drop("_tmin", "_tmax")
