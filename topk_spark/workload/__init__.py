@@ -226,6 +226,8 @@ def load_all() -> dict[str, Query]:
         # Round-8 late: KMV distinct sketches (hash-gated mergeability) and
         # the continuous weighted priority sample.
         bottomk_queries,
+        # Round-8 late: time-decayed top-K (batch read + continuous state).
+        decay_queries,
     )
 
     ordered = _ordered_names(_driver_rounds())
