@@ -228,6 +228,9 @@ def load_all() -> dict[str, Query]:
         bottomk_queries,
         # Round-8 late: time-decayed top-K (batch read + continuous state).
         decay_queries,
+        # Round-8 late: dashboard serving patterns (top-k + others row,
+        # leaderboard rank movement).
+        serving2_queries,
     )
 
     ordered = _ordered_names(_driver_rounds())

@@ -198,3 +198,35 @@ def stream_priority_sample_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=3,
         ordered_split=("doc_id", 3),
     )
+
+
+@register(
+    "stream_priority_sample_restart_drain",
+    tags=("sampling", "T8", "streaming"),
+    oracle=_SAMPLE_ORACLE,
+)
+def stream_priority_sample_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_priority_sample_drain` (the
+    round-8 restart-drain pattern): generation 1 sees only the first
+    doc_id tile, terminates, and a freshly built query restores the
+    per-source sample state from the checkpoint alone before processing
+    the rest. Shares the batch oracle verbatim — tile-0 winners are in
+    the final sample only if they survived the restart inside state."""
+    from topk_spark.streaming.priority_sample import streaming_priority_sample
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return _drain(
+        spark,
+        docs,
+        lambda s: streaming_priority_sample(_with_priority(s), m=_M_PER_SOURCE),
+        output_mode="update",
+        last_per=["source"],
+        max_files_per_trigger=3,
+        ordered_split=("doc_id", 3),
+        restart_after=1,
+    )

@@ -152,3 +152,40 @@ def stream_decayed_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_split=("ts", 3),
     )
     return _finalize_decay(drained)
+
+
+@register(
+    "stream_decayed_topk_restart_drain",
+    tags=("K1", "T8", "streaming"),
+    oracle=_DECAY_ORACLE,
+)
+def stream_decayed_topk_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_decayed_topk_drain`: generation
+    1 processes only the first event-time tile; the restarted query must
+    restore the early bucket sums from the checkpoint — at HL = 3 d their
+    shifted contributions are nonzero, so losing them changes emitted
+    decayed_cents and fails the shared oracle's value hash."""
+    from topk_spark.streaming.decayed_topk import streaming_decayed_buckets
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    es = order_stream(spark, sf_dir).where(F.col("revenue_cents").isNotNull())
+    src = es.select(
+        "ts",
+        "event_type",
+        "user_id",
+        F.floor(F.unix_millis("ts") / _HL_MS).alias("bucket"),
+        F.col("revenue_cents").alias("w"),
+    )
+    drained = _drain(
+        spark,
+        src,
+        lambda s: streaming_decayed_buckets(s),
+        output_mode="update",
+        last_per=["event_type", "user_id"],
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=1,
+    )
+    return _finalize_decay(drained)
