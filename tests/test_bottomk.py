@@ -82,6 +82,44 @@ def test_merge_across_groups_equals_direct_global(spark, sf_dir):
     )
 
 
+def test_streaming_kmv_reset_counterfactual(spark, sf_dir):
+    """A KMV state that reset per batch would hold only the last tile's
+    bottom-k: the kth min inflates ~3x and the estimate collapses to
+    ~1/3 of the truth — far outside anything the shared oracle would
+    hash-match. Also pins that tile-0 hashes populate the true bottom-k
+    (what makes restart recovery observable)."""
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+
+    h = _ud_hashed(spark, sf_dir)
+    tiled = _range_tile(h, "ts", 3)
+    full = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_estimate(
+            bottom_k_distinct(h, ["event_type"], "u", k=64), ["event_type"],
+            "u", k=64,
+        ).collect()
+    }
+    last_only = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_estimate(
+            bottom_k_distinct(
+                tiled.where(F.col("_tile") == 2).drop("_tile"),
+                ["event_type"], "u", k=64,
+            ),
+            ["event_type"], "u", k=64,
+        ).collect()
+    }
+    for g, est in full.items():
+        assert last_only[g] < 0.6 * est, (g, last_only[g], est)
+    # tile-0 rows sit inside the true bottom-k for every type
+    early = bottom_k_distinct(h, ["event_type"], "u", k=64).join(
+        tiled.where(F.col("_tile") == 0).select("event_type", "u").distinct(),
+        ["event_type", "u"],
+    )
+    per_type = {r[0]: r[1] for r in early.groupBy("event_type").count().collect()}
+    assert per_type and all(v >= 10 for v in per_type.values())
+
+
 # ---------------------------------------------------------------------------
 # continuous priority sample
 # ---------------------------------------------------------------------------

@@ -55,13 +55,14 @@ def _ud_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = F.concat_ws(
         ":", F.col("user_id"), F.floor(F.unix_millis("ts") / 86400000)
     )
-    return ev.select("event_type", u48_expr(ud).alias("u"))
+    return ev.select("ts", "event_type", u48_expr(ud).alias("u"))
 
 
-@register(
-    "kmv_distinct_userdays",
-    tags=("A7", "A8", "sketch"),
-    oracle=f"""
+# Shared verbatim by the batch query, the streaming drain, and the
+# streaming restart drain: the KMV state is a pure function of the row
+# SET (order-, batch-, replay-, and restart-invariant), so one oracle
+# gates all three paths.
+_KMV_TYPE_ORACLE = f"""
 WITH {_UD_HASHES},
 r AS (
   SELECT event_type, u,
@@ -74,7 +75,13 @@ SELECT event_type,
        AS BIGINT) AS est_distinct
 FROM r WHERE rn <= {_K}
 GROUP BY event_type
-""",
+"""
+
+
+@register(
+    "kmv_distinct_userdays",
+    tags=("A7", "A8", "sketch"),
+    oracle=_KMV_TYPE_ORACLE,
 )
 def kmv_distinct_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV estimate of distinct (user, day) pairs per event type, k=64.
@@ -230,3 +237,61 @@ def stream_priority_sample_restart_drain(
         ordered_split=("doc_id", 3),
         restart_after=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous KMV distinct
+# ---------------------------------------------------------------------------
+
+
+def _kmv_drain(spark: SparkSession, sf_dir: str, restart_after=None) -> DataFrame:
+    from topk_spark.ops.kmv import kmv_estimate
+    from topk_spark.streaming.kmv_stream import streaming_kmv_sketch
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    drained = _drain(
+        spark,
+        _ud_hashed(spark, sf_dir),
+        lambda s: streaming_kmv_sketch(s, k=_K),
+        output_mode="update",
+        last_per=["event_type"],
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=restart_after,
+    )
+    return kmv_estimate(drained, ["event_type"], "u", k=_K)
+
+
+@register(
+    "stream_kmv_distinct_drain",
+    tags=("A7", "A8", "T8", "sketch", "streaming"),
+    oracle=_KMV_TYPE_ORACLE,
+)
+def stream_kmv_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch as CONTINUOUS state: per-type bottom-64 distinct
+    hashes maintained across 3 event-time-ordered micro-batches, estimated
+    from the drained final state. Where `stream_hll_distinct_drain` can
+    only gate an error bound (opaque registers), this shares the BATCH
+    query's oracle verbatim — the state is a pure function of the row set,
+    so arrival order and batch boundaries cannot move a single value.
+    Continuity is load-bearing: md5 spreads small hashes uniformly over
+    the event-time tiles, so a per-batch state reset leaves the last
+    tile's bottom-k (kth min ~3x larger, estimate ~1/3 of truth) and fails
+    the hash (counterfactual pinned in tests/test_bottomk.py)."""
+    return _kmv_drain(spark, sf_dir)
+
+
+@register(
+    "stream_kmv_distinct_restart_drain",
+    tags=("A7", "A8", "T8", "sketch", "streaming"),
+    oracle=_KMV_TYPE_ORACLE,
+)
+def stream_kmv_distinct_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_kmv_distinct_drain`: generation
+    1 sees only the first event-time tile, and the restarted query must
+    restore each type's retained minima from the checkpoint — tile-0
+    hashes are ~1/3 of every final bottom-64, so state loss moves the kth
+    min and fails the shared oracle's value hash."""
+    return _kmv_drain(spark, sf_dir, restart_after=1)
