@@ -256,3 +256,38 @@ def test_heavy_hitters_sketch_is_map_side_and_rescore_broadcast(spark, sf_dir):
         assert schema.strip().rstrip(",") == "struct<user_id:bigint>", (
             f"scan reads more than user_id: {schema}"
         )
+
+
+def test_kmv_no_global_sort_and_bucketed_local_topk(spark, sf_dir):
+    """The KMV sketch plan must never globally sort the hash set: both rank
+    windows partition (by (type, bucket) locally, then by type over <= k*32
+    survivors), and the distinct is an ordinary partial+final hash
+    aggregate."""
+    plan = plan_of("kmv_distinct_userdays", spark, sf_dir)
+    assert "Sort [" in plan  # window-local sorts exist...
+    # ...but none is a GLOBAL sort (second Sort arg `true` would mean the
+    # whole distinct-hash set converges before bucketing)
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", f"global sort in KMV plan\n{plan}"
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_decay_finalize_single_broadcast_no_raw_window(spark, sf_dir):
+    """decayed_topk_revenue: the global max bucket is ONE broadcast scalar
+    onto the (type,user,bucket) aggregate; the only window runs over the
+    per-user decayed table, never raw events; aggregation is partial+final
+    (map-side combine touches raw rows exactly once)."""
+    plan = plan_of("decayed_topk_revenue", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_topk_with_others_single_raw_scan(spark, sf_dir):
+    """The residual-row read must fold 'others' by re-grouping the ranked
+    (type,user) aggregate — one scan of events, no self-join of raw data."""
+    plan = plan_of("topk_with_others", spark, sf_dir)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
