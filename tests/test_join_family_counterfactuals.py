@@ -109,3 +109,42 @@ def test_fullouter_oracle_is_union_of_parts(con):
     # matched pairs inside full_outer equal the inner join exactly
     matched_full = [r for r in full if r[1] is not None and r[2] is not None]
     assert sorted(matched_full) == sorted(inner)
+
+
+def test_dedup_chain_restart_replays_nonvacuous_and_observable(con):
+    """stream_dedup_join_rollup_chain_restart_drain's cross-restart replay
+    population (rows from the last day of generation 1's range, duplicated
+    into tile 2) must (a) exist on the fixture for BOTH sides, and (b)
+    produce at least one extra join pair against tile-2 arrivals if
+    re-admitted — i.e. losing dedup state across the restart is observable
+    in pair_count, not a vacuous claim."""
+    rows = con.execute("""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax FROM e),
+t AS (SELECT e.*, CAST(least(2, (epoch_us(ts) - b.tmin) * 3
+                   // (b.tmax - b.tmin + 1)) AS INT) AS tile
+      FROM e CROSS JOIN b),
+thr AS (
+  SELECT least(
+           (SELECT max(ts) FROM t WHERE event_type='view' AND tile <= 1),
+           (SELECT max(ts) FROM t WHERE event_type='purchase' AND tile <= 1)
+         ) - INTERVAL 1 DAY AS cut
+),
+vlate AS (SELECT * FROM t, thr WHERE event_type='view' AND tile=1 AND ts >= cut),
+plate AS (SELECT * FROM t, thr WHERE event_type='purchase' AND tile=1 AND ts >= cut),
+v2 AS (SELECT * FROM t WHERE event_type='view' AND tile=2),
+p2 AS (SELECT * FROM t WHERE event_type='purchase' AND tile=2)
+SELECT
+  (SELECT count(*) FROM vlate) AS n_vlate,
+  (SELECT count(*) FROM plate) AS n_plate,
+  (SELECT count(*) FROM vlate v JOIN p2 p ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 7 DAY) AS v_extra_pairs,
+  (SELECT count(*) FROM plate p JOIN v2 v ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 7 DAY) AS p_extra_pairs
+""").fetchone()
+    n_vlate, n_plate, v_extra, p_extra = rows
+    assert n_vlate > 0 and n_plate > 0, (n_vlate, n_plate)
+    assert v_extra + p_extra > 0, "re-admission would be invisible"

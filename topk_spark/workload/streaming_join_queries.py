@@ -1112,47 +1112,119 @@ def stream_dedup_join_rollup_chain_drain(
     views, purchases = _view_purchase_tiles(spark, sf_dir)
     vdup = views.filter(F.col("view_id") % 5 == 0)
     pdup = purchases.filter(F.col("purchase_id") % 5 == 0)
-
-    def build(v: DataFrame, p: DataFrame) -> DataFrame:
-        from topk_spark.streaming.interval_join import interval_join
-
-        v = v.withWatermark("view_ts", "1 day").dropDuplicatesWithinWatermark(
-            ["view_id"]
-        )
-        p = p.withWatermark(
-            "purchase_ts", "1 day"
-        ).dropDuplicatesWithinWatermark(["purchase_id"])
-        j = interval_join(
-            v,
-            p,
-            left_key="user_id",
-            right_key="p_user_id",
-            left_time="view_ts",
-            right_time="purchase_ts",
-            window="7 DAYS",
-            watermark_delay=None,
-            how="inner",
-        )
-        return (
-            j.groupBy(F.window("purchase_ts", "1 day").alias("w"))
-            .agg(
-                F.count(F.lit(1)).alias("pair_count"),
-                F.sum(
-                    F.unix_millis("purchase_ts") - F.unix_millis("view_ts")
-                ).alias("gap_ms_sum"),
-            )
-            .select(
-                F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-                "pair_count",
-                "gap_ms_sum",
-            )
-        )
-
     drained = drain_join(
         spark,
         views.unionByName(vdup),
         purchases.unionByName(pdup),
-        build,
+        _build_dedup_join_rollup_chain,
         n_batches=3,
+    )
+    return drained.drop("_bid")
+
+
+def _build_dedup_join_rollup_chain(v: DataFrame, p: DataFrame) -> DataFrame:
+    """dedup → 7-day interval join → 1-day rollup, one query (shared by the
+    3-op chain drain and its restart twin)."""
+    from topk_spark.streaming.interval_join import interval_join
+
+    v = v.withWatermark("view_ts", "1 day").dropDuplicatesWithinWatermark(
+        ["view_id"]
+    )
+    p = p.withWatermark(
+        "purchase_ts", "1 day"
+    ).dropDuplicatesWithinWatermark(["purchase_id"])
+    j = interval_join(
+        v,
+        p,
+        left_key="user_id",
+        right_key="p_user_id",
+        left_time="view_ts",
+        right_time="purchase_ts",
+        window="7 DAYS",
+        watermark_delay=None,
+        how="inner",
+    )
+    return (
+        j.groupBy(F.window("purchase_ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.sum(
+                F.unix_millis("purchase_ts") - F.unix_millis("view_ts")
+            ).alias("gap_ms_sum"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "pair_count",
+            "gap_ms_sum",
+        )
+    )
+
+
+@register(
+    "stream_dedup_join_rollup_chain_restart_drain",
+    tags=("D1", "T1", "T3", "T8", "joins", "streaming", "chained", "restart"),
+    oracle=_JOIN_ROLLUP_ORACLE,
+)
+def stream_dedup_join_rollup_chain_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full THREE-stateful-operator pipeline across a CHECKPOINT
+    RESTART: stop after two event-time terciles, resume as a freshly-built
+    query on the same checkpoint. One restart now restores all three state
+    machines — dedup first-seen keys, symmetric join buffers, and window
+    partials — plus the per-side and propagated watermarks.
+
+    Two duplicate populations make each stage's recovery observable. The
+    forward drain's SAME-TILE duplicates (every 5th row) check the stage
+    is live at all. The restart-specific population is CROSS-RESTART
+    replays: rows from the last day of generation 1's range, duplicated
+    into tile 2 — processed by the restarted query. Their event times sit
+    at or above the recovered watermark (threshold = min-side gen-1 max
+    minus the 1-day dedup delay), so their first-seen state is still
+    retained, not expired: suppression therefore requires the RESTORED
+    state — a fresh-state generation 2 would re-admit them, each re-paired
+    against tile-2 arrivals on the other side, inflating pair counts and
+    day sums past the shared CLEAN oracle. Join-buffer loss, agg-partial
+    loss, and a propagated-watermark reset fail the same hash as in the
+    two-operator restart twin."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    vdup = views.filter(F.col("view_id") % 5 == 0)
+    pdup = purchases.filter(F.col("purchase_id") % 5 == 0)
+    # threshold: rows at/above min-side(gen-1 max) − dedup delay are
+    # neither late nor state-expired at generation-2 start
+    b = (
+        views.where(F.col("_tile") <= 1)
+        .agg(F.max("view_ts").alias("_mv"))
+        .crossJoin(
+            purchases.where(F.col("_tile") <= 1).agg(
+                F.max("purchase_ts").alias("_mp")
+            )
+        )
+        .select(
+            (F.least(F.col("_mv"), F.col("_mp")) - F.expr("INTERVAL 1 DAY"))
+            .alias("_thr")
+        )
+    )
+    vlate = (
+        views.where(F.col("_tile") == 1)
+        .crossJoin(F.broadcast(b))
+        .where(F.col("view_ts") >= F.col("_thr"))
+        .drop("_thr")
+        .withColumn("_tile", F.lit(2))
+    )
+    plate = (
+        purchases.where(F.col("_tile") == 1)
+        .crossJoin(F.broadcast(b))
+        .where(F.col("purchase_ts") >= F.col("_thr"))
+        .drop("_thr")
+        .withColumn("_tile", F.lit(2))
+    )
+    drained = drain_join(
+        spark,
+        views.unionByName(vdup).unionByName(vlate),
+        purchases.unionByName(pdup).unionByName(plate),
+        _build_dedup_join_rollup_chain,
+        n_batches=3,
+        restart_after=2,
     )
     return drained.drop("_bid")
