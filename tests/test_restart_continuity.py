@@ -559,3 +559,114 @@ def test_session_window_state_survives_restart(spark, tmp_path, store):
         "session-window state did not merge across the checkpoint restart "
         f"under {store}: {second}"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8-late stateful classes: priority-sample state, KMV minima state,
+# decayed bucket sums — restart + provider, via their registered drains'
+# restart topology at fixture scale (the drains' oracles are batch-exact,
+# so "equals the batch truth" is the full-strength check).
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_state_survives_restart(spark, tmp_path, store, sf_dir):
+    from topk_spark.streaming.priority_sample import streaming_priority_sample
+    from topk_spark.workload.bottomk_queries import (
+        _M_PER_SOURCE,
+        _with_priority,
+    )
+    from topk_spark.workload.streaming_drain_queries import _drain
+    from topk_spark.io.sources import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    drained = _drain(
+        spark,
+        docs,
+        lambda s: streaming_priority_sample(_with_priority(s), m=_M_PER_SOURCE),
+        output_mode="update",
+        last_per=["source"],
+        max_files_per_trigger=3,
+        ordered_split=("doc_id", 3),
+        restart_after=1,
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    batch = (
+        _with_priority(docs)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _M_PER_SOURCE)
+        .select("source", "doc_id", "weight", "priority")
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want, f"sample state lost across restart under {store}"
+
+
+def test_kmv_minima_state_survives_restart(spark, tmp_path, store, sf_dir):
+    from topk_spark.ops.kmv import bottom_k_distinct, kmv_estimate
+    from topk_spark.streaming.kmv_stream import streaming_kmv_sketch
+    from topk_spark.workload.bottomk_queries import _K, _ud_hashed
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    h = _ud_hashed(spark, sf_dir)
+    drained = _drain(
+        spark,
+        h,
+        lambda s: streaming_kmv_sketch(s, k=_K),
+        output_mode="update",
+        last_per=["event_type"],
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=1,
+    )
+    got = sorted(
+        tuple(r)
+        for r in kmv_estimate(drained, ["event_type"], "u", k=_K).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in kmv_estimate(
+            bottom_k_distinct(h, ["event_type"], "u", k=_K),
+            ["event_type"], "u", k=_K,
+        ).collect()
+    )
+    assert got == want, f"KMV minima lost across restart under {store}"
+
+
+def test_decayed_buckets_state_survives_restart(spark, tmp_path, store, sf_dir):
+    from topk_spark.streaming.decayed_topk import streaming_decayed_buckets
+    from topk_spark.workload.decay_queries import (
+        _HL_MS,
+        _finalize_decay,
+    )
+    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    es = order_stream(spark, sf_dir).where(F.col("revenue_cents").isNotNull())
+    src = es.select(
+        "ts",
+        "event_type",
+        "user_id",
+        F.floor(F.unix_millis("ts") / _HL_MS).alias("bucket"),
+        F.col("revenue_cents").alias("w"),
+    )
+    drained = _drain(
+        spark,
+        src,
+        lambda s: streaming_decayed_buckets(s),
+        output_mode="update",
+        last_per=["event_type", "user_id"],
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=1,
+    )
+    batch = src.groupBy("event_type", "user_id", "bucket").agg(
+        F.sum("w").cast("long").alias("w_sum")
+    )
+    got = sorted(tuple(r) for r in _finalize_decay(drained).collect())
+    want = sorted(tuple(r) for r in _finalize_decay(batch).collect())
+    assert got == want, f"decayed bucket sums lost across restart under {store}"
