@@ -325,3 +325,46 @@ def test_jpeg_color_smooth_cycle_law(r, g, b, w, h):
     dec = decode_jpeg_pixels(encode_jpeg_color_pixels(img))
     assert dec.shape == (h, w, 3)
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+# ---------------------------------------------------------------------------
+# pure-arithmetic laws the round-8-late operators lean on (no Spark jobs:
+# these are the set/integer identities themselves)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.integers(0, 1 << 48), max_size=40), min_size=1, max_size=6
+    ),
+    k=st.integers(1, 16),
+)
+def test_kmv_merge_identity_law(sets, k):
+    """bottomk(distinct(union of bottomk(S_i))) == bottomk(distinct(union S_i))
+    — the mergeability identity ops/kmv.py executes as its physical plan."""
+    direct = sorted(set().union(*sets))[:k]
+    merged = sorted(set().union(*(set(sorted(s)[:k]) for s in sets)))[:k]
+    assert merged == direct
+
+
+@given(
+    a=st.integers(0, (1 << 63) - 1),
+    x=st.integers(0, 62),
+    y=st.integers(0, 62),
+)
+def test_shift_composition_law(a, x, y):
+    """floor division by powers of two composes under iterated shifts —
+    why decayed bucket sums can be finalized at ANY later Bmax without
+    rescaling state (streaming/decayed_topk.py module doc)."""
+    assert (a >> x) >> y == a >> min(x + y, 63)
+
+
+@given(
+    weights=st.lists(st.integers(0, (1 << 40)), min_size=2, max_size=20),
+    shift=st.integers(1, 62),
+)
+def test_floor_shift_does_not_distribute_over_sum(weights, shift):
+    """sum-of-shifts <= shift-of-sum, with equality NOT guaranteed — the
+    reason decay must apply to per-bucket SUMS, never per event, for the
+    batch/stream/oracle triple to agree."""
+    assert sum(w >> shift for w in weights) <= sum(weights) >> shift

@@ -226,3 +226,51 @@ def test_kafka_wire_contract_byte_identical(spark):
     }
     # json round-trip sanity: value is strict JSON
     assert json.loads(out["value"])["customer_id"] is None
+
+
+def test_topk_decayed_reranks_and_zeroes_ancient(spark):
+    """The decayed read must flip the ranking against raw totals (recent
+    small beats ancient large), compute the exact integer shifts, and zero
+    contributions at >= 63 half-lives."""
+    from topk_spark.serve.api import topk_decayed
+
+    HL = 1_000
+    rows = [
+        # (restaurant, item, name, window_start, rev): A recent, B mid, C ancient-huge
+        ("r1", "A", "a", 69_000, 2_000),
+        ("r1", "B", "b", 60_000, 1_000_000),
+        ("r1", "C", "c", 0, (1 << 62)),
+    ]
+    rollup = spark.createDataFrame(
+        [
+            {
+                "restaurant_id": r,
+                "menu_item_id": i,
+                "menu_item_name": n,
+                "window_start": ws,
+                "window_end": ws + HL,
+                "order_count": 1,
+                "sum_quantity": 1,
+                "sum_revenue_cents": rev,
+            }
+            for r, i, n, ws, rev in rows
+        ]
+    )
+    got = {
+        r["menu_item_id"]: (r["rank"], r["decayed_revenue_cents"])
+        for r in topk_decayed(
+            rollup, "r1", as_of_ms=70_000, half_life_ms=HL, k=10
+        ).collect()
+    }
+    assert got == {
+        "A": (1, 2_000 >> 1),   # shift 1
+        "B": (2, 1_000_000 >> 10),  # shift 10
+        "C": (3, 0),            # shift 70 -> defined zero
+    }
+    # raw totals would rank C > B > A: the decay is doing the work
+    # global path carries the sentinel
+    from topk_spark.schemas import GLOBAL_SENTINEL
+
+    g = topk_decayed(rollup, "all", as_of_ms=70_000, half_life_ms=HL, k=1)
+    [top] = g.collect()
+    assert top["restaurant_id"] == GLOBAL_SENTINEL and top["menu_item_id"] == "A"
