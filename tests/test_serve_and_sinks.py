@@ -274,3 +274,59 @@ def test_topk_decayed_reranks_and_zeroes_ancient(spark):
     g = topk_decayed(rollup, "all", as_of_ms=70_000, half_life_ms=HL, k=1)
     [top] = g.collect()
     assert top["restaurant_id"] == GLOBAL_SENTINEL and top["menu_item_id"] == "A"
+
+
+def test_topk_decayed_is_tier_invariant(spark):
+    """When the half-life is a multiple of the tier window, per-bucket
+    revenue sums are identical whether computed from the 1-minute tier or
+    the merge-rollup-compacted 1-hour tier — so the decayed leaderboard
+    can be served from the COMPACTED tier at scale with zero drift."""
+    from topk_spark.serve.api import topk_decayed
+
+    day0 = 1_704_067_200_000
+    import random
+
+    rnd = random.Random(7)
+    fine_rows = []
+    for h in range(6):
+        for m in range(60):
+            ws = day0 + h * HOUR + m * MIN
+            fine_rows.append(
+                {
+                    "restaurant_id": "r1",
+                    "menu_item_id": f"I{m % 4}",
+                    "menu_item_name": f"i{m % 4}",
+                    "window_start": ws,
+                    "window_end": ws + MIN,
+                    "order_count": 1,
+                    "sum_quantity": 1,
+                    "sum_revenue_cents": rnd.randrange(1, 1_000_000),
+                }
+            )
+    fine = spark.createDataFrame(fine_rows)
+    # merge-rollup compaction: 1m -> 1h (A9's shape: sums of sums)
+    coarse = (
+        fine.groupBy(
+            "restaurant_id",
+            "menu_item_id",
+            (F.col("window_start") - (F.col("window_start") % HOUR)).alias(
+                "window_start"
+            ),
+        )
+        .agg(
+            F.sum("sum_revenue_cents").alias("sum_revenue_cents"),
+            F.sum("order_count").alias("order_count"),
+            F.sum("sum_quantity").alias("sum_quantity"),
+            F.min("menu_item_name").alias("menu_item_name"),
+        )
+        .withColumn("window_end", F.col("window_start") + HOUR)
+    )
+    as_of = day0 + 7 * HOUR
+    kw = dict(as_of_ms=as_of, half_life_ms=2 * HOUR, k=10)
+    got_fine = sorted(
+        tuple(r) for r in topk_decayed(fine, "r1", **kw).collect()
+    )
+    got_coarse = sorted(
+        tuple(r) for r in topk_decayed(coarse, "r1", **kw).collect()
+    )
+    assert got_fine == got_coarse and len(got_fine) == 4
