@@ -76,29 +76,8 @@ def test_restart_continuity(spark, sf_dir):
     """Generation 1 sees tile 0 only; the restarted query must restore the
     early bucket sums from the checkpoint — their shifted contributions
     are nonzero at HL=3d, so loss would change decayed_cents."""
-    from topk_spark.streaming.decayed_topk import streaming_decayed_buckets
-    from topk_spark.workload.streaming_drain_queries import _drain
-    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.decay_queries import _decay_drain
 
-    es = order_stream(spark, sf_dir).where(F.col("revenue_cents").isNotNull())
-    from topk_spark.workload.decay_queries import _HL_MS
-
-    src = es.select(
-        "ts",
-        "event_type",
-        "user_id",
-        F.floor(F.unix_millis("ts") / _HL_MS).alias("bucket"),
-        F.col("revenue_cents").alias("w"),
-    )
-    drained = _drain(
-        spark,
-        src,
-        lambda s: streaming_decayed_buckets(s),
-        output_mode="update",
-        last_per=["event_type", "user_id"],
-        max_files_per_trigger=3,
-        ordered_split=("ts", 3),
-        restart_after=1,
-    )
-    batch = _bucket_sums(src.select("event_type", "user_id", "bucket", "w"))
-    assert _rows(_finalize_decay(drained)) == _rows(_finalize_decay(batch))
+    drained_topk = _decay_drain(spark, sf_dir, restart_after=1)
+    batch = _bucket_sums(_bucketed(spark, sf_dir))
+    assert _rows(drained_topk) == _rows(_finalize_decay(batch))

@@ -638,35 +638,16 @@ def test_kmv_minima_state_survives_restart(spark, tmp_path, store, sf_dir):
 
 
 def test_decayed_buckets_state_survives_restart(spark, tmp_path, store, sf_dir):
-    from topk_spark.streaming.decayed_topk import streaming_decayed_buckets
     from topk_spark.workload.decay_queries import (
-        _HL_MS,
+        _bucketed,
+        _decay_drain,
         _finalize_decay,
     )
-    from topk_spark.workload.events_queries import order_stream
-    from topk_spark.workload.streaming_drain_queries import _drain
 
-    es = order_stream(spark, sf_dir).where(F.col("revenue_cents").isNotNull())
-    src = es.select(
-        "ts",
-        "event_type",
-        "user_id",
-        F.floor(F.unix_millis("ts") / _HL_MS).alias("bucket"),
-        F.col("revenue_cents").alias("w"),
-    )
-    drained = _drain(
-        spark,
-        src,
-        lambda s: streaming_decayed_buckets(s),
-        output_mode="update",
-        last_per=["event_type", "user_id"],
-        max_files_per_trigger=3,
-        ordered_split=("ts", 3),
-        restart_after=1,
-    )
-    batch = src.groupBy("event_type", "user_id", "bucket").agg(
-        F.sum("w").cast("long").alias("w_sum")
-    )
-    got = sorted(tuple(r) for r in _finalize_decay(drained).collect())
+    drained_topk = _decay_drain(spark, sf_dir, restart_after=1)
+    batch = _bucketed(spark, sf_dir).groupBy(
+        "event_type", "user_id", "bucket"
+    ).agg(F.sum("w").cast("long").alias("w_sum"))
+    got = sorted(tuple(r) for r in drained_topk.collect())
     want = sorted(tuple(r) for r in _finalize_decay(batch).collect())
     assert got == want, f"decayed bucket sums lost across restart under {store}"

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 
 from topk_spark.ops.topk import global_topk, rank_topk
 from topk_spark.schemas import GLOBAL_SENTINEL
+from topk_spark.streaming.decayed_topk import ZERO_SHIFT
 
 
 def _now_ms() -> int:
@@ -169,7 +170,7 @@ def topk_decayed(
     totals), using the engine's integer-exact decay (workload/
     decay_queries.py): rollup windows are bucketed by `half_life_ms`, each
     bucket's revenue sum is right-shifted by its age in half-lives
-    relative to `as_of_ms`, shifts >= 63 contribute zero. Deterministic
+    relative to `as_of_ms`, shifts >= ZERO_SHIFT contribute zero. Deterministic
     for a fixed as_of, so results are replayable; serving-path shape is
     the same bounded scan + tiny aggregate as the range reads."""
     as_of_ms = as_of_ms if as_of_ms is not None else _now_ms()
@@ -195,9 +196,9 @@ def topk_decayed(
         )
         .withColumn(
             "_contrib",
-            F.when(F.col("_shift") >= 63, F.lit(0).cast("long")).otherwise(
-                F.expr("shiftright(_s, _shift)")
-            ),
+            F.when(
+                F.col("_shift") >= ZERO_SHIFT, F.lit(0).cast("long")
+            ).otherwise(F.expr("shiftright(_s, _shift)")),
         )
         .groupBy(*keys)
         .agg(

@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from topk_spark.io.sources import load_table
 from topk_spark.ops.kmv import SCALE, bottom_k_distinct, kmv_estimate, u48_expr
 from topk_spark.workload import register
-from topk_spark.workload.sampling_queries import _SCALE, _W_CAP
+from topk_spark.workload.sampling_queries import (
+    PRIORITY_Q_CTE,
+    dlt_priority_projection,
+)
 
 _K = 64
 
@@ -133,36 +136,14 @@ def kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M_PER_SOURCE = 5
 
 
-def _with_priority(docs: DataFrame) -> DataFrame:
-    """The DLT priority columns of workload/sampling_queries.py, computed
-    map-side: w = clamped n_chars, u48 = md5 uniform of doc_id,
-    priority = w * 2^48 div (u48 + 1). Only these four narrow columns ever
-    reach the stateful operator — never text."""
-    return docs.select(
-        "source",
-        "doc_id",
-        F.least(F.col("n_chars").cast("long"), F.lit(_W_CAP).cast("long"))
-        .alias("weight"),
-        u48_expr(F.col("doc_id")).alias("u48"),
-    ).selectExpr(
-        "source",
-        "doc_id",
-        "weight",
-        f"(weight * CAST({_SCALE} AS BIGINT)) div (u48 + 1) AS priority",
-    )
+# the engine-side projection is sampling_queries.dlt_priority_projection —
+# one formula shared with the batch sample (review finding: no re-inlined
+# DLT math anywhere)
+_with_priority = dlt_priority_projection
 
 
 _SAMPLE_ORACLE = f"""
-WITH u AS (
-  SELECT doc_id, source, least(n_chars, {_W_CAP}) AS w,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
-           AS u48
-  FROM documents
-),
-q AS (
-  SELECT source, doc_id, w, (w * {_SCALE}) // (u48 + 1) AS priority
-  FROM u
-),
+WITH {PRIORITY_Q_CTE},
 r AS (
   SELECT source, doc_id, w, priority,
          row_number() OVER (

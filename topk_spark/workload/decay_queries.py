@@ -27,22 +27,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.workload import register
+from topk_spark.streaming.decayed_topk import ZERO_SHIFT
 from topk_spark.workload.events_queries import _ES, order_stream
 
 _HL_MS = 3 * 86_400_000  # half-life: 3 days
 _K = 5
 
+# Null-revenue events (unparseable quantity) carry no weight on the Spark
+# side (filtered before bucketing), so the oracle must exclude them from
+# BOTH the bucket sums and the bmax derivation — an all-null newest bucket
+# or an all-null (type, user) group would otherwise exist only here.
 _DECAY_ORACLE = f"""
 WITH {_ES},
 b AS (
   SELECT event_type, user_id, epoch_ms(ts) // {_HL_MS} AS bucket,
          CAST(SUM(revenue_cents) AS BIGINT) AS s
-  FROM es GROUP BY 1, 2, 3
+  FROM es WHERE revenue_cents IS NOT NULL GROUP BY 1, 2, 3
 ),
 m AS (SELECT max(bucket) AS bmax FROM b),
 d AS (
   SELECT event_type, user_id,
-         CAST(SUM(CASE WHEN bmax - bucket >= 63 THEN 0
+         CAST(SUM(CASE WHEN bmax - bucket >= {ZERO_SHIFT} THEN 0
                        ELSE s >> (bmax - bucket) END) AS BIGINT) AS decayed_cents
   FROM b CROSS JOIN m GROUP BY 1, 2
 ),
@@ -61,15 +66,18 @@ FROM r WHERE rnk <= {_K}
 def _finalize_decay(buckets: DataFrame) -> DataFrame:
     """(event_type, user_id, bucket, w_sum) -> top-K per type by decayed
     sum. Decay is relative to the global max bucket (one broadcast
-    scalar); shifts >= 63 are zero by definition (BIGINT sums are < 2^63),
-    matching the streaming state's lossless prune."""
+    scalar); shifts >= ZERO_SHIFT are zero by definition (BIGINT sums are
+    < 2^63), matching the streaming state's lossless prune — one shared
+    constant (streaming/decayed_topk.py) keeps prune and finalize honest."""
     m = buckets.agg(F.max("bucket").alias("bmax"))
     d = (
         buckets.crossJoin(F.broadcast(m))
         .withColumn(
             "_contrib",
-            F.when(F.col("bmax") - F.col("bucket") >= 63, F.lit(0).cast("long"))
-            .otherwise(
+            F.when(
+                F.col("bmax") - F.col("bucket") >= ZERO_SHIFT,
+                F.lit(0).cast("long"),
+            ).otherwise(
                 F.expr("shiftright(w_sum, CAST(bmax - bucket AS INT))")
             ),
         )
@@ -86,17 +94,40 @@ def _finalize_decay(buckets: DataFrame) -> DataFrame:
     )
 
 
-def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(type, user, half-life-bucket) exact revenue sums. Null-revenue
-    events (unparseable quantity) carry no weight, exactly like SUM's
-    null-skipping in the oracle."""
+def _bucketed(
+    spark: SparkSession, sf_dir: str, with_ts: bool = False
+) -> DataFrame:
+    """Per-event (type, user, half-life-bucket, weight) rows — the ONE
+    source projection shared by the batch query, both streaming drains,
+    and the restart-matrix tests. Null-revenue events (unparseable
+    quantity) carry no weight, exactly like the oracle's explicit filter."""
     es = order_stream(spark, sf_dir).where(F.col("revenue_cents").isNotNull())
-    return es.select(
+    cols = (["ts"] if with_ts else []) + [
         "event_type",
         "user_id",
         F.floor(F.unix_millis("ts") / _HL_MS).alias("bucket"),
         F.col("revenue_cents").alias("w"),
+    ]
+    return es.select(*cols)
+
+
+def _decay_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
+    from topk_spark.streaming.decayed_topk import streaming_decayed_buckets
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    drained = _drain(
+        spark,
+        _bucketed(spark, sf_dir, with_ts=True),
+        lambda s: streaming_decayed_buckets(s),
+        output_mode="update",
+        last_per=["event_type", "user_id"],
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=restart_after,
     )
+    return _finalize_decay(drained)
 
 
 @register(
@@ -131,27 +162,7 @@ def stream_decayed_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted contributions (HL = 3 d over a 30 d span), so a per-batch
     state reset shifts emitted decayed_cents values (counterfactual
     pinned in tests/test_decay.py)."""
-    from topk_spark.streaming.decayed_topk import streaming_decayed_buckets
-    from topk_spark.workload.streaming_drain_queries import _drain
-
-    es = order_stream(spark, sf_dir).where(F.col("revenue_cents").isNotNull())
-    src = es.select(
-        "ts",
-        "event_type",
-        "user_id",
-        F.floor(F.unix_millis("ts") / _HL_MS).alias("bucket"),
-        F.col("revenue_cents").alias("w"),
-    )
-    drained = _drain(
-        spark,
-        src,
-        lambda s: streaming_decayed_buckets(s),
-        output_mode="update",
-        last_per=["event_type", "user_id"],
-        max_files_per_trigger=3,
-        ordered_split=("ts", 3),
-    )
-    return _finalize_decay(drained)
+    return _decay_drain(spark, sf_dir)
 
 
 @register(
@@ -167,25 +178,4 @@ def stream_decayed_topk_restart_drain(
     restore the early bucket sums from the checkpoint — at HL = 3 d their
     shifted contributions are nonzero, so losing them changes emitted
     decayed_cents and fails the shared oracle's value hash."""
-    from topk_spark.streaming.decayed_topk import streaming_decayed_buckets
-    from topk_spark.workload.streaming_drain_queries import _drain
-
-    es = order_stream(spark, sf_dir).where(F.col("revenue_cents").isNotNull())
-    src = es.select(
-        "ts",
-        "event_type",
-        "user_id",
-        F.floor(F.unix_millis("ts") / _HL_MS).alias("bucket"),
-        F.col("revenue_cents").alias("w"),
-    )
-    drained = _drain(
-        spark,
-        src,
-        lambda s: streaming_decayed_buckets(s),
-        output_mode="update",
-        last_per=["event_type", "user_id"],
-        max_files_per_trigger=3,
-        ordered_split=("ts", 3),
-        restart_after=1,
-    )
-    return _finalize_decay(drained)
+    return _decay_drain(spark, sf_dir, restart_after=1)

@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from topk_spark.io.sources import load_table
+from topk_spark.ops.kmv import u48_expr
 from topk_spark.workload import register
 from topk_spark.ops.topk import topn
 
@@ -35,8 +36,11 @@ _SCALE = 1 << 48
 
 _W_CAP = (1 << 15) - 1  # max weight: cap·2^48 = 2^63 − 2^48 < BIGINT max
 
-_PRIORITY_ORACLE = f"""
-WITH u AS (
+# The DLT priority draw as a shared SQL fragment — spliced into this
+# module's oracle AND the streaming sample drains' (bottomk_queries),
+# so the batch/stream twins cannot drift formula-wise.
+PRIORITY_Q_CTE = f"""
+u AS (
   SELECT doc_id, source, least(n_chars, {_W_CAP}) AS w,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
            AS u48
@@ -47,12 +51,35 @@ q AS (
          (w * {_SCALE}) // (u48 + 1) AS priority
   FROM u
 )
+"""
+
+_PRIORITY_ORACLE = f"""
+WITH {PRIORITY_Q_CTE}
 SELECT doc_id, source, CAST(w AS BIGINT) AS weight,
        CAST(priority AS BIGINT) AS priority
 FROM q
 ORDER BY priority DESC, doc_id
 LIMIT {_M}
 """
+
+
+def dlt_priority_projection(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, weight, priority) — the engine-side twin of
+    PRIORITY_Q_CTE, shared by the batch sample and the streaming sampler
+    (streaming/priority_sample.py). Map-side only: clamp, md5 uniform,
+    integer priority; document text never leaves the projection."""
+    return docs.select(
+        "source",
+        "doc_id",
+        F.least(F.col("n_chars").cast("long"), F.lit(_W_CAP).cast("long"))
+        .alias("weight"),
+        u48_expr(F.col("doc_id")).alias("u48"),
+    ).selectExpr(
+        "source",
+        "doc_id",
+        "weight",
+        f"(weight * CAST({_SCALE} AS BIGINT)) div (u48 + 1) AS priority",
+    )
 
 
 @register(
@@ -71,19 +98,7 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver, nothing shuffles, no global sort. m=50 here; at any m that fits
     one node this stays a single pass."""
     d = load_table(spark, sf_dir, "documents")
-    u48 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
-    ).cast("long")
-    q = d.select(
-        "doc_id",
-        "source",
-        F.least(F.col("n_chars").cast("long"), F.lit(_W_CAP).cast("long"))
-        .alias("weight"),
-        u48.alias("u48"),
-    ).selectExpr(
-        "doc_id",
-        "source",
-        "weight",
-        f"(weight * CAST({_SCALE} AS BIGINT)) div (u48 + 1) AS priority",
+    q = dlt_priority_projection(d).select(
+        "doc_id", "source", "weight", "priority"
     )
     return topn(q, [F.desc("priority"), F.asc("doc_id")], _M)

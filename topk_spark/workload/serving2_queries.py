@@ -82,7 +82,8 @@ def topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DELTA_ORACLE = f"""
 WITH {_ES},
-b AS (SELECT min(epoch_ms(ts)) AS t0, max(epoch_ms(ts)) AS t1 FROM es),
+b AS (SELECT min(epoch_ms(ts)) AS t0, max(epoch_ms(ts)) AS t1 FROM es
+      WHERE revenue_cents IS NOT NULL),
 t AS (
   SELECT event_type, user_id,
          CASE WHEN epoch_ms(ts) * 2 >= b.t0 + b.t1 THEN 1 ELSE 0 END AS half,
