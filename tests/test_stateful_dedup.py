@@ -216,3 +216,42 @@ def test_timer_survives_midttl_duplicate(spark, tmp_path):
         ("E1", 3),
         ("E1", 9),
     ]
+
+
+def test_cdc_lastvalue_stale_tile_counterfactual(spark, sf_dir):
+    """Every stale replay in the 4th arrival tile is strictly older than
+    its user's true latest row (bar a user whose global last event happens
+    to be the replayed one) — so a stateless per-batch fold would emit the
+    stale row as that user's final materialization and diverge from the
+    oracle for many users. Pins the population non-vacuous."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from topk_spark.workload.cdc2_queries import _tiled_with_stale_replays
+
+    src = _tiled_with_stale_replays(spark, sf_dir)
+    stale = src.where(F.col("_tile") == 3).select(
+        "user_id",
+        F.col("ts_us").alias("s_us"),
+        F.col("event_id").alias("s_eid"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    true_last = (
+        src.where(F.col("_tile") < 3)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts_us", "event_id")
+    )
+    j = stale.join(true_last, "user_id")
+    n_stale = j.count()
+    n_users = j.select("user_id").distinct().count()
+    n_diverging = j.where(
+        (F.col("s_us") < F.col("ts_us"))
+        | ((F.col("s_us") == F.col("ts_us")) & (F.col("s_eid") < F.col("event_id")))
+    ).select("user_id").distinct().count()
+    assert n_stale >= 30, n_stale
+    # every user touched by a replay must be regress-able: their true last
+    # row is strictly newer than the replay (tile-0 row vs 30-day history)
+    assert n_diverging == n_users and n_diverging >= 10, (n_diverging, n_users)

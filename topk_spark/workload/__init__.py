@@ -231,6 +231,9 @@ def load_all() -> dict[str, Query]:
         # Round-8 late: dashboard serving patterns (top-k + others row,
         # leaderboard rank movement).
         serving2_queries,
+        # Round-8 late: continuous CDC last-value materialization (upsert
+        # semantics live; late updates provably cannot regress the row).
+        cdc2_queries,
     )
 
     ordered = _ordered_names(_driver_rounds())

@@ -1,0 +1,98 @@
+"""Continuous CDC last-value materialization — round-8 late.
+
+`stream_cdc_lastvalue_drain` is the live form of the reference's Pinot
+upsert table (orders_raw_upsert_table.json: latest row per primary key
+wins at query time), and the LAST-seen complement of the first-seen
+dedup family: one current row per user, maintained as streaming state
+(streaming/cdc_lastvalue.py).
+
+The property under the gate is "a late update must not regress the
+materialized row": a 4th arrival tile carries ONLY stale replays —
+copies of tile-0 rows arriving after everything else — so every replayed
+user's final micro-batch contains nothing but an out-of-order row. The
+operator's state (per-key (ts_us, event_id) high-water) ignores them;
+a stateless per-batch fold would materialize the stale row as the user's
+final emission and fail the oracle, which is the plain relational
+latest-per-user over the original events (replays are copies, so the
+multiset max is unchanged). This needed `_drain(pre_tiled=True)`: the
+stale tile is a NON-monotone arrival schedule `_range_tile` cannot
+express.
+
+100 TB posture: state is one small row per key; arrivals shuffle once on
+the key; an exact replay compares not-greater and is absorbed, so
+at-least-once delivery cannot move the materialization.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from topk_spark.io.sources import load_table
+from topk_spark.workload import register
+
+_LASTVALUE_ORACLE = """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, CAST(us // 1000 AS BIGINT) AS last_ts_ms,
+       event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM r WHERE rn = 1
+"""
+
+
+def _tiled_with_stale_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events in 3 event-time tiles plus tile 3 = stale replays (every 7th
+    tile-0 row, re-arriving last)."""
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+
+    ev = _range_tile(
+        load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_id", "event_type", "value"
+        ),
+        "ts",
+        3,
+    )
+    stale = ev.where(
+        (F.col("_tile") == 0) & (F.col("event_id") % 7 == 0)
+    ).withColumn("_tile", F.lit(3))
+    return ev.unionByName(stale).select(
+        "_tile",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "stream_cdc_lastvalue_drain",
+    tags=("D4", "T8", "T9", "cdc", "streaming"),
+    oracle=_LASTVALUE_ORACLE,
+)
+def stream_cdc_lastvalue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user as continuous state, drained over 4 arrival
+    batches whose last contains ONLY stale replays of tile-0 rows. The
+    hash matches the relational latest-per-user iff the state's high-water
+    comparison suppressed every late replay — the upsert-table guarantee,
+    live."""
+    from topk_spark.streaming.cdc_lastvalue import streaming_cdc_lastvalue
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    src = _tiled_with_stale_replays(spark, sf_dir)
+    return _drain(
+        spark,
+        src,
+        lambda s: streaming_cdc_lastvalue(s),
+        output_mode="update",
+        last_per=["user_id"],
+        max_files_per_trigger=4,
+        ordered_split=("ts_us", 4),
+        pre_tiled=True,
+    )

@@ -234,6 +234,7 @@ def _drain(
     ordered_split: tuple[str, int] | None = None,
     keep_bid: bool = False,
     restart_after: int | None = None,
+    pre_tiled: bool = False,
 ) -> DataFrame:
     """Run `build(stream)` over a one-file parquet stream of `src_df`,
     drained with availableNow into a parquet sink; return the drained rows.
@@ -283,7 +284,14 @@ def _drain(
     if max_files_per_trigger and ordered_split:
         col, n = ordered_split
         assert n == max_files_per_trigger
-        _write_ordered_tiles(_range_tile(src_df, col, n), root, "src", n, None)
+        # pre_tiled: the caller supplies `_tile` itself — the escape hatch
+        # for NON-monotone arrival schedules (e.g. stale replays of early
+        # rows arriving in a late tile, which _range_tile's event-time
+        # ranges cannot express).
+        tiled = src_df if pre_tiled else _range_tile(src_df, col, n)
+        if pre_tiled:
+            src_df = src_df.drop("_tile")
+        _write_ordered_tiles(tiled, root, "src", n, None)
     elif max_files_per_trigger:
         src_df.repartition(max_files_per_trigger).write.mode(
             "overwrite"
