@@ -276,3 +276,64 @@ def stream_kmv_distinct_restart_drain(
     hashes are ~1/3 of every final bottom-64, so state loss moves the kth
     min and fails the shared oracle's value hash."""
     return _kmv_drain(spark, sf_dir, restart_after=1)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-rollup re-aggregation: weekly distinct from daily sketches
+# ---------------------------------------------------------------------------
+
+_KW = 32  # smaller k: the weekly estimator regime engages at sf>=0.01
+# while daily/weekly groups at sf0.001 stay in the exact-count fallback —
+# both estimator branches exercised across the gate's scales.
+
+
+@register(
+    "kmv_weekly_from_daily",
+    tags=("A5", "A7", "A9", "sketch"),
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) // 7 AS week,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+           AS u
+  FROM events
+),
+r AS (
+  SELECT event_type, week, u,
+         row_number() OVER (PARTITION BY event_type, week ORDER BY u) AS rn
+  FROM h
+)
+SELECT event_type, week,
+       CAST(CASE WHEN count(*) < {_KW} THEN count(*)
+            ELSE ({(_KW - 1) * SCALE} // greatest(max(u), 1)) END
+       AS BIGINT) AS est_distinct
+FROM r WHERE rn <= {_KW}
+GROUP BY event_type, week
+""",
+)
+def kmv_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users per event type computed ONLY from DAILY
+    bottom-k sketches — the sketch form of merge-rollup re-aggregation
+    (A5/A9: Pinot re-rolls 1-min rows into 1-h buckets merging HLL
+    columns, orders_1m_rollup_table.json:72-84). The Spark path builds
+    the per-(type, day) sketch table first, then merges the 7 daily
+    sketches of each week into the weekly estimate; the oracle computes
+    the DIRECT weekly sketch over raw rows. Hash equality certifies the
+    rollup-store contract at its sharpest: a sketch column materialized
+    at fine grain answers coarse-grain distinct queries EXACTLY as a raw
+    rescan would — which is why the 100 TB store never rescans raw data
+    for a distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.floor(F.unix_millis("ts") / 86400000).alias("day"),
+        u48_expr(F.col("user_id")).alias("u"),
+    )
+    daily = bottom_k_distinct(h, ["event_type", "day"], "u", k=_KW)
+    weekly_rows = daily.select(
+        "event_type", F.expr("day div 7").alias("week"), "u"
+    )
+    weekly = bottom_k_distinct(
+        weekly_rows, ["event_type", "week"], "u", k=_KW, pre_buckets=1
+    )
+    return kmv_estimate(weekly, ["event_type", "week"], "u", k=_KW)
