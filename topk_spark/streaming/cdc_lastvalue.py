@@ -57,16 +57,17 @@ def streaming_cdc_lastvalue(stream: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         cur = json.loads(state.get[0]) if state.exists else None
         for pdf in pdfs:
-            for ts_us, eid, etype, val in zip(
-                pdf["ts_us"].tolist(),
-                pdf["event_id"].tolist(),
-                pdf["event_type"].tolist(),
-                pdf["value"].tolist(),
-            ):
-                cand = [int(ts_us), int(eid), str(etype),
-                        None if pd.isna(val) else float(val)]
-                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
-                    cur = cand
+            # vectorized per chunk (C-speed sort), ONE comparison against
+            # state — never a per-row Python loop on the hot path
+            top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+            cand = [
+                int(top["ts_us"]),
+                int(top["event_id"]),
+                str(top["event_type"]),
+                None if pd.isna(top["value"]) else float(top["value"]),
+            ]
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                cur = cand
         state.update((json.dumps(cur),))
         yield pd.DataFrame(
             {

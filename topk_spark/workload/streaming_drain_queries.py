@@ -281,6 +281,13 @@ def _drain(
             "tile layout — it is the only source layout with a defined "
             "per-batch schedule to hold out and restore"
         )
+    if pre_tiled and not (ordered_split and max_files_per_trigger):
+        raise ValueError(
+            "pre_tiled requires the ordered_split + max_files_per_trigger "
+            "tile layout — otherwise the caller-supplied _tile schedule "
+            "would be silently discarded (and _tile would leak into the "
+            "stream schema)"
+        )
     if max_files_per_trigger and ordered_split:
         col, n = ordered_split
         assert n == max_files_per_trigger
