@@ -291,3 +291,15 @@ def test_topk_with_others_single_raw_scan(spark, sf_dir):
     plan = plan_of("topk_with_others", spark, sf_dir)
     assert plan.count("FileScan parquet") == 1, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_kmv_weekly_rollup_no_global_sort(spark, sf_dir):
+    """Weekly-from-daily sketch re-aggregation: every Sort is window-local
+    (partitioned by (type, day) then (type, week)); no stage funnels the
+    distinct-hash set through a single partition."""
+    plan = plan_of("kmv_weekly_from_daily", spark, sf_dir)
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", f"global sort in weekly-rollup plan\n{plan}"
+    assert "HashAggregate" in plan and "CartesianProduct" not in plan
