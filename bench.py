@@ -385,7 +385,8 @@ def bench_serving_point_read(spark) -> dict:
                 t0 = time.perf_counter()
                 rows = literal_read(key)
                 t.append(time.perf_counter() - t0)
-                assert rows, "point read returned nothing"
+                if not rows:  # not assert: must survive python -O
+                    raise RuntimeError("warm point read returned nothing")
             t.sort()
             trials.append(t)
         trial_stats = [
@@ -404,7 +405,8 @@ def bench_serving_point_read(spark) -> dict:
             t0 = time.perf_counter()
             rows = literal_read(f"REST{i}")
             cold_lit.append(time.perf_counter() - t0)
-            assert rows
+            if not rows:
+                raise RuntimeError("cold literal point read returned nothing")
         cold_lit.sort()
 
         # cold parameterized: prime the FORM on one sacrificial (already
@@ -415,7 +417,8 @@ def bench_serving_point_read(spark) -> dict:
             t0 = time.perf_counter()
             rows = param_read(f"REST{i}")
             cold_par.append(time.perf_counter() - t0)
-            assert rows
+            if not rows:
+                raise RuntimeError("cold param point read returned nothing")
         cold_par.sort()
 
         return {

@@ -215,3 +215,45 @@ def test_tws_variant_gate_or_equivalence(spark, tmp_path):
             spark.conf.unset(_STATE_STORE_CONF)
         else:
             spark.conf.set(_STATE_STORE_CONF, prev)
+
+
+def test_trunc_drain_regime_is_nonvacuous(spark, sf_dir):
+    """The round-9 truncation drain's whole point is that eviction FIRES:
+    replay its exact fixture (events % _TRUNC_MOD, domain _TRUNC_DOM, k=3)
+    through the fold and require (a) a healthy eviction count and (b) at
+    least one item whose count RESTARTED after eviction — the observable
+    the exact-prefix-ranking oracle cannot express. Guards the fixture
+    against testdata regeneration quietly leaving the lossy regime."""
+    import duckdb
+
+    from topk_spark.workload.per_event_topk_queries import (
+        _TRUNC_DOM,
+        _TRUNC_K,
+        _TRUNC_MOD,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, CAST(user_id % {_TRUNC_DOM} AS VARCHAR)
+        FROM '{sf_dir}/events.parquet'
+        WHERE event_id % {_TRUNC_MOD} = 0 ORDER BY ts, event_id
+        """
+    ).fetchall()
+    state: dict[str, dict[str, int]] = {}
+    evictions = 0
+    restarted = False
+    evicted_seen: set[tuple[str, str]] = set()
+    for rid, item in rows:
+        items = state.setdefault(rid, {})
+        if (rid, item) in evicted_seen:
+            restarted = True
+        items[item] = items.get(item, 0) + 1
+        ranked = sorted(items.items(), key=lambda kv: (-kv[1], kv[0]))[:_TRUNC_K]
+        kept = dict(ranked)
+        for gone in set(items) - set(kept):
+            evictions += 1
+            evicted_seen.add((rid, gone))
+        state[rid] = kept
+    assert evictions >= 5, evictions
+    assert restarted, "no evicted item ever returned — regime too gentle"

@@ -651,3 +651,50 @@ def test_decayed_buckets_state_survives_restart(spark, tmp_path, store, sf_dir):
     got = sorted(tuple(r) for r in drained_topk.collect())
     want = sorted(tuple(r) for r in _finalize_decay(batch).collect())
     assert got == want, f"decayed bucket sums lost across restart under {store}"
+
+
+def test_cdc_lastvalue_state_survives_restart(spark, tmp_path, store, sf_dir):
+    """CDC last-value (round-9, the 12th matrix row): the per-key
+    (ts_us, event_id) high-water must be RECOVERED from the checkpoint —
+    the drain restarts after the three fresh-update tiles, so generation 2
+    sees ONLY the stale-replay tile. Every replay must be suppressed by
+    recovered state (a reset would materialize the stale row as the user's
+    final emission); the expected result is the plain relational
+    latest-per-user over the original events, which replays (being copies)
+    cannot move. Mirrors the reference's durable upsert semantics
+    (orders_raw_upsert_table.json:4-7 — latest row per primary key must
+    survive server restarts)."""
+    from pyspark.sql import Window
+
+    from topk_spark.streaming.cdc_lastvalue import streaming_cdc_lastvalue
+    from topk_spark.workload.cdc2_queries import _tiled_with_stale_replays
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    src = _tiled_with_stale_replays(spark, sf_dir)
+    drained = _drain(
+        spark,
+        src,
+        lambda s: streaming_cdc_lastvalue(s),
+        output_mode="update",
+        last_per=["user_id"],
+        max_files_per_trigger=4,
+        ordered_split=("ts_us", 4),
+        pre_tiled=True,
+        restart_after=3,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    want_df = (
+        src.drop("_tile")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.expr("ts_us div 1000").alias("last_ts_ms"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want, f"CDC high-water state lost across restart under {store}"

@@ -36,7 +36,9 @@ def _wf(src: str, name: str, rows: list[dict], mtime: int) -> None:
     os.utime(p, (mtime, mtime))
 
 
-def _drain(spark, tmp_path, name: str, batches: list[list[dict]]) -> list:
+def _drain(
+    spark, tmp_path, name: str, batches: list[list[dict]], gap_ms: int = GAP
+) -> list:
     from topk_spark.streaming.timers import inactivity_expiry
 
     src = str(tmp_path / f"src_{name}")
@@ -51,7 +53,7 @@ def _drain(spark, tmp_path, name: str, batches: list[list[dict]]) -> list:
         .withColumn("ts", F.timestamp_millis("ms"))
     )
     q = (
-        inactivity_expiry(stream, gap_ms=GAP, watermark_delay="20 minutes")
+        inactivity_expiry(stream, gap_ms=gap_ms, watermark_delay="20 minutes")
         .writeStream.foreachBatch(
             lambda df, bid: df.withColumn("_bid", F.lit(int(bid)))
             .write.mode("append")
@@ -124,3 +126,28 @@ def test_data_beats_timer_and_readmission(spark, tmp_path):
         ("C", 0, 0, 1, 2),
         ("C", c2, c2, 1, 4),
     ]
+
+
+def test_overdue_alarm_clamps_instead_of_crashing(spark, tmp_path):
+    """gap_ms < watermark delay + a LATE-but-admitted event (FMGWS does not
+    filter below-watermark rows — measured here: the late row lands in the
+    run, n=2) puts `run max + gap` UNDER the in-effect watermark. The raw
+    setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP and kills the
+    query (reproduced against the unclamped operator); the operator must
+    instead clamp the overdue alarm to wm+1 so it fires at the next
+    watermark advance.
+
+    Timeline (gap G=5m, delay D=20m): A@0 and advancer Z@30m set batch-2's
+    wm to +10m; batch 2 delivers A@+1m (late, admitted), whose timeout
+    +6m <= wm → clamped to +10m+1ms; batch 3's advancer Z@40m leaves wm at
+    +10m (== T−1ms, must NOT fire — the strict boundary holds for clamped
+    timers too); the flush wm +20m fires the merged run."""
+    g = 5 * _M
+    batches = [
+        [{"key": "A", "ms": T0}, {"key": "Z", "ms": T0 + 30 * _M}],
+        [{"key": "A", "ms": T0 + _M}],  # late: in-effect wm = T0+10m
+        [{"key": "Z", "ms": T0 + 40 * _M}],  # flush wm = T0+20m
+    ]
+    got = _drain(spark, tmp_path, "clamp", batches, gap_ms=g)
+    # Z's merged run (timeout 40m+5m) is beyond the final wm — no row.
+    assert got == [("A", 0, _M, 2, 3)]

@@ -6,10 +6,17 @@ Reference endpoints (TopKController.kt:30-129 → QueryService.kt:37-129):
 - GET /api/v1/restaurants/all/topk           → topk_global
 - GET /api/v1/restaurants/{id}/topk/revenue  → topk_by_revenue ("all" → global)
 
-Semantics carried over exactly:
+Semantics carried over (with one deliberate divergence, flagged below):
 - time filter is CLOSED CONTAINMENT: window_start >= start AND
   window_end <= end (QueryService.kt:56-57) — windows fully inside the range,
   not overlapping it;
+- DIVERGENCE — range aggregation: the reference returns precomputed
+  per-window ranked rows ordered by window_end DESC LIMIT k
+  (QueryService.kt:55-60), i.e. a latest-window-biased slice of stored
+  rows. These functions instead RE-AGGREGATE counts/revenue across every
+  window in the range and re-rank, answering "top items over the range"
+  rather than "top rows of the most recent windows". Intentional redesign:
+  the range read should rank the range, not whichever window sorts last;
 - defaults: start = now − 1h, end = now, k = 10 (TopKController.kt:34-38);
 - ranking: order_count desc (default) or total_revenue_in_cents desc
   (revenue variant, QueryService.kt:124); rank is recomputed 1..k over the

@@ -65,10 +65,16 @@ def streaming_decayed_buckets(stream: DataFrame) -> DataFrame:
             else {}
         )
         for pdf in pdfs:
-            for b, w in zip(pdf["bucket"].tolist(), pdf["w"].tolist()):
+            if pdf.empty:
+                continue
+            # vectorized per chunk (C-speed groupby-sum), then one merge of
+            # the <=63-entry partial into state — never a per-row Python
+            # loop on the hot path (same treatment as the CDC fold)
+            for b, w in pdf.groupby("bucket")["w"].sum().items():
                 cur[int(b)] = cur.get(int(b), 0) + int(w)
-        horizon = max(cur) - (ZERO_SHIFT - 1)
-        cur = {b: s for b, s in cur.items() if b >= horizon}
+        if cur:
+            horizon = max(cur) - (ZERO_SHIFT - 1)
+            cur = {b: s for b, s in cur.items() if b >= horizon}
         state.update((json.dumps(cur),))
         n = len(cur)
         yield pd.DataFrame(

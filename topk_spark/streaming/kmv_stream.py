@@ -51,7 +51,12 @@ def streaming_kmv_sketch(stream: DataFrame, k: int = 64) -> DataFrame:
             set(json.loads(state.get[0])) if state.exists else set()
         )
         for pdf in pdfs:
+            # truncate per chunk: the working set stays O(k + chunk), never
+            # O(distinct-in-stream) — the invariant the module docstring
+            # states ("merge-dedup-truncate against <= k retained")
             cur.update(int(u) for u in pdf["u"].tolist())
+            if len(cur) > k:
+                cur = set(sorted(cur)[:k])
         kept = sorted(cur)[:k]
         state.update((json.dumps(kept),))
         yield pd.DataFrame(

@@ -101,7 +101,16 @@ def inactivity_expiry(
             last = mx if last is None else max(last, mx)
             n += len(pdf)
         state.update((run_start, last, n))
-        state.setTimeoutTimestamp(last + gap_ms)
+        # An already-due alarm (run max + gap_ms at/under the in-effect
+        # watermark — reachable whenever gap_ms < the watermark delay, since
+        # admitted-but-late rows carry ts below wm) must CLAMP, not crash:
+        # setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP below the
+        # watermark. Clamping to wm+1 keeps the measured firing rule
+        # "fires in the first batch whose wm is strictly greater than T"
+        # while making the overdue alarm fire at the next watermark advance
+        # — the earliest moment timer output can exist at all.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
         # data batches emit nothing — output is timer-driven only
 
     return (

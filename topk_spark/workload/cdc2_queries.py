@@ -96,3 +96,42 @@ def stream_cdc_lastvalue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_split=("ts_us", 4),
         pre_tiled=True,
     )
+
+
+@register(
+    "stream_cdc_lastvalue_restart_drain",
+    tags=("D4", "T8", "T9", "cdc", "streaming", "restart"),
+    oracle=_LASTVALUE_ORACLE,
+)
+def stream_cdc_lastvalue_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECKPOINT-RESTART continuity for the CDC high-water state (round-9;
+    the reference's upsert table must keep latest-row semantics across
+    server restarts — orders_raw_upsert_table.json:4-7). Same fixture and
+    oracle as `stream_cdc_lastvalue_drain` VERBATIM, but the drain STOPS
+    after the three fresh-update tiles and a freshly-built query — new
+    lineage, same checkpoint — processes the stale-replay tile alone. Every
+    replayed user's final micro-batch now runs in generation 2, so
+    suppression is provably a function of RECOVERED per-key (ts_us,
+    event_id) state: a restart that reset it would materialize the stale
+    row as that user's final emission and fail the hash (the counterfactual
+    population is pinned non-vacuous in
+    tests/test_stateful_dedup.py::test_cdc_lastvalue_stale_tile_counterfactual;
+    the ×2 state-store-provider twin runs in
+    tests/test_restart_continuity.py::test_cdc_lastvalue_state_survives_restart)."""
+    from topk_spark.streaming.cdc_lastvalue import streaming_cdc_lastvalue
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    src = _tiled_with_stale_replays(spark, sf_dir)
+    return _drain(
+        spark,
+        src,
+        lambda s: streaming_cdc_lastvalue(s),
+        output_mode="update",
+        last_per=["user_id"],
+        max_files_per_trigger=4,
+        ordered_split=("ts_us", 4),
+        pre_tiled=True,
+        restart_after=3,
+    )

@@ -14,15 +14,24 @@ equivalence-tested where its protobuf dependency exists
 
 Oracle expressibility: the operator's k-truncation (the reference's lossy
 bounded-state design) is NOT relational — once an item falls off the list
-its count resets, a fold no SQL window expresses. The drain therefore runs
-in the operator's EXACT regime: the item domain is user_id % 8 (8 items
-per restaurant key) with k=10 > 8, so truncation never fires and every
-snapshot equals the exact prefix ranking, which IS relational (a
-triangular self-join on per-key sequence numbers). Truncation semantics
-are pinned at exact-value level by tests/test_per_event_topk.py, the same
-split the GK-quantile drain uses (exact regime under the gate, sketch
-regime under pytest). emit_k=3 keeps the hashed output at 3 rows per
-event.
+its count resets, a fold no SQL window expresses. The main drain therefore
+runs in the operator's EXACT regime: the item domain is user_id % 8 (8
+items per restaurant key) with k=10 > 8, so truncation never fires and
+every snapshot equals the exact prefix ranking, which IS relational (a
+triangular self-join on per-key sequence numbers). emit_k=3 keeps the
+hashed output at 3 rows per event.
+
+TRUNCATION itself went under the gate in round 9
+(`stream_per_event_topk_trunc_drain`): non-relational is not
+non-SQL-expressible — DuckDB's RECURSIVE CTE replays the lossy fold
+sequentially, one event per key per iteration, carrying the bounded item
+list as a LIST<STRUCT(neg, item)> whose natural struct ordering (neg =
+-count asc, item asc) IS the rank order, so upsert + list_sort + slice-k
+reproduces the eviction semantics bit-for-bit (evicted items restart from
+zero). The fixture (~1% of events, 17-item domain, k=3) makes eviction
+fire on most steps — 143 eviction events at the sf0.01 gate scale —
+closing the regime gap the round-8 registration documented. Exact-value
+pins remain in tests/test_per_event_topk.py.
 
 What the hash proves: per-event granularity (10k snapshots at sf0.01,
 one per event — a batch-granular emitter would collapse each key-batch to
@@ -137,4 +146,102 @@ def stream_per_event_topk_restart_drain(
         max_files_per_trigger=3,
         ordered_split=("ts", 3),
         restart_after=2,
+    )
+
+
+# Truncation-regime fixture knobs, shared by the drain, its oracle, and the
+# non-vacuity pin in tests/test_per_event_topk.py: ~1/53rd of events, item
+# domain 17 per key, state bound k=3 (so eviction fires on most steps),
+# emit_k=2.
+_TRUNC_MOD = 53
+_TRUNC_DOM = 17
+_TRUNC_K = 3
+_TRUNC_EMIT_K = 2
+
+# The lossy sequential fold as SQL: a recursive CTE advances every key one
+# event per iteration; `items` is the operator's bounded state, ordered by
+# struct comparison (neg = -count asc, then item asc) == rank order, so
+# slice [1:k] IS the reference's truncation (ProcessFunctions.kt:103-116 —
+# an evicted item's count is GONE; if it returns it restarts at 1).
+_PER_EVENT_TOPK_TRUNC_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type AS restaurant_id,
+         CAST(user_id % {_TRUNC_DOM} AS VARCHAR) AS menu_item_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS seq
+  FROM events WHERE event_id % {_TRUNC_MOD} = 0
+),
+state AS (
+  SELECT restaurant_id, CAST(0 AS BIGINT) AS seq,
+         CAST(NULL AS BIGINT) AS snap_event_id,
+         CAST([] AS STRUCT(neg BIGINT, item VARCHAR)[]) AS items
+  FROM (SELECT DISTINCT restaurant_id FROM ev)
+  UNION ALL
+  SELECT s.restaurant_id, e.seq, e.event_id,
+         list_sort(
+           CASE WHEN len(list_filter(s.items, x -> x.item = e.menu_item_id)) > 0
+                THEN list_transform(s.items, x ->
+                       CASE WHEN x.item = e.menu_item_id
+                            THEN {{'neg': x.neg - 1, 'item': x.item}}
+                            ELSE x END)
+                ELSE list_append(s.items,
+                       {{'neg': CAST(-1 AS BIGINT), 'item': e.menu_item_id}})
+           END
+         )[1:{_TRUNC_K}] AS items
+  FROM state s JOIN ev e
+    ON e.restaurant_id = s.restaurant_id AND e.seq = s.seq + 1
+)
+SELECT restaurant_id, snap_event_id, seq AS snap_seq,
+       unnest(list_transform(items[1:{_TRUNC_EMIT_K}], x -> x.item))
+         AS menu_item_id,
+       unnest(list_transform(items[1:{_TRUNC_EMIT_K}], x -> -x.neg))
+         AS order_count,
+       CAST(unnest(range(1, len(items[1:{_TRUNC_EMIT_K}]) + 1)) AS INT)
+         AS rank
+FROM state WHERE seq >= 1
+"""
+
+
+@register(
+    "stream_per_event_topk_trunc_drain",
+    tags=("K1", "T8", "streaming"),
+    oracle=_PER_EVENT_TOPK_TRUNC_ORACLE,
+)
+def stream_per_event_topk_trunc_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-event top-K in the regime the round-8 drains deliberately
+    avoided: k (3) far below the item domain (17), so the reference's LOSSY
+    truncation fires on most events (143 evictions at the sf0.01 gate
+    scale — measured, pinned non-vacuous in tests/test_per_event_topk.py)
+    and evicted items provably restart from zero. The oracle replays the
+    fold sequentially via a DuckDB recursive CTE (one event per key per
+    iteration, bounded-list state) — the exact-prefix-ranking SQL of the
+    no-truncation drains would claim monotone counts and fail here. Three
+    event-time-ordered micro-batches keep cross-batch state continuity
+    under the same hash."""
+    from topk_spark.streaming.continuous_topk_tws import continuous_topk_per_event
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % _TRUNC_MOD == 0)
+        .select(
+            F.col("event_type").alias("restaurant_id"),
+            (F.col("user_id") % _TRUNC_DOM).cast("string").alias("menu_item_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            "ts",
+        )
+    )
+    return _drain(
+        spark,
+        ev,
+        lambda s: continuous_topk_per_event(
+            s.drop("ts"), k=_TRUNC_K, emit_k=_TRUNC_EMIT_K
+        ),
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
     )
