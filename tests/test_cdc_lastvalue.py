@@ -175,3 +175,38 @@ def test_retention_requires_watermark_delay(spark, tmp_path):
         streaming_cdc_lastvalue(stream, retention_ms=1000)
     with pytest.raises(ValueError, match="go together"):
         streaming_cdc_lastvalue(stream, watermark_delay="1 minute")
+
+
+def test_retention_drain_regime_is_nonvacuous(spark, sf_dir):
+    """The registered retention drain's horizon must actually FIRE at
+    gate scale, or it gates nothing: for most users, the gap between their
+    last event in tile i and the late-events watermark in effect during
+    tile i+1 (tile i's max ts minus the 1-minute delay) must exceed the
+    horizon — those keys are evicted before their next update. Analytic
+    replay of the drain's own tiling arithmetic; guards against testdata
+    regeneration compressing the time span under the horizon."""
+    import duckdb
+
+    from topk_spark.workload.cdc2_queries import _RETENTION_MS
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us
+                   FROM '{sf_dir}/events.parquet'),
+        b AS (SELECT min(us) AS tmin, max(us) AS tmax FROM e),
+        t AS (SELECT user_id, us,
+                     CAST(least(2, (us - b.tmin) * 3 // (b.tmax - b.tmin + 1))
+                          AS INT) AS tile
+              FROM e CROSS JOIN b),
+        last_in AS (SELECT user_id, tile, max(us) AS last_us
+                    FROM t GROUP BY 1, 2),
+        tile_max AS (SELECT tile, max(us) AS tmax_us FROM t GROUP BY 1)
+        SELECT count(*) FILTER (
+                 WHERE m.tmax_us - 60_000_000 - l.last_us
+                       > CAST({_RETENTION_MS} AS BIGINT) * 1000
+               ) AS evicted_pairs,
+               count(*) AS pairs
+        FROM last_in l JOIN tile_max m ON m.tile = l.tile
+    """).fetchone()
+    evicted_pairs, pairs = rows
+    assert evicted_pairs >= max(10, pairs // 2), (evicted_pairs, pairs)

@@ -135,3 +135,51 @@ def stream_cdc_lastvalue_restart_drain(
         pre_tiled=True,
         restart_after=3,
     )
+
+
+#: retention drain knobs: the events fixture spans ~30 days in ~10-day
+#: tiles with per-user event gaps of hours, so a 1 h horizon evicts ~90% of
+#: (user, tile) pairs at every tile boundary — measured 415/450 at the
+#: sf0.01 gate scale (pinned non-vacuous in tests/test_cdc_lastvalue.py) —
+#: while the 1-minute watermark delay keeps ordered-tile rows safely above
+#: the late-events watermark (tile i's rows sit at/after tile i-1's max by
+#: construction).
+_RETENTION_MS = 3_600_000
+_RETENTION_DELAY = "1 minute"
+
+
+@register(
+    "stream_cdc_lastvalue_retention_drain",
+    tags=("D4", "T6", "T9", "cdc", "streaming"),
+    oracle=_LASTVALUE_ORACLE,
+)
+def stream_cdc_lastvalue_retention_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CDC drain with the RETENTION HORIZON ON (1 h over a ~30-day,
+    4-tile replay): state is mass-evicted at every tile boundary and
+    re-created on each key's next update, yet the oracle is the unbounded
+    drain's SQL VERBATIM — the driver hash certifies that eviction is
+    observationally free (streaming/cdc_lastvalue.py module docstring for
+    the derivation: any row admitted past the late-events watermark is
+    strictly newer than any evicted high-water, and the all-stale tile-3
+    replays are dropped at that watermark before the operator). This is the
+    reference's bounded-retention upsert surface
+    (orders_raw_upsert_table.json:10-12) run live, with the zero-semantic-
+    cost property under the exact-value gate rather than argued."""
+    from topk_spark.streaming.cdc_lastvalue import streaming_cdc_lastvalue
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    src = _tiled_with_stale_replays(spark, sf_dir)
+    return _drain(
+        spark,
+        src,
+        lambda s: streaming_cdc_lastvalue(
+            s, retention_ms=_RETENTION_MS, watermark_delay=_RETENTION_DELAY
+        ),
+        output_mode="update",
+        last_per=["user_id"],
+        max_files_per_trigger=4,
+        ordered_split=("ts_us", 4),
+        pre_tiled=True,
+    )
