@@ -245,3 +245,48 @@ def stream_per_event_topk_trunc_drain(
         max_files_per_trigger=3,
         ordered_split=("ts", 3),
     )
+
+
+@register(
+    "stream_per_event_topk_trunc_restart_drain",
+    tags=("K1", "T8", "streaming", "restart"),
+    oracle=_PER_EVENT_TOPK_TRUNC_ORACLE,
+)
+def stream_per_event_topk_trunc_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The truncation-regime drain across a CHECKPOINT RESTART (stop after
+    two event-time terciles, fresh query on the same checkpoint), oracle
+    shared verbatim. Recovery in the LOSSY regime is harsher than the
+    exact-regime restart twin: the bounded item list holds the survivors of
+    ~100 prior evictions, so a reset doesn't just zero counts — it forgets
+    WHICH items currently occupy the k slots, and generation 2's first
+    snapshot would rank a freshly-seeded list that diverges immediately
+    (plus the seq counter restarting at 1 shifts every remaining snapshot).
+    A green hash therefore proves the truncated state round-tripped the
+    checkpoint exactly."""
+    from topk_spark.streaming.continuous_topk_tws import continuous_topk_per_event
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % _TRUNC_MOD == 0)
+        .select(
+            F.col("event_type").alias("restaurant_id"),
+            (F.col("user_id") % _TRUNC_DOM).cast("string").alias("menu_item_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            "ts",
+        )
+    )
+    return _drain(
+        spark,
+        ev,
+        lambda s: continuous_topk_per_event(
+            s.drop("ts"), k=_TRUNC_K, emit_k=_TRUNC_EMIT_K
+        ),
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=2,
+    )
