@@ -698,3 +698,72 @@ def test_cdc_lastvalue_state_survives_restart(spark, tmp_path, store, sf_dir):
     got = sorted(tuple(r) for r in drained.collect())
     want = sorted(tuple(r) for r in want_df.collect())
     assert got == want, f"CDC high-water state lost across restart under {store}"
+
+
+def test_sliding_window_state_survives_restart(spark, tmp_path, store):
+    """Thirteenth stateful class: built-in SLIDING-window aggregation state
+    (StateStoreSave over overlapping windows — the driver twin is
+    stream_sliding_rollup_restart_drain). Two events land before the
+    restart; every 5-minute/1-minute-hop window covering them is still open
+    when generation 1 stops (watermark too low to close them). Generation
+    2's lone late-range event advances the watermark past their ends: the
+    emitted sums are correct ONLY if the overlapping windows' partials were
+    recovered — a state reset silently never emits the pre-restart windows
+    at all (no new data falls in them), which is the quiet failure mode
+    that makes this pin matter at 100 TB."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> dict[int, int]:
+        stream = (
+            spark.readStream.schema("ms long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .withColumn("ts", F.timestamp_millis("ms"))
+            .drop("ms")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+            .agg(F.sum("v").alias("s"))
+            .select(F.unix_millis("w.start").alias("ws"), "s")
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not os.path.isdir(out):
+            return {}
+        return {
+            int((r["ws"] - T0) / _M): r["s"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # Events at T0+0:00 (v=1) and T0+2:30 (v=10). Their sliding windows:
+    # starts -4..0 min contain v=1; starts -2..2 contain v=10; the overlap
+    # (-2..0) holds the merged partial 11. After generation 1 the watermark
+    # is 2:20, so only starts -4 and -3 (ends 1:00, 2:00) have closed.
+    _write_file(src, "f0.json", [
+        {"ms": T0, "v": 1},
+        {"ms": T0 + 150_000, "v": 10},
+    ], 1000)
+    first = drain()
+    assert first == {-4: 1, -3: 1}, f"generation-1 closed set wrong: {first}"
+
+    # Generation 2, same checkpoint: one event 30 minutes in closes every
+    # earlier window. Starts -2..0 must emit 11 (recovered MERGED partials),
+    # 1..2 must emit 10 — all five exist only in restored state.
+    _write_file(src, "f1.json", [{"ms": T0 + 1_800_000, "v": 100}], 1010)
+    second = drain()
+    want = {-4: 1, -3: 1, -2: 11, -1: 11, 0: 11, 1: 10, 2: 10}
+    assert second == want, (
+        f"sliding-window aggregation state lost across restart under "
+        f"{store}: {second}"
+    )

@@ -480,3 +480,70 @@ def test_salted_join_rejects_salt_column_collision(spark):
     # without salting the caller's _salt column is untouched and legal
     out = interval_join(v, b, **kwargs)
     assert "_salt" in out.columns
+
+
+def test_asof_join_tiebreak_and_horizon(spark, tmp_path):
+    """Pins the streaming as-of join's edge semantics the gate fixtures
+    cannot reach (their (user, ts) pairs are tie-free and dense):
+    - two candidate views at the SAME ts → the higher view_id wins
+      (max(struct(view_ts, view_id)) — the batch asof_view_attribution's
+      ORDER BY, and the oracle's struct_pack order);
+    - a view exactly AT the purchase ts is a candidate (at-or-before is
+      inclusive, gap 0);
+    - a view 7 days + 1 h old is OUTSIDE the horizon: the purchase emits
+      nothing (inner as-of), unlike the unbounded-lookback batch twin."""
+    from topk_spark.workload.streaming_join_queries import _build_asof_join
+
+    d = 86_400_000
+    h = 3_600_000
+    vdir, pdir = str(tmp_path / "v"), str(tmp_path / "p")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+    _write_jsonl(os.path.join(vdir, "v0.jsonl"), [
+        {"view_id": 10, "user_id": 1, "view_ms": T0},
+        {"view_id": 11, "user_id": 1, "view_ms": T0},          # tie with 10
+        {"view_id": 20, "user_id": 2, "view_ms": T0},          # too old
+        {"view_id": 30, "user_id": 3, "view_ms": T0 + 5000},   # exact-ts
+        {"view_id": 990, "user_id": 99, "view_ms": T0 + 30 * d},  # advancer
+    ])
+    _write_jsonl(os.path.join(pdir, "p0.jsonl"), [
+        {"purchase_id": 100, "p_user_id": 1, "purchase_ms": T0 + h},
+        {"purchase_id": 200, "p_user_id": 2, "purchase_ms": T0 + 7 * d + h},
+        {"purchase_id": 300, "p_user_id": 3, "purchase_ms": T0 + 5000},
+        {"purchase_id": 991, "p_user_id": 99, "purchase_ms": T0 + 30 * d},
+    ])
+    views = (
+        spark.readStream.schema("view_id long, user_id long, view_ms long")
+        .json(vdir)
+        .withColumn("view_ts", F.timestamp_millis("view_ms"))
+        .drop("view_ms")
+    )
+    purchases = (
+        spark.readStream.schema(
+            "purchase_id long, p_user_id long, purchase_ms long"
+        )
+        .json(pdir)
+        .withColumn("purchase_ts", F.timestamp_millis("purchase_ms"))
+        .drop("purchase_ms")
+    )
+    q = (
+        _build_asof_join(views, purchases)
+        .writeStream.format("memory")
+        .queryName("asof_edge")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = sorted(
+        (
+            r["purchase_id"], r["user_id"], r["asof_view_id"],
+            r["asof_gap_ms"], r["n_candidate_views"],
+        )
+        for r in spark.table("asof_edge").collect()
+    )
+    # purchase 200: no in-horizon view; purchase 991: day window still open.
+    assert rows == [
+        (100, 1, 11, h, 2),
+        (300, 3, 30, 0, 1),
+    ], f"as-of edge semantics drifted: {rows}"

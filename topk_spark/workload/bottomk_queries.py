@@ -337,3 +337,159 @@ def kmv_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         weekly_rows, ["event_type", "week"], "u", k=_KW, pre_buckets=1
     )
     return kmv_estimate(weekly, ["event_type", "week"], "u", k=_KW)
+
+
+# ---------------------------------------------------------------------------
+# Sketch SET ALGEBRA: Jaccard / intersection estimated from bottom-k
+# sketches alone (Beyer et al. 2007 §4: the k-min merge is closed under
+# union, and match-counting within the merged sketch estimates overlap)
+# ---------------------------------------------------------------------------
+
+_USER_HASHES = """
+uh AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+           AS u
+  FROM events
+)
+"""
+
+_KMV_JACCARD_ORACLE = f"""
+WITH {_USER_HASHES},
+sk AS (
+  SELECT event_type, u FROM (
+    SELECT event_type, u,
+           row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+    FROM uh) WHERE rn <= {_K}
+),
+ty AS (SELECT DISTINCT event_type FROM uh),
+pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b
+       FROM ty x JOIN ty y ON x.event_type < y.event_type),
+mu AS (SELECT DISTINCT pr.type_a, pr.type_b, s.u
+       FROM pr JOIN sk s
+         ON s.event_type = pr.type_a OR s.event_type = pr.type_b),
+mr AS (
+  SELECT type_a, type_b, u FROM (
+    SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY u) AS rn
+    FROM mu) WHERE rn <= {_K}
+),
+st AS (
+  SELECT mr.type_a, mr.type_b, count(*) AS k_used, max(mr.u) AS kth,
+         CAST(SUM(CASE WHEN a.u IS NOT NULL AND b.u IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS matches
+  FROM mr
+  LEFT JOIN sk a ON a.event_type = mr.type_a AND a.u = mr.u
+  LEFT JOIN sk b ON b.event_type = mr.type_b AND b.u = mr.u
+  GROUP BY mr.type_a, mr.type_b)
+SELECT type_a, type_b,
+       CAST(CASE WHEN k_used < {_K} THEN k_used
+            ELSE {(_K - 1) * SCALE} // greatest(kth, 1) END AS BIGINT)
+         AS union_est,
+       matches, k_used,
+       CAST(matches * 1000000 // k_used AS BIGINT) AS jaccard_ppm,
+       CAST(matches * (CASE WHEN k_used < {_K} THEN k_used
+                       ELSE {(_K - 1) * SCALE} // greatest(kth, 1) END)
+            // k_used AS BIGINT) AS intersect_est
+FROM st
+"""
+
+
+@register(
+    "kmv_jaccard_types",
+    tags=("A7", "A8", "sketch", "setstats"),
+    oracle=_KMV_JACCARD_ORACLE,
+)
+def kmv_jaccard_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap (Jaccard / intersection cardinality) between every
+    pair of event types, estimated from the per-type bottom-k user
+    sketches ALONE — sketch set algebra, the capability the union query
+    (`kmv_union_distinct`) proves for |A ∪ B| extended to |A ∩ B|:
+    merge the two sketches (bottom-k of the union, closed under k-min),
+    count merged hashes present in BOTH input sketches, and scale —
+    jaccard ≈ matches / k', intersection ≈ jaccard × union_est (Beyer et
+    al. 2007 "On synopses for distinct-value estimation under multiset
+    operations"). Everything is BIGINT on a deterministic 48-bit hash, so
+    the DuckDB oracle replays the estimator bit-for-bit — the hash gate
+    certifies the set-algebra arithmetic itself, not an error bound. Two
+    regimes both exercised across the gate's scales: k_used < k means the
+    merged sketch saw the whole union (exact intersection); k_used = k is
+    the genuinely approximate regime.
+
+    100 TB posture: only the sketch build touches raw data
+    (`bottom_k_distinct`: map-side codegen hash, hash-agg distinct,
+    per-bucket local bottom-k — no global sort, ≤ k rows per group out);
+    the pairwise algebra runs on n_types × k rows. Estimating overlap of
+    two 10-billion-user audiences costs two 64-row sketches and a 128-row
+    merge — the reason the rollup store materializes sketch columns
+    instead of user lists (reference's sketch columns:
+    orders_1m_rollup_schema.json:50-53)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select("event_type", u48_expr(F.col("user_id")).alias("u"))
+    sk = bottom_k_distinct(h, ["event_type"], k=_K).select("event_type", "u")
+
+    ty = sk.select("event_type").distinct()
+    pr = (
+        ty.select(F.col("event_type").alias("type_a"))
+        .join(
+            ty.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    s = sk.withColumnRenamed("event_type", "_t")
+    mu = (
+        pr.join(
+            F.broadcast(s),
+            (F.col("_t") == F.col("type_a")) | (F.col("_t") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "u")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("type_a", "type_b").orderBy("u")
+    mr = mu.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _K)
+    a = sk.select(
+        F.col("event_type").alias("type_a"), "u", F.lit(1).alias("in_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), "u", F.lit(1).alias("in_b")
+    )
+    st = (
+        mr.join(F.broadcast(a), ["type_a", "u"], "left")
+        .join(F.broadcast(b), ["type_b", "u"], "left")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("u").alias("kth"),
+            F.sum(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("matches"),
+        )
+    )
+    return (
+        st.withColumn(
+            "union_est",
+            F.when(F.col("k_used") < _K, F.col("k_used"))
+            .otherwise(
+                F.expr(
+                    f"CAST({(_K - 1) * SCALE} AS BIGINT) div greatest(kth, 1)"
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "jaccard_ppm", F.expr("matches * 1000000 div k_used").cast("long")
+        )
+        .withColumn(
+            "intersect_est",
+            F.expr("matches * union_est div k_used").cast("long"),
+        )
+        .select(
+            "type_a", "type_b", "union_est", "matches", "k_used",
+            "jaccard_ppm", "intersect_est",
+        )
+    )

@@ -123,10 +123,11 @@ def spacesaving_heavy_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_weighted(ev)
 
 
-@register(
-    "stream_heavyhitters_drain",
-    tags=("K1", "G4", "T8", "sketch", "streaming"),
-    oracle=f"""
+# Shared by the forward and checkpoint-restart MG drains: the final exact
+# rescore (and the 3-batch witness — batch ids stay 0,1,2 across the
+# restart because the update-mode operator has no watermark flush batch)
+# must be restart-invariant.
+_MG_DRAIN_ORACLE = f"""
 WITH b AS {_bounds_sql("events")},
 e AS (
   SELECT user_id % 97 AS cohort,
@@ -140,7 +141,13 @@ SELECT cohort, CAST(SUM(w) AS BIGINT) AS total_w,
 FROM e CROSS JOIN tot
 GROUP BY cohort, tot.wtot
 HAVING SUM(w) >= CAST(floor(tot.wtot / 32.0) + 1 AS BIGINT)
-""",
+"""
+
+
+@register(
+    "stream_heavyhitters_drain",
+    tags=("K1", "G4", "T8", "sketch", "streaming"),
+    oracle=_MG_DRAIN_ORACLE,
 )
 def stream_heavyhitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CONTINUOUS Misra-Gries summary (streaming/heavyhitters.py) under
@@ -157,6 +164,34 @@ def stream_heavyhitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     full exact histogram. `n_batches` (distinct sink micro-batch ids — the
     update-mode operator re-emits its summary every batch) rides inside
     the hash as the multi-batch witness."""
+    return _mg_drain(spark, sf_dir)
+
+
+@register(
+    "stream_heavyhitters_restart_drain",
+    tags=("K1", "G4", "T8", "sketch", "streaming", "restart"),
+    oracle=_MG_DRAIN_ORACLE,
+)
+def stream_heavyhitters_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MG summary across a CHECKPOINT RESTART: generation 1 drains
+    exactly the tercile holding ALL of the heavy cohorts' amplification
+    (weight 20 only in tile 0) and stops; the restarted query sees pure
+    noise. The heavy counters therefore exist at the end only if the
+    restart restored the summary state — the pytest pin
+    (test_mg_summary_state_survives_restart) promoted to the driver hash,
+    with the same deficit-bound argument as the forward drain: a reset
+    summary competes 97 cohorts for 63 slots on near-uniform weights and
+    loses the true hitters. Batch ids stay 0,1,2 across the restart
+    (update mode, no watermark flush), so `n_batches` hashes identically
+    under the shared oracle."""
+    return _mg_drain(spark, sf_dir, restart_after=1)
+
+
+def _mg_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
     from topk_spark.streaming.heavyhitters import streaming_mg_summary
     from topk_spark.workload.streaming_drain_queries import _drain
 
@@ -185,6 +220,7 @@ def stream_heavyhitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=3,
         ordered_split=("ts", 3),
         keep_bid=True,
+        restart_after=restart_after,
     )
     stats = drained.agg(
         F.max("_bid").alias("_last"),
@@ -230,6 +266,32 @@ def stream_hll_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     `hll_error_bound` (r2): the oracle states the contract (every group
     within bound); the Spark side computes the estimate from the drained
     final sketch and the exact count from the same fixture."""
+    return _hll_drain(spark, sf_dir)
+
+
+@register(
+    "stream_hll_distinct_restart_drain",
+    tags=("A7", "A8", "T8", "sketch", "streaming", "restart"),
+    oracle="SELECT event_type, true AS ok FROM events GROUP BY event_type",
+)
+def stream_hll_distinct_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming HLL sketch across a CHECKPOINT RESTART: generation 1
+    drains only the first event-time tercile (one third of each type's
+    day buckets) and stops; the restarted query merges the remaining two
+    terciles into the RECOVERED Datasketches registers. A reset sketch
+    ends holding ~2/3 of the cardinality — outside the 6.5% (~4σ at
+    lg_k=12) bound by an order of magnitude — so the same `ok` contract
+    as the forward drain certifies binary sketch-state recovery (the one
+    state payload here that is an opaque register blob, not relational
+    rows: exactly the serde a RocksDB/HDFS restore must round-trip)."""
+    return _hll_drain(spark, sf_dir, restart_after=1)
+
+
+def _hll_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "ts",
         "event_type",
@@ -249,6 +311,7 @@ def stream_hll_distinct_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_per=["event_type"],
         max_files_per_trigger=3,
         ordered_split=("ts", 3),
+        restart_after=restart_after,
     )
     est = drained.select(
         "event_type", F.hll_sketch_estimate("sk").cast("long").alias("est")

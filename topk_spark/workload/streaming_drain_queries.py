@@ -843,11 +843,9 @@ def stream_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 h, matching sessionize_events
 
-
-@register(
-    "stream_sessions_drain",
-    tags=("T-session", "T1", "streaming"),
-    oracle=f"""
+# Shared by the forward and the checkpoint-restart session drains: a restart
+# must be invisible in the closed-session output.
+_SESSIONS_ORACLE = f"""
 WITH wm AS (
   SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM events
 ),
@@ -878,7 +876,13 @@ agg AS (
 SELECT user_id, session_start, session_last, n_events, session_value
 FROM agg, wm
 WHERE CAST(floor(epoch_ms(session_last)) AS BIGINT) + {6 * 3600 * 1000} <= wm.w
-""",
+"""
+
+
+@register(
+    "stream_sessions_drain",
+    tags=("T-session", "T1", "streaming"),
+    oracle=_SESSIONS_ORACLE,
 )
 def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain STREAMING `session_window` sessionization (6 h dynamic gap,
@@ -888,35 +892,65 @@ def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally (lag/cumsum) and applies the same closure predicate, so
     the hash pins gap-merge semantics AND the finalize-on-watermark policy.
     Sessions still open at end-of-stream are withheld on both sides."""
-    from topk_spark.io.sources import load_table
-
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
+    return _drain(spark, e, _build_sessions, output_mode="append")
 
-    def build(s: DataFrame) -> DataFrame:
-        return (
-            s.withWatermark("ts", "10 seconds")
-            .groupBy(
-                F.session_window("ts", "6 hours").alias("w"),
-                "user_id",
-            )
-            .agg(
-                F.min("ts").alias("session_start"),
-                F.max("ts").alias("session_last"),
-                F.count("*").alias("n_events"),
-                F.round(
-                    F.sum(F.col("value").cast("decimal(18,6)")), 4
-                ).cast("double").alias("session_value"),
-            )
-            .select(
-                "user_id", "session_start", "session_last",
-                "n_events", "session_value",
-            )
+
+def _build_sessions(s: DataFrame) -> DataFrame:
+    return (
+        s.withWatermark("ts", "10 seconds")
+        .groupBy(
+            F.session_window("ts", "6 hours").alias("w"),
+            "user_id",
         )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 4
+            ).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_last",
+            "n_events", "session_value",
+        )
+    )
 
-    drained = _drain(spark, e, build, output_mode="append")
-    return drained
+
+@register(
+    "stream_sessions_restart_drain",
+    tags=("T-session", "T1", "T8", "streaming", "restart"),
+    oracle=_SESSIONS_ORACLE,
+)
+def stream_sessions_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window sessionization across a CHECKPOINT RESTART — the
+    driver-gated twin of the pytest pin
+    (test_restart_continuity.py::test_session_window_state_survives_restart)
+    and the one stateful class whose recovery must support MERGE-into-
+    existing, not just key-value reload: generation 1 drains the first
+    event-time tile and stops with thousands of sessions open; the
+    restarted query's in-gap arrivals must extend those RECOVERED open
+    sessions (same session row, higher n_events/session_value) rather than
+    open fresh ones. A state reset splits every restart-straddling session
+    in two — both halves hash-mismatch the shared relational oracle, which
+    sessionizes the full event list with no restart in sight. Ordered
+    tiles keep arrival = event-time order, so closed-by-watermark
+    semantics are identical to the forward drain's."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return _drain(
+        spark,
+        e,
+        _build_sessions,
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -927,10 +961,10 @@ _CUSUM_TARGET_CENTS = 1400  # fixed reference target μ (Page's procedure)
 _CUSUM_H_CENTS = 250_000  # alarm threshold h
 
 
-@register(
-    "stream_cusum_drain",
-    tags=("timeseries", "anomaly", "streaming"),
-    oracle=f"""
+# Shared by the forward and checkpoint-restart CUSUM drains: the statistic
+# is a fold over the event-time-ORDERED sequence, so with ts-ordered tiles
+# the restarted fold must continue mid-sequence bit-for-bit.
+_CUSUM_DRAIN_ORACLE = f"""
 WITH es AS (
   SELECT event_type, ts,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -956,7 +990,13 @@ SELECT agg.event_type AS key, n_total,
        CAST(pn - mp AS BIGINT) AS cusum,
        (pn - mp > {_CUSUM_H_CENTS}) AS alarm
 FROM agg JOIN mn USING (event_type)
-""",
+"""
+
+
+@register(
+    "stream_cusum_drain",
+    tags=("timeseries", "anomaly", "streaming"),
+    oracle=_CUSUM_DRAIN_ORACLE,
 )
 def stream_cusum_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the REAL streaming CUSUM control chart (per-key BIGINT state,
@@ -966,12 +1006,47 @@ def stream_cusum_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation of the same sequential recursion (changepoint_queries.py
     documents the identity). Fixture ts values are unique per event_type,
     so the fold order is pinned."""
+    return _cusum_drain(spark, sf_dir)
+
+
+@register(
+    "stream_cusum_restart_drain",
+    tags=("timeseries", "anomaly", "T8", "streaming", "restart"),
+    oracle=_CUSUM_DRAIN_ORACLE,
+)
+def stream_cusum_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM control chart across a CHECKPOINT RESTART — the
+    SEQUENTIAL-fold state class: unlike set-valued or additive state, the
+    recursion S_n = max(0, S_{n-1} + (x_n − μ)) depends on resume POSITION,
+    so the restarted generation must continue each key's fold mid-sequence
+    from the recovered (prefix-sum, running-min, count) triple. Generation
+    1 drains the first event-time tile and stops; ts-ordered tiles keep
+    arrival = fold order, so the shared oracle's parallel-prefix identity
+    (S_n = P_n − min(0, min_j P_j), over the FULL sequence) is exactly
+    what an invisible restart must reproduce — a reset fold computes the
+    statistic of the suffix alone, which shifts cusum for every key whose
+    running minimum lives in tile 0."""
+    return _cusum_drain(spark, sf_dir, restart_after=1)
+
+
+def _cusum_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
     from topk_spark.streaming.cusum import cusum_stateful
 
     es = load_table(spark, sf_dir, "events").select(
         "event_type",
         "ts",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    kwargs = (
+        dict(
+            max_files_per_trigger=3,
+            ordered_split=("ts", 3),
+            restart_after=restart_after,
+        )
+        if restart_after is not None
+        else {}
     )
     drained = _drain(
         spark,
@@ -985,5 +1060,116 @@ def stream_cusum_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_col="ts",
         ),
         last_per=["key"],
+        **kwargs,
     )
     return drained.select("key", "n_total", "cusum", "alarm")
+
+
+# ---------------------------------------------------------------------------
+# Streaming SLIDING (hopping) window rollup — the overlap generalization of
+# stream_rollup_drain's tumbling window (batch twin: rollup_sliding_5m_1m)
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+WITH {_ES},
+wm AS (
+  -- final event-time watermark after the drain: max ts (ms) - 10 s delay
+  SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM es
+),
+slid AS (
+  -- Spark assigns ts to the 5 slide-aligned windows covering it; the
+  -- amplification is materialized explicitly here (same arithmetic the
+  -- batch rollup_sliding_5m_1m oracle verified green since r6)
+  SELECT e.event_type, e.revenue_cents,
+         epoch_ms(date_trunc('minute', e.ts)) - k.k * 60000 AS ws
+  FROM es e CROSS JOIN (SELECT unnest(range(5)) AS k) k
+),
+agg AS (
+  SELECT event_type, ws,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+         count(*) AS order_count
+  FROM slid GROUP BY event_type, ws
+)
+SELECT event_type, CAST(ws AS BIGINT) AS window_start,
+       CAST(ws + 300000 AS BIGINT) AS window_end,
+       revenue_cents, order_count
+FROM agg, wm
+WHERE ws + 300000 <= wm.w
+"""
+
+
+def _sliding_rollup_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
+    from topk_spark.ops.rollup import windowed_rollup
+
+    es = order_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "revenue_cents"
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        return windowed_rollup(
+            s.withWatermark("ts", "10 seconds"),
+            "ts",
+            ["event_type"],
+            [
+                F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+                F.count("*").alias("order_count"),
+            ],
+            "5 minutes",
+            slide="1 minute",
+        ).select(
+            "event_type", "window_start", "window_end",
+            "revenue_cents", "order_count",
+        )
+
+    return _drain(
+        spark,
+        es,
+        build,
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=restart_after,
+    )
+
+
+@register(
+    "stream_sliding_rollup_drain",
+    tags=("A1", "T1", "T3", "T5", "streaming"),
+    oracle=_SLIDING_ORACLE,
+)
+def stream_sliding_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a SLIDING-window streaming rollup (5-minute windows hopping
+    every 1 minute, 10 s watermark, append mode) over three event-time-
+    ordered micro-batches. The reference runs tumbling windows only
+    (TopKStreamingJob.kt:313); this is the Flink SlidingEventTimeWindows
+    analog the batch `rollup_sliding_5m_1m` registered in r6, now as the
+    REAL streaming operator: each event enters 5 overlapping windows
+    map-side (before partial aggregation, so the shuffle carries only
+    per-window partials — the posture that holds at 100 TB), windows
+    accumulate ACROSS micro-batches, and append emits a window exactly once
+    when the watermark passes its end. The oracle amplifies the overlap
+    explicitly and applies the same closure predicate; windows still open
+    at end-of-stream are withheld on both sides."""
+    return _sliding_rollup_drain(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_rollup_restart_drain",
+    tags=("A1", "T1", "T3", "T8", "streaming", "restart"),
+    oracle=_SLIDING_ORACLE,
+)
+def stream_sliding_rollup_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_sliding_rollup_drain` — and the
+    first driver restart pin for Spark's BUILT-IN windowed-aggregation
+    state (StateStoreSave): the existing restart drains all recover
+    applyInPandasWithState or symmetric-join state. Generation 1 drains
+    only the first event-time tile and stops; a freshly-built query resumes
+    from the checkpoint alone. Sliding windows straddling the stop point
+    hold partial sums in recovered state — losing them under-counts those
+    windows and fails the shared oracle's value hash; a watermark reset
+    would re-emit or mis-close windows (append emits exactly once)."""
+    return _sliding_rollup_drain(spark, sf_dir, restart_after=1)

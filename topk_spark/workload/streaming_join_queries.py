@@ -1228,3 +1228,241 @@ def stream_dedup_join_rollup_chain_restart_drain(
         restart_after=2,
     )
     return drained.drop("_bid")
+
+
+# ---------------------------------------------------------------------------
+# Streaming AS-OF join: each purchase → the latest view at-or-before it
+# (batch twin: joins_queries.asof_view_attribution, unbounded lookback; the
+# streaming form bounds the lookback at the join horizon — state cannot be
+# unbounded under a watermark)
+# ---------------------------------------------------------------------------
+
+_ASOF_JOIN_ORACLE = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id FROM e
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM e
+      WHERE event_type = 'purchase'),
+fw AS (SELECT least((SELECT CAST(floor(epoch_ms(max(view_ts))) AS BIGINT) FROM v),
+                    (SELECT CAST(floor(epoch_ms(max(purchase_ts))) AS BIGINT) FROM p))
+              - 86400000 - 604800000 AS w),
+pairs AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_ts, v.view_id
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY),
+af AS (
+  SELECT purchase_id,
+         min(user_id) AS user_id,
+         min(purchase_ts) AS pts,
+         max(struct_pack(ts := view_ts, id := view_id)) AS m,
+         count(*) AS n_candidate_views
+  FROM pairs GROUP BY purchase_id)
+SELECT purchase_id, user_id,
+       (m).id AS asof_view_id,
+       CAST(epoch_ms(pts) - epoch_ms((m).ts) AS BIGINT) AS asof_gap_ms,
+       n_candidate_views
+FROM af, fw
+WHERE CAST(epoch_ms(pts) // 86400000 * 86400000 AS BIGINT) + 86400000 <= fw.w
+"""
+
+
+def _build_asof_join(v: DataFrame, p: DataFrame) -> DataFrame:
+    """Streaming as-of join as a chained topology: the 7-day interval join
+    (candidate views at-or-before each purchase) feeding a per-purchase
+    max-of-struct reduction — `max(struct(view_ts, view_id))` picks the
+    LATEST candidate with a deterministic view_id tie-break, the same
+    lexicographic struct order DuckDB's max(struct_pack(...)) computes.
+    The reduction is keyed by (1-day window of purchase_ts, purchase_id):
+    a purchase's as-of row can only be finalized once its whole candidate
+    horizon is closed, so append mode emits it when the join's PROPAGATED
+    output watermark passes the purchase's day window — the same close
+    schedule the join→rollup chain pinned."""
+    from topk_spark.streaming.interval_join import interval_join
+
+    j = interval_join(
+        v,
+        p,
+        left_key="user_id",
+        right_key="p_user_id",
+        left_time="view_ts",
+        right_time="purchase_ts",
+        window="7 DAYS",
+        watermark_delay="1 day",
+        how="inner",
+    )
+    return (
+        j.groupBy(F.window("purchase_ts", "1 day").alias("w"), "purchase_id")
+        .agg(
+            F.min("user_id").alias("user_id"),
+            F.min("purchase_ts").alias("pts"),
+            F.max(F.struct("view_ts", "view_id")).alias("m"),
+            F.count(F.lit(1)).alias("n_candidate_views"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("m.view_id").alias("asof_view_id"),
+            (F.unix_millis("pts") - F.unix_millis(F.col("m.view_ts")))
+            .cast("long")
+            .alias("asof_gap_ms"),
+            "n_candidate_views",
+        )
+    )
+
+
+@register(
+    "stream_asof_join_drain",
+    tags=("J-asof", "T1", "T8", "joins", "streaming", "chained"),
+    oracle=_ASOF_JOIN_ORACLE,
+)
+def stream_asof_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of join: each purchase attributed to the same user's
+    most recent view at-or-before it, within a 7-day horizon — the live
+    form of the r1 batch `asof_view_attribution` (which Spark lacks
+    natively in either mode). Composition: interval join buffers candidate
+    views per user; a per-purchase `max(struct(view_ts, view_id))`
+    reduction keeps only the latest (ties → highest view_id, matching the
+    batch operator's ORDER BY). Two state machines, one query, one
+    checkpoint. Horizon note: the batch twin looks back unboundedly; a
+    stream cannot (state would never evict), so the 7-day horizon is the
+    deliberate streaming semantic — purchases whose nearest view is older
+    than 7 days are absent here, present in the batch form. The oracle
+    re-derives candidates relationally, reduces with the identical struct
+    order, and applies the propagated-watermark close schedule the chain
+    drains measured (join output watermark lags by the join window)."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(spark, views, purchases, _build_asof_join, n_batches=3)
+    return drained.drop("_bid")
+
+
+@register(
+    "stream_asof_join_restart_drain",
+    tags=("J-asof", "T1", "T8", "joins", "streaming", "chained", "restart"),
+    oracle=_ASOF_JOIN_ORACLE,
+)
+def stream_asof_join_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of topology across a CHECKPOINT RESTART (stop after two
+    event-time terciles, resume fresh on the same checkpoint). Beyond the
+    join buffers and watermarks the chain twins already pin, the restart
+    must restore the per-purchase MAX-STRUCT partials: a purchase in an
+    open day window may have already reduced over tile-0/1 candidate views
+    when the stop lands — losing that partial re-attributes it to a LATER
+    view that arrives after the restart (or drops it), shifting
+    asof_view_id / asof_gap_ms / n_candidate_views under the shared
+    oracle's value hash."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark, views, purchases, _build_asof_join, n_batches=3, restart_after=2
+    )
+    return drained.drop("_bid")
+
+
+_ASOF_LEFTOUTER_ORACLE = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id FROM e
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM e
+      WHERE event_type = 'purchase'),
+fw AS (SELECT least((SELECT CAST(floor(epoch_ms(max(view_ts))) AS BIGINT) FROM v),
+                    (SELECT CAST(floor(epoch_ms(max(purchase_ts))) AS BIGINT) FROM p))
+              - 86400000 - 604800000 AS w),
+pairs AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_ts, v.view_id
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts < v.view_ts + INTERVAL 7 DAY),
+af AS (
+  SELECT purchase_id,
+         min(user_id) AS user_id,
+         min(purchase_ts) AS pts,
+         max(struct_pack(ts := view_ts, id := view_id)) AS m,
+         count(*) AS n_candidate_views
+  FROM pairs GROUP BY purchase_id),
+attributed AS (
+  SELECT purchase_id, user_id, pts,
+         (m).id AS asof_view_id,
+         CAST(epoch_ms(pts) - epoch_ms((m).ts) AS BIGINT) AS asof_gap_ms,
+         n_candidate_views
+  FROM af),
+organic AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts AS pts,
+         CAST(NULL AS BIGINT) AS asof_view_id,
+         CAST(NULL AS BIGINT) AS asof_gap_ms,
+         CAST(0 AS BIGINT) AS n_candidate_views
+  FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM pairs q
+                    WHERE q.purchase_id = p.purchase_id))
+SELECT purchase_id, user_id, asof_view_id, asof_gap_ms, n_candidate_views
+FROM (SELECT * FROM attributed UNION ALL SELECT * FROM organic) u, fw
+WHERE CAST(epoch_ms(pts) // 86400000 * 86400000 AS BIGINT) + 86400000 <= fw.w
+"""
+
+
+@register(
+    "stream_asof_leftouter_drain",
+    tags=("J-asof", "T1", "T7", "T8", "joins", "streaming", "chained"),
+    oracle=_ASOF_LEFTOUTER_ORACLE,
+)
+def stream_asof_leftouter_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER streaming as-of join: every purchase appears exactly once —
+    attributed to its latest in-horizon view, or as an ORGANIC conversion
+    (null attribution, zero candidates) when no same-user view exists in
+    the 7-day lookback. The unmatched row can only exist because the
+    underlying right-outer interval join emitted the purchase with nulls at
+    its eviction deadline (the watermark point where absence of a matching
+    view becomes decidable — the µs-measured boundary from
+    test_outer_eviction_boundary), and the downstream per-purchase
+    max-struct reduction admitted it: the null row's event time always
+    sits above the aggregation's late-events watermark because the
+    propagated watermark lags the deadline by the join window. Day windows
+    still open at end-of-stream are withheld on both sides — including
+    organic rows whose deadline never arrived, which fail the same window
+    predicate on the oracle side."""
+    from topk_spark.streaming.interval_join import interval_join
+
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+
+    def build(v: DataFrame, p: DataFrame) -> DataFrame:
+        j = interval_join(
+            v,
+            p,
+            left_key="user_id",
+            right_key="p_user_id",
+            left_time="view_ts",
+            right_time="purchase_ts",
+            window="7 DAYS",
+            watermark_delay="1 day",
+            how="right_outer",
+        )
+        return (
+            j.groupBy(
+                F.window("purchase_ts", "1 day").alias("w"), "purchase_id"
+            )
+            .agg(
+                F.min(F.coalesce("user_id", "p_user_id")).alias("user_id"),
+                F.min("purchase_ts").alias("pts"),
+                F.max(F.struct("view_ts", "view_id")).alias("m"),
+                F.count("view_id").alias("n_candidate_views"),
+            )
+            .select(
+                "purchase_id",
+                "user_id",
+                F.col("m.view_id").alias("asof_view_id"),
+                (F.unix_millis("pts") - F.unix_millis(F.col("m.view_ts")))
+                .cast("long")
+                .alias("asof_gap_ms"),
+                "n_candidate_views",
+            )
+        )
+
+    drained = drain_join(spark, views, purchases, build, n_batches=3)
+    return drained.drop("_bid")
