@@ -76,7 +76,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from topk_spark.io.sources import load_table
 from topk_spark.ops.timeparts import floor_to_window_ms
-from topk_spark.workload import register
+from topk_spark.workload import REGISTRY, register
 from topk_spark.workload.events_queries import _ES, order_stream
 
 _TMP_ROOTS: list[str] = []
@@ -688,9 +688,45 @@ def stream_neardup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     component → component min; fixture components are cliques). The 8σ
     estimator margin and the 256-bit band-collision barrier (module
     docstring) make estimator-vs-exact disagreement impossible here."""
+    return _neardup_drain(spark, sf_dir)
+
+
+@register(
+    "stream_neardup_restart_drain",
+    tags=("DD-minhash", "T8", "streaming", "restart"),
+    oracle=REGISTRY["stream_neardup_drain"].oracle,
+)
+def stream_neardup_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH suppressor across a CHECKPOINT RESTART — the pytest
+    bucket-state pin (test_neardup_bucket_state_survives_restart) promoted
+    to the driver hash on the real corpus: docs replay in doc_id order
+    over three tiles with a restart after the first, so roughly half the
+    planted near-dup pairs (measured 15 of 28 cross-tile at sf0.001) have
+    their canonical member's band-bucket entries written BEFORE the stop
+    and the duplicate arriving after it. A reset silently re-admits those
+    duplicates — the worst failure mode for an ingest-time suppressor —
+    shifting min(dup_of) assignments under the shared exact-Jaccard
+    oracle. Arrival order only permutes which at-least-once matches fire;
+    the canonical (component-minimum) reduction is order-invariant, so
+    the forward drain's oracle applies verbatim."""
+    return _neardup_drain(spark, sf_dir, restart_after=1)
+
+
+def _neardup_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
     from topk_spark.streaming.neardup import neardup_match_stream
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kwargs = (
+        dict(
+            max_files_per_trigger=3,
+            ordered_split=("doc_id", 3),
+            restart_after=restart_after,
+        )
+        if restart_after is not None
+        else {}
+    )
     drained = _drain(
         spark,
         docs,
@@ -699,6 +735,7 @@ def stream_neardup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_n=3, num_perm=64, bands=16, est_threshold=0.6,
         ),
         output_mode="append",
+        **kwargs,
     )
     return drained.groupBy("id").agg(F.min("dup_of").alias("dup_of"))
 
@@ -744,6 +781,31 @@ def stream_embed_neardup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification inside the operator is EXACT cosine ≥ 0.95; the LSH only
     gates which pairs meet (H=12/L=8 → per-pair miss ~1e-21 at this gap), so
     the quadratic exact oracle is the answer the drain must reproduce."""
+    return _embed_neardup_drain(spark, sf_dir)
+
+
+@register(
+    "stream_embed_neardup_restart_drain",
+    tags=("DD-embed", "T8", "streaming", "restart"),
+    oracle=REGISTRY["stream_embed_neardup_drain"].oracle,
+)
+def stream_embed_neardup_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hyperplane-LSH embedding suppressor across a CHECKPOINT
+    RESTART, with the cleanest possible split: tiling by vec_id puts
+    every ORIGINAL vector (ids ≈ 0..n) in generation 1 and every
+    perturbed twin (ids offset by 1e6) after the restart, so EVERY match
+    the drain must emit pairs a post-restart arrival against pre-restart
+    bucket state — zero same-generation matches to hide behind. A state
+    reset emits nothing at all and fails the shared exact-cosine oracle
+    on every row."""
+    return _embed_neardup_drain(spark, sf_dir, restart_after=1)
+
+
+def _embed_neardup_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
     from topk_spark.streaming.embed_neardup import embed_neardup_match_stream
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -757,6 +819,15 @@ def stream_embed_neardup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(pert)
+    kwargs = (
+        dict(
+            max_files_per_trigger=3,
+            ordered_split=("vec_id", 3),
+            restart_after=restart_after,
+        )
+        if restart_after is not None
+        else {}
+    )
     drained = _drain(
         spark,
         corpus,
@@ -765,6 +836,7 @@ def stream_embed_neardup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_planes=12, num_tables=8, threshold=0.95, max_bucket=16,
         ),
         output_mode="append",
+        **kwargs,
     )
     return drained.groupBy("id").agg(F.min("dup_of").alias("dup_of"))
 
