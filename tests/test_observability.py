@@ -87,3 +87,60 @@ def test_observe_inline_metrics(spark):
     assert metrics["rows"] == 4
     assert metrics["null_v"] == 1
     assert metrics["null_k"] == 1
+
+
+def test_sliding_state_carries_overlap_factor(spark, tmp_path):
+    """Measured engine fact behind the sliding-window drains: window
+    overlap is a STATE multiplier, not just a shuffle-row multiplier. The
+    5-minute/1-minute hopping aggregation holds duration/slide ≈ 5× the
+    state rows of the tumbling 5-minute aggregation over the same input
+    (124 open hop windows vs 24 tumbling over a 2 h span — ratio ~5.2).
+    At 100 TB, duration/slide is the knob trading read granularity
+    against state-store size; this pins the actual cost so the trade is
+    made on a number, not a hunch."""
+    rows = [{"ms": T0 + i * 30_000, "v": 1} for i in range(240)]
+
+    def state_rows(slide: str | None) -> int:
+        tag = (slide or "none").replace(" ", "")
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        p = os.path.join(src, "f0.json")
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        stream = (
+            spark.readStream.schema("ms long, v long")
+            .json(src)
+            .withColumn("ts", F.timestamp_millis("ms"))
+        )
+        win = (
+            F.window("ts", "5 minutes", slide)
+            if slide
+            else F.window("ts", "5 minutes")
+        )
+        q = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(win.alias("w"))
+            .agg(F.sum("v").alias("s"))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return max(
+            sum(
+                s.get("numRowsTotal", 0)
+                for s in json.loads(pr.json).get("stateOperators") or []
+            )
+            for pr in q.recentProgress
+        )
+
+    tumbling = state_rows(None)
+    sliding = state_rows("1 minute")
+    assert tumbling > 0
+    ratio = sliding / tumbling
+    assert 4.0 <= ratio <= 6.0, (
+        f"overlap state factor drifted: tumbling {tumbling} rows, "
+        f"sliding {sliding} rows, ratio {ratio:.2f}"
+    )
