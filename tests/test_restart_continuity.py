@@ -767,3 +767,59 @@ def test_sliding_window_state_survives_restart(spark, tmp_path, store):
         f"sliding-window aggregation state lost across restart under "
         f"{store}: {second}"
     )
+
+
+def test_gk_quantile_state_survives_restart(spark, tmp_path, store):
+    """Fourteenth stateful class: the Greenwald–Khanna quantile summary
+    (percentile_approx as streaming aggregation state — the driver twin is
+    stream_percentile_restart_drain). 500 low values arrive before the
+    restart, 500 high ones after: the combined median sits at the
+    low/high boundary only if the summary's pre-restart entries were
+    recovered — a reset summary reports the median of the high half
+    alone, ~750 units off on a 1500-unit span."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> float:
+        stream = (
+            spark.readStream.schema("k int, v double")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = (
+            stream.groupBy("k")
+            .agg(F.percentile_approx("v", F.lit(0.5), F.lit(10000)).alias("med"))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("_bid", F.lit(int(bid)))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out)
+        last = rows.agg(F.max("_bid")).collect()[0][0]
+        return rows.filter(F.col("_bid") == last).collect()[0]["med"]
+
+    _write_file(src, "f0.json", [
+        {"k": 0, "v": float(n)} for n in range(500)
+    ], 1000)
+    first = drain()
+    assert abs(first - 249.0) <= 2.0, f"gen-1 median off: {first}"
+
+    _write_file(src, "f1.json", [
+        {"k": 0, "v": float(1000 + n)} for n in range(500)
+    ], 1010)
+    second = drain()
+    # combined exact median of {0..499, 1000..1499} is ~499/1000 boundary;
+    # GK in its exact regime lands on an element adjacent to the gap. A
+    # reset summary reports ~1249.
+    assert second <= 1000.0, (
+        f"GK quantile state lost across restart under {store}: "
+        f"median {second} (reset regime is ~1249)"
+    )
+    assert 490.0 <= second, f"combined median implausibly low: {second}"

@@ -362,6 +362,32 @@ def stream_percentile_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of row count; the raw stream never shuffles beyond the
     keyed aggregation exchange — the same posture as every other sketch
     drain."""
+    return _percentile_drain(spark, sf_dir)
+
+
+@register(
+    "stream_percentile_restart_drain",
+    tags=("A7", "T8", "sketch", "streaming", "restart"),
+    oracle="SELECT event_type, true AS med_ok, true AS p95_ok "
+           "FROM events GROUP BY event_type",
+)
+def stream_percentile_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GK quantile summary across a CHECKPOINT RESTART — the last
+    sketch class without a driver restart pin. The forward drain's
+    continuity lever carries over unchanged and gets sharper: the
+    aggregated value is the event timestamp itself and generation 1 ends
+    after the FIRST event-time tercile, so a restarted query whose summary
+    reset computes the median of terciles 2–3 alone (~67 % of span vs the
+    true ~50 %) and misses the 1 %-of-span bound by ~17×; only a recovered
+    summary that kept tercile 1's entries passes `med_ok`."""
+    return _percentile_drain(spark, sf_dir, restart_after=1)
+
+
+def _percentile_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
     from topk_spark.workload.streaming_drain_queries import _drain
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -380,6 +406,7 @@ def stream_percentile_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_per=["event_type"],
         max_files_per_trigger=3,
         ordered_split=("ts", 3),
+        restart_after=restart_after,
     )
     exact = ev.groupBy("event_type").agg(
         F.expr("percentile(v, 0.5)").alias("x_med"),
