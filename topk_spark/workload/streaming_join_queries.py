@@ -1430,39 +1430,75 @@ def stream_asof_leftouter_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topk_spark.streaming.interval_join import interval_join
 
     views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark, views, purchases, _build_asof_leftouter, n_batches=3
+    )
+    return drained.drop("_bid")
 
-    def build(v: DataFrame, p: DataFrame) -> DataFrame:
-        j = interval_join(
-            v,
-            p,
-            left_key="user_id",
-            right_key="p_user_id",
-            left_time="view_ts",
-            right_time="purchase_ts",
-            window="7 DAYS",
-            watermark_delay="1 day",
-            how="right_outer",
-        )
-        return (
-            j.groupBy(
-                F.window("purchase_ts", "1 day").alias("w"), "purchase_id"
-            )
-            .agg(
-                F.min(F.coalesce("user_id", "p_user_id")).alias("user_id"),
-                F.min("purchase_ts").alias("pts"),
-                F.max(F.struct("view_ts", "view_id")).alias("m"),
-                F.count("view_id").alias("n_candidate_views"),
-            )
-            .select(
-                "purchase_id",
-                "user_id",
-                F.col("m.view_id").alias("asof_view_id"),
-                (F.unix_millis("pts") - F.unix_millis(F.col("m.view_ts")))
-                .cast("long")
-                .alias("asof_gap_ms"),
-                "n_candidate_views",
-            )
-        )
 
-    drained = drain_join(spark, views, purchases, build, n_batches=3)
+def _build_asof_leftouter(v: DataFrame, p: DataFrame) -> DataFrame:
+    from topk_spark.streaming.interval_join import interval_join
+
+    j = interval_join(
+        v,
+        p,
+        left_key="user_id",
+        right_key="p_user_id",
+        left_time="view_ts",
+        right_time="purchase_ts",
+        window="7 DAYS",
+        watermark_delay="1 day",
+        how="right_outer",
+    )
+    return (
+        j.groupBy(F.window("purchase_ts", "1 day").alias("w"), "purchase_id")
+        .agg(
+            F.min(F.coalesce("user_id", "p_user_id")).alias("user_id"),
+            F.min("purchase_ts").alias("pts"),
+            F.max(F.struct("view_ts", "view_id")).alias("m"),
+            F.count("view_id").alias("n_candidate_views"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("m.view_id").alias("asof_view_id"),
+            (F.unix_millis("pts") - F.unix_millis(F.col("m.view_ts")))
+            .cast("long")
+            .alias("asof_gap_ms"),
+            "n_candidate_views",
+        )
+    )
+
+
+@register(
+    "stream_asof_leftouter_restart_drain",
+    tags=("J-asof", "T1", "T7", "T8", "joins", "streaming", "chained", "restart"),
+    oracle=_ASOF_LEFTOUTER_ORACLE,
+)
+def stream_asof_leftouter_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OUTER as-of topology across a CHECKPOINT RESTART — the heaviest
+    single recovery in the repo: one checkpoint must restore the symmetric
+    join buffers AND the right-outer null-emission deadline schedule AND
+    the per-purchase max-struct/count partials, plus per-side and
+    propagated watermarks. Restart-specific failure modes beyond the inner
+    as-of twin: a deadline-schedule reset either re-emits null rows for
+    purchases already attributed (double rows per purchase under the
+    oracle's one-row-per-purchase shape) or never emits the organic rows
+    whose deadline elapsed during the stop; a lost match partial
+    re-attributes a straddling purchase as organic. The oracle is the
+    forward drain's closure predicate verbatim — day windows closed under
+    the propagated final watermark, one row per purchase, matched or
+    organic — so any of those divergences is a hash mismatch, not just a
+    row-count drift."""
+    views, purchases = _view_purchase_tiles(spark, sf_dir)
+    drained = drain_join(
+        spark,
+        views,
+        purchases,
+        _build_asof_leftouter,
+        n_batches=3,
+        restart_after=2,
+    )
     return drained.drop("_bid")
