@@ -547,3 +547,67 @@ def test_asof_join_tiebreak_and_horizon(spark, tmp_path):
         (100, 1, 11, h, 2),
         (300, 3, 30, 0, 1),
     ], f"as-of edge semantics drifted: {rows}"
+
+
+def test_asof_leftouter_organic_edge(spark, tmp_path):
+    """The OUTER as-of on the same edge fixture as the inner test: the
+    purchase whose only view is outside the 7-day horizon (user 2) must
+    emit exactly once as an ORGANIC conversion — null attribution, null
+    gap, zero candidates — and the attributed rows must be identical to
+    the inner form's. Pins the null-row arithmetic (max over a struct of
+    null fields, count('view_id') skipping nulls) at unit level; the
+    drain pins it at corpus scale."""
+    from topk_spark.workload.streaming_join_queries import _build_asof_leftouter
+
+    d = 86_400_000
+    h = 3_600_000
+    vdir, pdir = str(tmp_path / "v"), str(tmp_path / "p")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+    _write_jsonl(os.path.join(vdir, "v0.jsonl"), [
+        {"view_id": 10, "user_id": 1, "view_ms": T0},
+        {"view_id": 11, "user_id": 1, "view_ms": T0},
+        {"view_id": 20, "user_id": 2, "view_ms": T0},          # too old
+        {"view_id": 990, "user_id": 99, "view_ms": T0 + 30 * d},
+    ])
+    _write_jsonl(os.path.join(pdir, "p0.jsonl"), [
+        {"purchase_id": 100, "p_user_id": 1, "purchase_ms": T0 + h},
+        {"purchase_id": 200, "p_user_id": 2, "purchase_ms": T0 + 7 * d + h},
+        {"purchase_id": 300, "p_user_id": 3, "purchase_ms": T0 + h},  # no views at all
+        {"purchase_id": 991, "p_user_id": 99, "purchase_ms": T0 + 30 * d},
+    ])
+    views = (
+        spark.readStream.schema("view_id long, user_id long, view_ms long")
+        .json(vdir)
+        .withColumn("view_ts", F.timestamp_millis("view_ms"))
+        .drop("view_ms")
+    )
+    purchases = (
+        spark.readStream.schema(
+            "purchase_id long, p_user_id long, purchase_ms long"
+        )
+        .json(pdir)
+        .withColumn("purchase_ts", F.timestamp_millis("purchase_ms"))
+        .drop("purchase_ms")
+    )
+    q = (
+        _build_asof_leftouter(views, purchases)
+        .writeStream.format("memory")
+        .queryName("asof_outer_edge")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = sorted(
+        (
+            r["purchase_id"], r["user_id"], r["asof_view_id"],
+            r["asof_gap_ms"], r["n_candidate_views"],
+        )
+        for r in spark.table("asof_outer_edge").collect()
+    )
+    assert rows == [
+        (100, 1, 11, h, 2),          # attributed, tie broken to view 11
+        (200, 2, None, None, 0),     # view outside horizon → organic
+        (300, 3, None, None, 0),     # no views at all → organic
+    ], f"outer as-of organic edge drifted: {rows}"
