@@ -361,3 +361,65 @@ def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")).cast("long"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "topk_per_sliding_window",
+    tags=("K1", "K4", "T3", "A1"),
+    oracle="""
+WITH es AS (
+  SELECT event_type,
+         CAST(CAST(json_extract(props, '$.k') AS INT) AS BIGINT)
+           * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents,
+         ts
+  FROM events
+),
+slid AS (
+  SELECT e.event_type, e.revenue_cents,
+         epoch_ms(date_trunc('minute', e.ts)) - k.k * 60000 AS ws
+  FROM es e CROSS JOIN (SELECT unnest(range(5)) AS k) k
+),
+agg AS (
+  SELECT ws, event_type,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+  FROM slid GROUP BY ws, event_type
+),
+r AS (
+  SELECT ws, event_type, revenue_cents,
+         CAST(row_number() OVER (PARTITION BY ws
+              ORDER BY revenue_cents DESC, event_type ASC) AS INT) AS rank
+  FROM agg
+)
+SELECT CAST(ws AS BIGINT) AS window_start, event_type, revenue_cents, rank
+FROM r WHERE rank <= 3
+""",
+)
+def topk_per_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard per HOP: top-3 event types by revenue inside
+    every 5-minute window sliding each minute — the reference's per-window
+    ranked read (its serving tables store one ranked row set per tumbling
+    window) generalized to overlapping windows, the query a "trending now"
+    tile refreshes every minute. Composition is rollup_sliding_5m_1m's
+    map-side window amplification feeding a rank-within-window
+    row_number — the per-window partition is tiny (≤ one row per event
+    type), so the rank never sees a global sort; deterministic tie-break
+    (revenue desc, event_type asc) in both engines. At 100 TB the hop
+    windows amplify map-side BEFORE partial aggregation, so the shuffle
+    carries per-(window, type) partials, never raw events."""
+    es = order_stream(spark, sf_dir)
+    agg = windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [F.sum("revenue_cents").cast("long").alias("revenue_cents")],
+        "5 minutes",
+        slide="1 minute",
+    ).select("window_start", "event_type", "revenue_cents")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("revenue_cents").desc(), F.col("event_type").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("window_start", "event_type", "revenue_cents", "rank")
+    )
