@@ -441,3 +441,28 @@ def test_streaming_gk_sketch_approximate_regime(spark, tmp_path):
             f"group {g}: all {len(probes)} deciles exactly equal the order "
             f"statistics — summary did not compress; regime is not approximate"
         )
+
+
+def test_exact_order_statistics_rank_arithmetic():
+    """The integer rank formula (n·p + 99) // 100 = ceil(n·p/100) on the
+    exact boundaries where float p·n rounding would misplace the rank
+    (e.g. 0.9·30: the true product 27 can float to 27.000...004, whose
+    ceil is 28). Ties: the order statistic is the value at the rank
+    position in value-sorted order, regardless of tie layout."""
+    from topk_spark.streaming.exact_quantile import exact_order_statistics
+
+    # n=30, p90 rank = ceil(27.0) = 27 exactly; values 1..30 once each
+    n, qs = exact_order_statistics(list(range(1, 31)), [1] * 30, (50, 90, 99))
+    assert (n, qs) == (30, [15, 27, 30])
+
+    # heavy ties: 10×[5], 10×[7] — p50 rank=10 → 5, p90 rank=18 → 7
+    n, qs = exact_order_statistics([5, 7], [10, 10], (50, 90, 99))
+    assert (n, qs) == (20, [5, 7, 7])
+
+    # single value
+    n, qs = exact_order_statistics([42], [3], (50, 99))
+    assert (n, qs) == (3, [42, 42])
+
+    # p100-equivalent boundary: n=100, p99 rank = 99 (not 100)
+    n, qs = exact_order_statistics(list(range(100)), [1] * 100, (99,))
+    assert (n, qs) == (100, [98])

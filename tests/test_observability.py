@@ -97,8 +97,25 @@ def test_sliding_state_carries_overlap_factor(spark, tmp_path):
     (124 open hop windows vs 24 tumbling over a 2 h span — ratio ~5.2).
     At 100 TB, duration/slide is the knob trading read granularity
     against state-store size; this pins the actual cost so the trade is
-    made on a number, not a hunch."""
+    made on a number, not a hunch.
+
+    The expected window counts are DERIVED from the fixture below (not
+    hard-coded) and the tolerance is wide (±~30% around the derived
+    ratio): `numRowsTotal` is an engine-internal accounting of
+    StreamingQueryProgress.stateOperators, and whether already-closed
+    windows are still counted in the final progress event may shift
+    across Spark versions. A failure here most likely means
+    metric-accounting drift, not a state-semantics regression — check
+    the derived vs measured counts in the assertion message before
+    treating it as one."""
     rows = [{"ms": T0 + i * 30_000, "v": 1} for i in range(240)]
+    # fixture-derived window counts: distinct tumbling buckets, and
+    # distinct hop-window starts (each row covers 5 slide-aligned starts)
+    exp_tumbling = len({r["ms"] // 300_000 for r in rows})
+    exp_sliding = len(
+        {r["ms"] // 60_000 - k for r in rows for k in range(5)}
+    )
+    exp_ratio = exp_sliding / exp_tumbling
 
     def state_rows(slide: str | None) -> int:
         tag = (slide or "none").replace(" ", "")
@@ -140,7 +157,10 @@ def test_sliding_state_carries_overlap_factor(spark, tmp_path):
     sliding = state_rows("1 minute")
     assert tumbling > 0
     ratio = sliding / tumbling
-    assert 4.0 <= ratio <= 6.0, (
-        f"overlap state factor drifted: tumbling {tumbling} rows, "
-        f"sliding {sliding} rows, ratio {ratio:.2f}"
+    assert 0.7 * exp_ratio <= ratio <= 1.3 * exp_ratio, (
+        f"overlap state factor drifted: tumbling {tumbling} rows "
+        f"(fixture-derived {exp_tumbling} windows), sliding {sliding} rows "
+        f"(derived {exp_sliding}), ratio {ratio:.2f} vs derived "
+        f"{exp_ratio:.2f} — if the window counts still match the fixture, "
+        f"this is progress-metric accounting drift, not a state regression"
     )

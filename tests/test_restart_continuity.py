@@ -664,17 +664,48 @@ def test_cdc_lastvalue_state_survives_restart(spark, tmp_path, store, sf_dir):
     cannot move. Mirrors the reference's durable upsert semantics
     (orders_raw_upsert_table.json:4-7 — latest row per primary key must
     survive server restarts)."""
+    got, want = _cdc_restart_roundtrip(spark, sf_dir, retention=False)
+    assert got == want, f"CDC high-water state lost across restart under {store}"
+
+
+def test_cdc_retention_timers_survive_restart(spark, tmp_path, store, sf_dir):
+    """RETENTION × RESTART (round-10, the matrix twin of the
+    `stream_cdc_lastvalue_retention_restart_drain` registration): same
+    kill-and-restart as the row above but with the 1 h event-time eviction
+    horizon ON, so generation 1 stops with a REGISTERED TIMER on every live
+    key. Recovery must restore the timer schedule + watermark alongside the
+    high-water state: because eviction is observationally free
+    (streaming/cdc_lastvalue.py), the expected output is byte-identical to
+    the retention-off run — any deviation under either provider isolates a
+    recovery defect in the timer/watermark half of the checkpoint rather
+    than a semantics change."""
+    got, want = _cdc_restart_roundtrip(spark, sf_dir, retention=True)
+    assert got == want, (
+        f"CDC retention-timer recovery diverged across restart under {store}"
+    )
+
+
+def _cdc_restart_roundtrip(spark, sf_dir, retention: bool):
     from pyspark.sql import Window
 
     from topk_spark.streaming.cdc_lastvalue import streaming_cdc_lastvalue
-    from topk_spark.workload.cdc2_queries import _tiled_with_stale_replays
+    from topk_spark.workload.cdc2_queries import (
+        _RETENTION_DELAY,
+        _RETENTION_MS,
+        _tiled_with_stale_replays,
+    )
     from topk_spark.workload.streaming_drain_queries import _drain
 
+    kwargs = (
+        dict(retention_ms=_RETENTION_MS, watermark_delay=_RETENTION_DELAY)
+        if retention
+        else {}
+    )
     src = _tiled_with_stale_replays(spark, sf_dir)
     drained = _drain(
         spark,
         src,
-        lambda s: streaming_cdc_lastvalue(s),
+        lambda s: streaming_cdc_lastvalue(s, **kwargs),
         output_mode="update",
         last_per=["user_id"],
         max_files_per_trigger=4,
@@ -697,7 +728,7 @@ def test_cdc_lastvalue_state_survives_restart(spark, tmp_path, store, sf_dir):
     )
     got = sorted(tuple(r) for r in drained.collect())
     want = sorted(tuple(r) for r in want_df.collect())
-    assert got == want, f"CDC high-water state lost across restart under {store}"
+    return got, want
 
 
 def test_sliding_window_state_survives_restart(spark, tmp_path, store):
@@ -823,3 +854,40 @@ def test_gk_quantile_state_survives_restart(spark, tmp_path, store):
         f"median {second} (reset regime is ~1249)"
     )
     assert 490.0 <= second, f"combined median implausibly low: {second}"
+
+
+def test_exact_histogram_state_survives_restart(spark, tmp_path, store, sf_dir):
+    """Exact integer-histogram quantile state (round-10, the deterministic
+    rank class): generation 1 folds only the first event-time tercile into
+    per-type value→count histograms; the restarted query must produce
+    order statistics over ALL terciles. n_rows makes a reset mechanically
+    visible (it would count only tiles 2–3); the quantiles pin that the
+    recovered histogram's per-value COUNTS are intact, not just its total."""
+    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.heavyhitter_queries import _exact_quantile_drain
+
+    drained = _exact_quantile_drain(spark, sf_dir, restart_after=1)
+    ev = order_stream(spark, sf_dir).select("event_type", "revenue_cents")
+    want_df = spark.sql(
+        """
+        WITH o AS (
+          SELECT event_type, revenue_cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY revenue_cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM {ev}
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+               MIN(CASE WHEN rn = (n * 50 + 99) div 100
+                        THEN revenue_cents END) AS p50_cents,
+               MIN(CASE WHEN rn = (n * 90 + 99) div 100
+                        THEN revenue_cents END) AS p90_cents,
+               MIN(CASE WHEN rn = (n * 99 + 99) div 100
+                        THEN revenue_cents END) AS p99_cents
+        FROM o GROUP BY event_type
+        """,
+        ev=ev,
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want, f"exact histogram state lost across restart under {store}"

@@ -63,6 +63,71 @@ def windowed_rollup(
     return out
 
 
+def sliding_rollup_from_slices(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    slice_aggs: Sequence[Column],
+    metric_cols: Sequence[str],
+    window_ms: int,
+    slide_ms: int,
+) -> DataFrame:
+    """Slice-sharing sliding rollup — the two-level form of
+    `windowed_rollup(..., slide=...)` for LARGE window/slide ratios.
+
+    The direct form amplifies every event into window/slide overlapping
+    windows map-side; at ratio 5 (5m/1m) that is a measured ~5× multiplier
+    on shuffle rows and aggregation state (tests/test_observability.py),
+    fine. At a dashboard-common 1h/1m the ratio is 60 and the multiplier
+    follows it — the shuffle carries 60 copies of every event's partial.
+    This form instead aggregates each slide-aligned SLICE once (a plain
+    tumbling rollup at `slide_ms` granularity — each event touches exactly
+    ONE slice), then re-aggregates the window/slide slices covering each
+    hop window. The amplification moves from per-EVENT to per-SLICE: the
+    second shuffle carries |keys|×|slices|×ratio tiny partial rows,
+    independent of raw event volume — the same partial-reuse idea as the
+    reference's merge-rollup ladder (orders_1m_rollup_table.json:72-84),
+    applied to overlapping windows.
+
+    Result-identical to the direct form: a (window, key) row exists iff
+    some event for the key falls in the window, and sums of slice sums
+    equal sums over events. `slice_aggs` must therefore be SUM-mergeable
+    aggregates (sums/counts) aliased to `metric_cols`; the hop level sums
+    them by name. `window_ms` must be a multiple of `slide_ms` (both
+    epoch-aligned, matching Spark's default window alignment).
+    """
+    if window_ms % slide_ms != 0:
+        raise ValueError(
+            f"window_ms ({window_ms}) must be a multiple of slide_ms "
+            f"({slide_ms}) — hop windows must be tiled exactly by slices"
+        )
+    ratio = window_ms // slide_ms
+    slices = (
+        df.groupBy(
+            F.window(ts_col, f"{slide_ms} milliseconds").alias("w"), *keys
+        )
+        .agg(*slice_aggs)
+        .withColumn("_slice_start", F.unix_millis(F.col("w.start")))
+        .drop("w")
+    )
+    # each slice belongs to the `ratio` hop windows starting at
+    # slice_start − k·slide for k in [0, ratio) — the same arithmetic the
+    # direct form applies per event, now applied per slice partial
+    hop = slices.withColumn(
+        "_k", F.explode(F.expr(f"sequence(0, {ratio - 1})"))
+    ).withColumn(
+        "window_start",
+        (F.col("_slice_start") - F.col("_k") * F.lit(slide_ms)).cast("long"),
+    )
+    return (
+        hop.groupBy("window_start", *keys)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in metric_cols])
+        .withColumn(
+            "window_end", (F.col("window_start") + F.lit(window_ms)).cast("long")
+        )
+    )
+
+
 def reaggregate(
     rollup: DataFrame,
     keys: Sequence[str],

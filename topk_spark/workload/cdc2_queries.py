@@ -183,3 +183,48 @@ def stream_cdc_lastvalue_retention_drain(
         ordered_split=("ts_us", 4),
         pre_tiled=True,
     )
+
+
+@register(
+    "stream_cdc_lastvalue_retention_restart_drain",
+    tags=("D4", "T6", "T8", "T9", "cdc", "streaming", "restart"),
+    oracle=_LASTVALUE_ORACLE,
+)
+def stream_cdc_lastvalue_retention_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETENTION × RESTART composition (round-10; the retention drain above
+    is forward-only, the restart drain above runs without retention): the
+    drain stops after the three fresh-update tiles WITH EVICTION TIMERS
+    PENDING — every live key's state carries a registered event-time
+    deadline — and a freshly-built query processes the all-stale tile 4
+    alone. Recovery must therefore restore BOTH halves of the operator's
+    checkpoint together: the per-key (ts_us, event_id) high-water (or the
+    stale replays materialize — the restart drain's property) AND the
+    timer schedule plus watermark (or pending evictions fire at the wrong
+    point / never, breaking the state bound; the ~90%-per-tile-boundary
+    eviction rate measured for the forward drain keeps the timer
+    population non-vacuous at gate scale). Same fixture and oracle as the
+    other three CDC drains VERBATIM — eviction remains observationally
+    free across the restart (streaming/cdc_lastvalue.py module docstring
+    for the derivation), so any hash deviation isolates a recovery defect.
+    The as-of outer restart twin proved this several-state-machines-from-
+    one-checkpoint pattern for joins (workload/streaming_join_queries.py);
+    this is its timer-bearing applyInPandasWithState form."""
+    from topk_spark.streaming.cdc_lastvalue import streaming_cdc_lastvalue
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    src = _tiled_with_stale_replays(spark, sf_dir)
+    return _drain(
+        spark,
+        src,
+        lambda s: streaming_cdc_lastvalue(
+            s, retention_ms=_RETENTION_MS, watermark_delay=_RETENTION_DELAY
+        ),
+        output_mode="update",
+        last_per=["user_id"],
+        max_files_per_trigger=4,
+        ordered_split=("ts_us", 4),
+        pre_tiled=True,
+        restart_after=3,
+    )

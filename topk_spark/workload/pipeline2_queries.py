@@ -44,10 +44,10 @@ _HASH_SQL = (
 )
 
 
-@register(
-    "rollup_sliding_5m_1m",
-    tags=("T3", "A1", "A5"),
-    oracle=f"""
+# Shared by rollup_sliding_5m_1m (direct amplify form) and
+# rollup_sliding_from_slices (two-level slice-sharing form): the two are
+# result-identical by construction, so they face the same oracle verbatim.
+_SLIDING_5M_1M_ORACLE = f"""
 WITH {_ES},
 slid AS (
   SELECT e.event_type, e.revenue_cents,
@@ -60,7 +60,13 @@ SELECT event_type, CAST(ws AS BIGINT) AS window_start,
        count(*) AS order_count
 FROM slid
 GROUP BY event_type, ws
-""",
+"""
+
+
+@register(
+    "rollup_sliding_5m_1m",
+    tags=("T3", "A1", "A5"),
+    oracle=_SLIDING_5M_1M_ORACLE,
 )
 def rollup_sliding_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window rollup: 5-minute windows sliding every 1 minute (each
@@ -82,6 +88,43 @@ def rollup_sliding_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "5 minutes",
         slide="1 minute",
     ).select("event_type", "window_start", "window_end", "revenue_cents", "order_count")
+
+
+@register(
+    "rollup_sliding_from_slices",
+    tags=("T3", "A1", "A5", "A9"),
+    oracle=_SLIDING_5M_1M_ORACLE,
+)
+def rollup_sliding_from_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLICE-SHARING form of `rollup_sliding_5m_1m`, result-identical
+    under the same oracle: aggregate per 1-minute slice once (tumbling —
+    each event touches exactly one slice), then re-aggregate the 5 slices
+    tiling each hop window (ops/rollup.py sliding_rollup_from_slices).
+    Exists because the direct form's map-side amplification multiplies
+    shuffle rows AND aggregation state by window/slide — measured ~5× at
+    this 5m/1m ratio (tests/test_observability.py), but 60× at a
+    dashboard-common 1h/1m; the two-level form keeps the event-volume
+    shuffle at 1× and amplifies only per-slice PARTIALS (bench.py's
+    sliding_ratio60 section measures the crossover). Same partial-reuse
+    idea as the reference's merge-rollup ladder
+    (orders_1m_rollup_table.json:72-84), applied to overlapping windows."""
+    from topk_spark.ops.rollup import sliding_rollup_from_slices
+
+    es = order_stream(spark, sf_dir)
+    return sliding_rollup_from_slices(
+        es,
+        "ts",
+        ["event_type"],
+        [
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.count("*").alias("order_count"),
+        ],
+        ["revenue_cents", "order_count"],
+        window_ms=300_000,
+        slide_ms=60_000,
+    ).select(
+        "event_type", "window_start", "window_end", "revenue_cents", "order_count"
+    )
 
 
 @register(

@@ -223,7 +223,11 @@ def approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(  # every group must satisfy the bound
             (F.col("rank_err") <= F.lit(_RANK_EPS) + 2.0 / F.col("n")).cast("int")
         )
-    ).crossJoin(ranked.select("event_type").distinct().agg(F.count("*").alias("ng")))
+    ).crossJoin(
+        F.broadcast(
+            ranked.select("event_type").distinct().agg(F.count("*").alias("ng"))
+        )
+    )
     checks = [
         (f"p{int(p * 100)}_rank_err_ok", F.col(f"`{p}`") == 1) for p in _PCTS
     ] + [("n_groups_ge_3", F.col("ng") >= F.lit(3))]

@@ -235,6 +235,7 @@ def _drain(
     keep_bid: bool = False,
     restart_after: int | None = None,
     pre_tiled: bool = False,
+    batch_transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Run `build(stream)` over a one-file parquet stream of `src_df`,
     drained with availableNow into a parquet sink; return the drained rows.
@@ -263,6 +264,13 @@ def _drain(
 
     `keep_bid`: surface the sink's micro-batch id as `_bid` so the caller
     can PROVE multi-batch execution inside the hashed output.
+
+    `batch_transform`: applied to each micro-batch INSIDE foreachBatch
+    before the sink write — the rank-on-close hook. In append mode a
+    window's rows are all flushed in the one micro-batch whose watermark
+    closes it, so a per-window transform (e.g. rank within window) sees
+    every row of each window it touches and composes correctly across
+    batches and restarts.
 
     `restart_after=k` (requires `ordered_split`): split the drain into TWO
     query generations on the SAME checkpoint — generation 1 sees only tiles
@@ -309,6 +317,8 @@ def _drain(
     result_schema = None
 
     def write_batch(df: DataFrame, bid: int) -> None:
+        if batch_transform is not None:
+            df = batch_transform(df)
         df.withColumn("_bid", F.lit(int(bid))).write.mode("append").parquet(out)
 
     def run_generation() -> None:
@@ -321,7 +331,15 @@ def _drain(
         elif max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", 1)
         result = build(reader.parquet(src))
-        result_schema = result.schema
+        # the zero-emission fallback must carry the SINK schema: apply the
+        # batch transform to an empty batch twin to derive it
+        result_schema = (
+            result.schema
+            if batch_transform is None
+            else batch_transform(
+                spark.createDataFrame([], result.schema)
+            ).schema
+        )
         q = (
             result.writeStream.foreachBatch(write_batch)
             .outputMode(output_mode)
@@ -793,13 +811,18 @@ def stream_embed_neardup_restart_drain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The hyperplane-LSH embedding suppressor across a CHECKPOINT
-    RESTART, with the cleanest possible split: tiling by vec_id puts
-    every ORIGINAL vector (ids ≈ 0..n) in generation 1 and every
-    perturbed twin (ids offset by 1e6) after the restart, so EVERY match
-    the drain must emit pairs a post-restart arrival against pre-restart
-    bucket state — zero same-generation matches to hide behind. A state
-    reset emits nothing at all and fails the shared exact-cosine oracle
-    on every row."""
+    RESTART, with the cleanest possible split: an EXPLICIT tile schedule
+    (pre_tiled) puts every ORIGINAL vector in tile 0 — generation 1 — and
+    every perturbed twin after the restart (split by vec_id parity into
+    tiles 1 and 2, so all three arrival files are non-empty), so EVERY
+    match the drain must emit pairs a post-restart arrival against
+    pre-restart bucket state — zero same-generation matches to hide
+    behind. (Pre-r10 this tiled by raw vec_id, whose 1e6 twin offset left
+    the middle tercile empty — the explicit schedule keeps the split AND
+    the harness's every-tile-non-empty invariant.) A state reset emits
+    nothing at all and fails the shared exact-cosine oracle on every
+    row; twin arrival order within tiles 1–2 is irrelevant because
+    cross-twin cosine inherits the ≤0.56 cross-pair gap."""
     return _embed_neardup_drain(spark, sf_dir, restart_after=1)
 
 
@@ -819,15 +842,26 @@ def _embed_neardup_drain(
         ).alias("embedding"),
     )
     corpus = emb.unionByName(pert)
-    kwargs = (
-        dict(
+    if restart_after is not None:
+        # explicit arrival schedule: originals → tile 0 (generation 1),
+        # twins → tiles 1/2 by parity (both non-empty for any n ≥ 2) — a
+        # raw-vec_id range tile would leave the middle tercile empty
+        # because the twin ids sit 1e6 above the originals
+        corpus = corpus.withColumn(
+            "_tile",
+            F.when(F.col("vec_id") < _EMB_PERT_OFFSET, F.lit(0))
+            .when(F.col("vec_id") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int"),
+        )
+        kwargs = dict(
             max_files_per_trigger=3,
             ordered_split=("vec_id", 3),
             restart_after=restart_after,
+            pre_tiled=True,
         )
-        if restart_after is not None
-        else {}
-    )
+    else:
+        kwargs = {}
     drained = _drain(
         spark,
         corpus,
@@ -1245,3 +1279,132 @@ def stream_sliding_rollup_restart_drain(
     windows and fails the shared oracle's value hash; a watermark reset
     would re-emit or mis-close windows (append emits exactly once)."""
     return _sliding_rollup_drain(spark, sf_dir, restart_after=1)
+
+
+# ---------------------------------------------------------------------------
+# Live trending leaderboard: the sliding rollup COMPOSED with per-window
+# ranking at window close — the reference's ranked-rows-per-window serving
+# surface (KafkaConsumerTopKJob.kt:243-272) in its sliding generalization
+# ---------------------------------------------------------------------------
+
+_SLIDING_TOPK_ORACLE = f"""
+WITH {_ES},
+wm AS (
+  SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM es
+),
+slid AS (
+  SELECT e.event_type, e.revenue_cents,
+         epoch_ms(date_trunc('minute', e.ts)) - k.k * 60000 AS ws
+  FROM es e CROSS JOIN (SELECT unnest(range(5)) AS k) k
+),
+agg AS (
+  SELECT event_type, ws,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+  FROM slid GROUP BY event_type, ws
+),
+closed AS (
+  SELECT event_type, ws, revenue_cents FROM agg, wm WHERE ws + 300000 <= wm.w
+),
+r AS (
+  SELECT ws, event_type, revenue_cents,
+         CAST(row_number() OVER (PARTITION BY ws
+              ORDER BY revenue_cents DESC, event_type ASC) AS INT) AS rank
+  FROM closed
+)
+SELECT CAST(ws AS BIGINT) AS window_start,
+       CAST(ws + 300000 AS BIGINT) AS window_end,
+       event_type, revenue_cents, rank
+FROM r WHERE rank <= 3
+"""
+
+
+def _rank_closed_windows(batch: DataFrame) -> DataFrame:
+    """Rank-on-close: top-3 event types inside every hop window the
+    micro-batch just closed. Runs inside foreachBatch on append output, so
+    each window's rows are complete (a window is flushed whole in the one
+    batch whose watermark passes its end) and tiny (≤ one row per event
+    type) — the rank never sees a global sort."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("revenue_cents").desc(), F.col("event_type").asc()
+    )
+    return (
+        batch.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "window_start", "window_end", "event_type", "revenue_cents", "rank"
+        )
+    )
+
+
+def _sliding_topk_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
+    from topk_spark.ops.rollup import windowed_rollup
+
+    es = order_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "revenue_cents"
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        return windowed_rollup(
+            s.withWatermark("ts", "10 seconds"),
+            "ts",
+            ["event_type"],
+            [F.sum("revenue_cents").cast("long").alias("revenue_cents")],
+            "5 minutes",
+            slide="1 minute",
+        ).select("window_start", "window_end", "event_type", "revenue_cents")
+
+    return _drain(
+        spark,
+        es,
+        build,
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=restart_after,
+        batch_transform=_rank_closed_windows,
+    )
+
+
+@register(
+    "stream_sliding_topk_drain",
+    tags=("K1", "K2", "T1", "T3", "T5", "streaming"),
+    oracle=_SLIDING_TOPK_ORACLE,
+)
+def stream_sliding_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE trending leaderboard: the sliding (5m/1m) windowed rollup with
+    per-window RANKING at window close — top-3 event types by revenue,
+    emitted exactly once per closed hop window. This is the reference's
+    actual product surface ("trending now" tiles): its streaming job writes
+    ranked row lists per window fire (KafkaConsumerTopKJob.kt:243-272,
+    tumbling); here the windows overlap and the rank runs in the drain's
+    foreachBatch on append output — correct because append flushes a
+    window's rows whole in the single micro-batch that closes it, and cheap
+    because each window holds ≤ one row per event type. Oracle =
+    the sliding rollup's closure predicate (wm = max ts − 10 s) composed
+    with `topk_per_sliding_window`'s row_number SQL, both independently
+    green since r9; deterministic tie-break (revenue desc, type asc) in
+    both engines. At 100 TB the rollup shuffle carries per-window partials
+    (amplification is map-side, pre-partial-agg) and the rank touches only
+    closed-window rows — never raw events."""
+    return _sliding_topk_drain(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_topk_restart_drain",
+    tags=("K1", "K2", "T1", "T3", "T8", "streaming", "restart"),
+    oracle=_SLIDING_TOPK_ORACLE,
+)
+def stream_sliding_topk_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_sliding_topk_drain`. Generation 1
+    drains only the first event-time tile; a freshly-built query resumes
+    from the checkpoint. Windows straddling the stop hold partial sums in
+    recovered built-in aggregation state — a reset under-counts them and
+    reorders the rank (the leaderboard is a FUNCTION of the recovered sums,
+    so rank corruption is visible even where sums alone might tie); a
+    watermark reset re-emits or mis-closes windows, duplicating or dropping
+    leaderboard rows under the exactly-once-per-window hash."""
+    return _sliding_topk_drain(spark, sf_dir, restart_after=1)

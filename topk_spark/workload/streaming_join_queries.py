@@ -1427,8 +1427,6 @@ def stream_asof_leftouter_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     still open at end-of-stream are withheld on both sides — including
     organic rows whose deadline never arrived, which fail the same window
     predicate on the oracle side."""
-    from topk_spark.streaming.interval_join import interval_join
-
     views, purchases = _view_purchase_tiles(spark, sf_dir)
     drained = drain_join(
         spark, views, purchases, _build_asof_leftouter, n_batches=3
