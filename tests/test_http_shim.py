@@ -135,3 +135,49 @@ def test_defaults_are_independent(client):
     assert body["endTime"] == BASE
     now_ms = time.time() * 1000
     assert abs(body["startTime"] - (now_ms - 3_600_000)) < 60_000
+
+
+def test_trending_route_registered_only_with_tier(spark):
+    """The /api/v1/trending extension route: absent without a sliding tier
+    (the three-route reference surface stays exact), present with one —
+    ranked top-k per hop window in the same response envelope, k default 3."""
+    from topk_spark.serve.http import create_app
+
+    tier = spark.createDataFrame(
+        [
+            (BASE, BASE + 5 * MIN, "purchase", 900),
+            (BASE, BASE + 5 * MIN, "click", 500),
+            (BASE, BASE + 5 * MIN, "view", 400),
+            (BASE, BASE + 5 * MIN, "refund", 100),
+            (BASE + MIN, BASE + 6 * MIN, "click", 77),
+        ],
+        "window_start long, window_end long, event_type string, "
+        "revenue_cents long",
+    )
+
+    bare = create_app(spark, tier)
+    bare.config["TESTING"] = True
+    with bare.test_client() as c:
+        assert c.get("/api/v1/trending").status_code == 404
+
+    app = create_app(spark, tier, trending_tier=tier)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        r = c.get(
+            "/api/v1/trending",
+            query_string={"start_time": BASE, "end_time": BASE + 6 * MIN},
+        )
+        assert r.status_code == 200
+        body = r.get_json()
+        assert body["restaurantId"] == "TRENDING"
+        assert body["k"] == 3
+        by_w = {}
+        for item in body["items"]:
+            by_w.setdefault(item["window_start"], []).append(item)
+        # first hop: k=3 cuts 'refund'; rank order by revenue desc
+        assert [(i["event_type"], i["rank"]) for i in by_w[BASE]] == [
+            ("purchase", 1), ("click", 2), ("view", 3)
+        ]
+        assert [(i["event_type"], i["rank"]) for i in by_w[BASE + MIN]] == [
+            ("click", 1)
+        ]

@@ -303,3 +303,26 @@ def test_kmv_weekly_rollup_no_global_sort(spark, sf_dir):
     for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
         assert m.group(1) == "false", f"global sort in weekly-rollup plan\n{plan}"
     assert "HashAggregate" in plan and "CartesianProduct" not in plan
+
+
+def test_sliding_from_slices_amplifies_partials_not_events(spark, sf_dir):
+    """rollup_sliding_from_slices: the slice aggregate must run BEFORE the
+    hop-window explode — i.e. the plan is scan → partial/final slice agg
+    (one Exchange) → Generate(explode) → partial/final hop agg (second
+    Exchange), so only per-slice PARTIALS are amplified by the hop ratio.
+    A Generate below the first aggregate would mean events amplify (the
+    direct form's cost, ratio× shuffle rows) and the two-level design is
+    silently lost. Contrast pin: the direct form plans NO Generate (the
+    amplification lives inside the window expression) and one event-keyed
+    Exchange."""
+    plan = plan_of("rollup_sliding_from_slices", spark, sf_dir)
+    assert plan.count("Exchange") == 2, plan
+    assert "Generate explode" in plan, plan
+    # the explode sits ABOVE the first HashAggregate pair: everything below
+    # the Generate is the slice rollup, which must contain both aggregates
+    below = plan.split("Generate explode", 1)[1]
+    assert below.count("HashAggregate") >= 2, plan
+
+    direct = plan_of("rollup_sliding_5m_1m", spark, sf_dir)
+    assert "Generate" not in direct, direct
+    assert direct.count("Exchange") == 1, direct

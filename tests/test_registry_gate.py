@@ -108,8 +108,11 @@ def test_simulated_round6_window_head():
         "stream_static_enrich_drain",
         "stream_leftouter_join_drain",
     }
+    # every other name "verified" — at r5, or at its own fix round for
+    # names LATER rounds added to _FORCE_RESAMPLE (the simulation is about
+    # the round-6 scenario; later forced names must not leak into it)
     pre_r6 = {
-        n: 5 for n in _ordered_names({})
+        n: max(5, _FORCE_RESAMPLE.get(n, 0)) for n in _ordered_names({})
         if n != "region_nation_rollup" and n not in r5b
     }
     names = _ordered_names(pre_r6)

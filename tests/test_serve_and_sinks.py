@@ -330,3 +330,38 @@ def test_topk_decayed_is_tier_invariant(spark):
         tuple(r) for r in topk_decayed(coarse, "r1", **kw).collect()
     )
     assert got_fine == got_coarse and len(got_fine) == 4
+
+
+def test_trending_containment_rank_and_tiebreak(spark):
+    """serve.api.trending over a hand-built sliding tier: closed
+    containment keeps only hop windows FULLY inside [start, end] (a window
+    straddling either edge is excluded even if it overlaps), rank is
+    per-window 1..k with the deterministic (metric desc, key asc)
+    tie-break, and k cuts below ties consistently."""
+    from topk_spark.serve.api import trending
+
+    m = 60_000
+    rows = [
+        # window [0, 5m): 4 keys, a/b tie at 100
+        (0, 5 * m, "b", 100), (0, 5 * m, "a", 100),
+        (0, 5 * m, "c", 50), (0, 5 * m, "d", 10),
+        # window [1m, 6m): inside range iff end >= 6m
+        (m, 6 * m, "a", 7),
+        # window [-1m, 4m): straddles start 0 → excluded for start=0
+        (-m, 4 * m, "a", 999),
+    ]
+    tier = spark.createDataFrame(
+        rows, "window_start long, window_end long, event_type string, "
+              "revenue_cents long"
+    )
+
+    got = trending(tier, "event_type", "revenue_cents", 0, 5 * m, k=3).collect()
+    assert [(r.event_type, r.rank) for r in sorted(got, key=lambda r: r.rank)] \
+        == [("a", 1), ("b", 2), ("c", 3)]  # tie a/b broken by key asc; d cut
+
+    wide = trending(tier, "event_type", "revenue_cents", 0, 6 * m, k=3).collect()
+    by_w = {}
+    for r in wide:
+        by_w.setdefault(r.window_start, []).append(r)
+    assert set(by_w) == {0, m}  # straddling [-1m,4m) still excluded
+    assert [(r.event_type, r.rank) for r in by_w[m]] == [("a", 1)]

@@ -33,7 +33,7 @@ from __future__ import annotations
 import time
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from topk_spark.ops.topk import global_topk, rank_topk
 from topk_spark.schemas import GLOBAL_SENTINEL
@@ -220,6 +220,44 @@ def topk_decayed(
     return ranked.select(
         "restaurant_id", "menu_item_id", "menu_item_name", "rank",
         "decayed_revenue_cents",
+    )
+
+
+def trending(
+    sliding_rollup: DataFrame,
+    key_col: str = "event_type",
+    metric_col: str = "revenue_cents",
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """The "trending now" tile: ranked top-k keys per HOP window over a
+    SLIDING rollup tier (ops/rollup.py windowed_rollup(slide=...) or its
+    slice-sharing twin) — the serving read behind the live leaderboard
+    drain (workload/streaming_drain_queries.py stream_sliding_topk_drain),
+    and the sliding generalization of the reference's per-window ranked
+    rows (KafkaConsumerTopKJob.kt:243-272 stores one ranked list per
+    tumbling window fire; QueryService reads them back ranked).
+
+    Same typed-parameter discipline and CLOSED-CONTAINMENT range semantics
+    as the three reference endpoints above (window_start >= start AND
+    window_end <= end — hop windows fully inside the range); defaults
+    start = now − 1h, end = now (TopKController.kt:34-38); deterministic
+    tie-break (metric desc, key asc). Rank is per-window — each hop
+    window's partition holds ≤ one row per key, so the row_number never
+    sees a global sort; at scale the read is a window_start-pruned scan of
+    the rollup tier, never raw events."""
+    now = _now_ms()
+    end_ms = end_ms if end_ms is not None else now
+    start_ms = start_ms if start_ms is not None else now - 3_600_000
+    base = _range_filter(sliding_rollup, start_ms, end_ms)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc(metric_col), F.asc(key_col)
+    )
+    return (
+        base.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.lit(k))
+        .select("window_start", "window_end", key_col, metric_col, "rank")
     )
 
 

@@ -7,6 +7,12 @@ Routes, exactly as the reference registers them:
 - GET /api/v1/restaurants/all/topk                 (:66-95)
 - GET /api/v1/restaurants/<id>/topk/revenue        (:98-128; id 'all' → global)
 
+Plus one EXTENSION route (registered only when a sliding tier is supplied):
+- GET /api/v1/trending?start_time=&end_time=&k=3   → serve/api.trending —
+  ranked top-k per hop window, the live-leaderboard read
+  (stream_sliding_topk_drain's serving story; same envelope, restaurantId
+  'TRENDING').
+
 Envelope parity (TopKController.kt:132-138 `TopKResponse` + Models.kt:39-49
 `TopKResult`): the wrapper keys are the Kotlin property names
 (restaurantId/startTime/endTime/k/items — no @JsonProperty on the response
@@ -42,9 +48,15 @@ def _int_or(value: str | None, default: int) -> int:
         return default
 
 
-def create_app(spark: SparkSession, rollup: DataFrame):
+def create_app(
+    spark: SparkSession,
+    rollup: DataFrame,
+    trending_tier: DataFrame | None = None,
+):
     """Build the Flask app serving the three reference routes + health over
-    the given rollup DataFrame (columns per serve/api.py contract)."""
+    the given rollup DataFrame (columns per serve/api.py contract).
+    `trending_tier`: optional SLIDING rollup tier (window_start/window_end/
+    event_type/revenue_cents) — supplying it registers /api/v1/trending."""
     try:
         from flask import Flask, jsonify, request
     except ImportError as exc:  # pragma: no cover - env without flask
@@ -114,5 +126,19 @@ def create_app(spark: SparkSession, rollup: DataFrame):
         df = serve_api.topk_by_revenue(rollup, restaurant_id, start, end, k)
         # TopKController.kt:117: echo the raw path segment ('all' included)
         return _respond(restaurant_id, start, end, k, df)
+
+    if trending_tier is not None:
+
+        @app.get("/api/v1/trending")
+        def trending():
+            # same independent defaults; k defaults to 3 (a tile, not a list)
+            now = serve_api._now_ms()
+            end = _int_or(request.args.get("end_time"), now)
+            start = _int_or(request.args.get("start_time"), now - 3_600_000)
+            k = _int_or(request.args.get("k"), 3)
+            df = serve_api.trending(
+                trending_tier, "event_type", "revenue_cents", start, end, k
+            )
+            return _respond("TRENDING", start, end, k, df)
 
     return app

@@ -87,10 +87,19 @@ _PRIORITY_MODULES: tuple[str, ...] = (
 #     hash); r6 re-emits BIGINT cents on both sides. Belt-and-braces with the
 #     red-aware tier() — either alone re-queues it, both keep it queued until
 #     a green row at round >= 6 exists.
+#   round-10 implementation changes (standing window discipline): the embed
+#     restart drain's arrival tiling became an explicit pre-tiled schedule,
+#     approx_percentile_bound gained an explicit broadcast on its scalar
+#     crossJoin, and stream_asof_leftouter_drain dropped a dead local import
+#     — all verified result-identical by preflight, but each must face the
+#     gate once post-change.
 _FORCE_RESAMPLE: dict[str, int] = {
     "rolling_7d_revenue": 4,
     "minhash_lsh_neardup": 5,
     "region_nation_rollup": 6,
+    "stream_embed_neardup_restart_drain": 10,
+    "approx_percentile_bound": 10,
+    "stream_asof_leftouter_drain": 10,
 }
 
 # (Names pruned from the registry in later rounds are dropped from this

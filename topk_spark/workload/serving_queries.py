@@ -189,3 +189,65 @@ def sql_facade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@register(
+    "serve_trending",
+    tags=("SERVE", "K2", "T3"),
+    oracle=f"""
+WITH {_ES},
+slid AS (
+  SELECT e.event_type, e.revenue_cents,
+         epoch_ms(date_trunc('minute', e.ts)) - k.k * 60000 AS ws
+  FROM es e CROSS JOIN (SELECT unnest(range(5)) AS k) k
+),
+agg AS (
+  SELECT event_type, ws,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+  FROM slid GROUP BY event_type, ws
+),
+inr AS (
+  SELECT * FROM agg
+  WHERE ws >= {_START} AND ws + 300000 <= {_END}
+),
+r AS (
+  SELECT ws, event_type, revenue_cents,
+         CAST(row_number() OVER (PARTITION BY ws
+              ORDER BY revenue_cents DESC, event_type ASC) AS INT) AS rank
+  FROM inr
+)
+SELECT CAST(ws AS BIGINT) AS window_start,
+       CAST(ws + 300000 AS BIGINT) AS window_end,
+       event_type, revenue_cents, rank
+FROM r WHERE rank <= 3
+""",
+)
+def serve_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trending-tile endpoint: GET /trending?window=5m&slide=1m&k=3
+    semantics — ranked top-3 event types per hop window inside the range,
+    served through serve.api.trending over the sliding rollup tier. The
+    serving read for the live leaderboard the streaming side emits
+    (stream_sliding_topk_drain): a dashboard polls this endpoint every
+    slide interval and reads the newest closed hop's ranked rows. Closed
+    containment + typed parameters + deterministic tie-break — the same
+    endpoint discipline as the three reference reads above."""
+    from topk_spark.ops.rollup import windowed_rollup
+    from topk_spark.serve.api import trending
+
+    es = order_stream(spark, sf_dir)
+    sliding = windowed_rollup(
+        es,
+        "ts",
+        ["event_type"],
+        [F.sum("revenue_cents").cast("long").alias("revenue_cents")],
+        "5 minutes",
+        slide="1 minute",
+    ).select("window_start", "window_end", "event_type", "revenue_cents")
+    return trending(
+        sliding,
+        key_col="event_type",
+        metric_col="revenue_cents",
+        start_ms=_START,
+        end_ms=_END,
+        k=3,
+    )

@@ -1281,6 +1281,110 @@ def stream_sliding_rollup_restart_drain(
     return _sliding_rollup_drain(spark, sf_dir, restart_after=1)
 
 
+def _sliding_from_slices_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
+    from topk_spark.ops.rollup import windowed_rollup
+
+    es = order_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "revenue_cents"
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        # level 1: plain TUMBLING 1-minute slices — each event touches ONE
+        # window, streaming state holds 1× open slices (vs the direct
+        # sliding form's ratio× overlap factor)
+        return windowed_rollup(
+            s.withWatermark("ts", "10 seconds"),
+            "ts",
+            ["event_type"],
+            [
+                F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+                F.count("*").alias("order_count"),
+            ],
+            "1 minute",
+        ).select("event_type", "window_start", "revenue_cents", "order_count")
+
+    slices = _drain(
+        spark,
+        es,
+        build,
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=restart_after,
+    )
+    # level 2: re-aggregate the 5 slice partials tiling each hop window.
+    # A hop window [ws, ws+5m) is decidable exactly when its LAST slice is
+    # (ws+5m <= wm), so the closure predicate is the sliding drain's own —
+    # which is why this composition shares _SLIDING_ORACLE verbatim.
+    wm = es.agg(
+        (F.unix_millis(F.max("ts")) - F.lit(10000)).cast("long").alias("w")
+    )
+    hop = (
+        slices.withColumn("_k", F.explode(F.expr("sequence(0, 4)")))
+        .withColumn(
+            "ws", (F.col("window_start") - F.col("_k") * F.lit(60_000)).cast("long")
+        )
+        .groupBy("event_type", "ws")
+        .agg(
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.sum("order_count").cast("long").alias("order_count"),
+        )
+    )
+    return (
+        hop.crossJoin(F.broadcast(wm))
+        .where(F.col("ws") + F.lit(300_000) <= F.col("w"))
+        .select(
+            "event_type",
+            F.col("ws").alias("window_start"),
+            (F.col("ws") + F.lit(300_000)).cast("long").alias("window_end"),
+            "revenue_cents",
+            "order_count",
+        )
+    )
+
+
+@register(
+    "stream_sliding_from_slices_drain",
+    tags=("A1", "A5", "A9", "T1", "T3", "streaming"),
+    oracle=_SLIDING_ORACLE,
+)
+def stream_sliding_from_slices_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SLICE-SHARING streaming form of `stream_sliding_rollup_drain`,
+    result-identical under _SLIDING_ORACLE verbatim: the REAL streaming
+    operator is a tumbling 1-minute slice rollup (each event in exactly ONE
+    window — open-state factor 1×, vs the direct sliding form's measured
+    ~5× and a dashboard-common 1h/1m's 60×), and closed slices re-aggregate
+    into hop windows downstream with the drain's own closure predicate —
+    sound because a hop window is decidable exactly when its last slice is
+    (ws + window <= wm). This is PLANS.md's round-10 amplification rule run
+    live: at 100 TB the slide-grained tumbling tier is the state- and
+    shuffle-bounded form, and hop windows are derived re-aggregation
+    (merge-rollup discipline, orders_1m_rollup_table.json:72-84), not
+    operator state."""
+    return _sliding_from_slices_drain(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_from_slices_restart_drain",
+    tags=("A1", "A5", "T1", "T3", "T8", "streaming", "restart"),
+    oracle=_SLIDING_ORACLE,
+)
+def stream_sliding_from_slices_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_sliding_from_slices_drain`:
+    generation 1 drains only the first event-time tile, so slices
+    straddling the stop hold partial sums in recovered TUMBLING aggregation
+    state and the append log must not re-emit slices already closed —
+    either failure shifts the re-aggregated hop sums under the shared
+    oracle's value hash."""
+    return _sliding_from_slices_drain(spark, sf_dir, restart_after=1)
+
+
 # ---------------------------------------------------------------------------
 # Live trending leaderboard: the sliding rollup COMPOSED with per-window
 # ranking at window close — the reference's ranked-rows-per-window serving
