@@ -52,6 +52,14 @@ def _full_record(n_regressions: int = 0) -> dict:
         },
         "e2e_latency": {"raw_visible_s": 0.718, "rollup_visible_s": 1.675},
         "serving_point_read": {"warm": {"p50_ms": 40.9, "p99_ms": 59.0}},
+        "serving_trending": {
+            "rank_on_read": {"p50_ms": 133.5, "p99_ms": 164.1},
+            "preranked": {"p50_ms": 72.7, "p99_ms": 95.8},
+        },
+        "sliding_ratio": {
+            "5m_1m": {"amplify_over_slices": 0.9},
+            "1h_1m": {"amplify_over_slices": 2.201},
+        },
         "scaling": {"flagged": []},
         "regressions": [
             {
@@ -77,7 +85,8 @@ def test_compact_line_parses_and_fits_tail_capture():
     for k in (
         "metric", "value", "unit", "queries", "r01_subset_total", "sf",
         "ingest_eps", "ingest_skew_eps", "e2e_raw_s", "e2e_rollup_s",
-        "serve_p50_ms", "serve_p99_ms", "join_alpha",
+        "serve_p50_ms", "serve_p99_ms", "trending_p99_ms",
+        "sliding_r60_amp_over_slices", "join_alpha",
         "join_skew_per_pair_ratio", "chain_over_join_only",
         "scaling_flagged", "regressions", "detail",
     ):
