@@ -368,3 +368,87 @@ def test_floor_shift_does_not_distribute_over_sum(weights, shift):
     reason decay must apply to per-bucket SUMS, never per event, for the
     batch/stream/oracle triple to agree."""
     assert sum(w >> shift for w in weights) <= sum(weights) >> shift
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # key
+            st.integers(0, 10_000),       # ts offset seconds (~2.7 h span)
+            st.integers(-1000, 1000),     # metric (negatives too)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    ratio=st.integers(2, 7),
+)
+def test_sliding_slices_equivalence_law(spark, rows, ratio):
+    """The round-10 slice-sharing rewrite law: for ANY event set and any
+    hop ratio, `sliding_rollup_from_slices` must be row-for-row identical
+    to the direct `windowed_rollup(slide=...)` form — same (key, window)
+    row set, same sums, same counts. This is the invariant that lets the
+    slices twin share the direct form's driver oracle verbatim and lets
+    bench's ratio-60 point assert equality instead of re-deriving."""
+    from topk_spark.ops.rollup import sliding_rollup_from_slices, windowed_rollup
+
+    slide_ms = 60_000
+    window_ms = slide_ms * ratio
+    base = 1_704_067_200_000
+    df = spark.createDataFrame(
+        [(k, base + s * 1000, v) for k, s, v in rows], "k long, ms long, v long"
+    ).select("k", F.timestamp_millis("ms").alias("ts"), "v")
+
+    direct = windowed_rollup(
+        df,
+        "ts",
+        ["k"],
+        [F.sum("v").cast("long").alias("v_sum"), F.count("*").alias("n")],
+        f"{window_ms} milliseconds",
+        slide=f"{slide_ms} milliseconds",
+    ).select("k", "window_start", "window_end", "v_sum", "n")
+    slices = sliding_rollup_from_slices(
+        df,
+        "ts",
+        ["k"],
+        [F.sum("v").cast("long").alias("v_sum"), F.count("*").alias("n")],
+        ["v_sum", "n"],
+        window_ms=window_ms,
+        slide_ms=slide_ms,
+    ).select("k", "window_start", "window_end", "v_sum", "n")
+
+    got_d = sorted(tuple(r) for r in direct.collect())
+    got_s = sorted(tuple(r) for r in slices.collect())
+    assert got_d == got_s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    hist=st.lists(
+        st.tuples(st.integers(-10**9, 10**9), st.integers(1, 50)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    pcts=st.lists(st.integers(1, 100), min_size=1, max_size=5),
+)
+def test_exact_order_statistics_law(hist, pcts):
+    """exact_order_statistics vs the brute-force model: expand the
+    histogram to a sorted multiset and index the ceil(p·n/100)-th element
+    directly (1-based). Integer rank arithmetic means the two can never
+    disagree — including at exact rank boundaries, with ties, and with
+    negative values."""
+    import math
+
+    from topk_spark.streaming.exact_quantile import exact_order_statistics
+
+    hist.sort()
+    values = [v for v, _ in hist]
+    counts = [c for _, c in hist]
+    pcts = sorted(pcts)
+    expanded = sorted(v for v, c in hist for _ in range(c))
+    n, qs = exact_order_statistics(values, counts, pcts)
+    assert n == len(expanded)
+    for p, q in zip(pcts, qs):
+        rank = math.ceil(n * p / 100)  # exact: n*p < 2**52
+        assert q == expanded[rank - 1], (p, rank, n)

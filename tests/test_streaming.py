@@ -589,3 +589,86 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert hard == expected
+
+
+def test_multiple_watermark_policy_min_vs_max(spark, tmp_path):
+    """Multi-source GLOBAL watermark semantics — the knob a multi-source
+    100 TB topology lives or dies by: when two watermarked streams feed one
+    stateful operator, Spark combines their per-source watermarks per
+    `spark.sql.streaming.multipleWatermarkPolicy` — 'min' (default, safe:
+    the slowest source gates every window close, so a lagging backfill
+    source cannot cause premature closes that drop its late rows) vs 'max'
+    (latency over completeness: the fastest source drives closes).
+
+    Fixture: source A reaches 02:00, source B stops at 00:20 (both 10 s
+    delay). A union into a 5-minute tumbling count in append mode must
+    close windows strictly below wm = max_ts − 10 s of the GOVERNING
+    source: 4 windows under 'min' (B's 00:20 gates), 24 under 'max' (A's
+    02:00 drives — B's in-flight windows close early, exactly the
+    completeness risk the default avoids). Derived counts, not just
+    set-inequality, so a future default flip or policy regression fails
+    loudly."""
+    base = 1_704_067_200_000
+    m = 60_000
+
+    def write_src(name, minutes):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        rows = [{"ms": base + i * m, "v": 1} for i in range(minutes)]
+        with open(os.path.join(d, "f0.json"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        return d
+
+    # one row per minute: A spans 120 minutes, B spans 20
+    a_dir = write_src("src_a", 120)
+    b_dir = write_src("src_b", 20)
+
+    def closed_windows(policy: str) -> set[int]:
+        prev = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", None)
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            def src(d):
+                return (
+                    spark.readStream.schema("ms long, v long")
+                    .json(d)
+                    .withColumn("ts", F.timestamp_millis("ms"))
+                    .withWatermark("ts", "10 seconds")
+                )
+
+            out = str(tmp_path / f"out_{policy}")
+            q = (
+                src(a_dir).unionByName(src(b_dir))
+                .groupBy(F.window("ts", "5 minutes").alias("w"))
+                .agg(F.sum("v").alias("n"))
+                .select(F.unix_millis("w.start").alias("ws"), "n")
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{policy}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if not os.path.isdir(out):
+                return set()
+            return {r["ws"] for r in spark.read.parquet(out).collect()}
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+            else:
+                spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", prev)
+
+    # derived closures: wm = governing max_ts − 10 s; window closes iff
+    # ws + 5 m <= wm. B's max ts = base+19 m → 3:55 usable → windows 0..3;
+    # A's max ts = base+119 m → windows 0..22 fully below 01:58:50... the
+    # arithmetic, not the prose, is the assertion:
+    def expect(max_minute):
+        wm = base + max_minute * m - 10_000
+        return {base + w * 5 * m for w in range(200) if base + (w + 1) * 5 * m <= wm}
+
+    got_min = closed_windows("min")
+    got_max = closed_windows("max")
+    assert got_min == expect(19), (len(got_min), sorted(got_min)[-1:])
+    assert got_max == expect(119), (len(got_max), sorted(got_max)[-1:])
+    assert got_min < got_max  # strict subset: the policies genuinely differ

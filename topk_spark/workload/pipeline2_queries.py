@@ -310,6 +310,76 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source epoch targets in integer PERMILLE (2300 = 2.3 epochs): high-
+# quality sources repeat fractionally, the tail is DOWN-sampled below one
+# epoch — both directions of the data-constrained training knob.
+_EPOCH_PM_SQL = """CASE
+  WHEN source IN ('src0','src1','src2','src3') THEN 2300
+  WHEN source IN ('src4','src5','src6','src7') THEN 1000
+  WHEN source IN ('src8','src9','src10','src11') THEN 1500
+  ELSE 700
+END"""
+
+
+@register(
+    "epoch_upsample",
+    tags=("PIPE-mixture", "PIPE-epoch"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST({_EPOCH_PM_SQL} AS BIGINT) AS pm,
+         {_HASH_SQL} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, pm,
+         pm // 1000
+           + CASE WHEN h % 1000 < pm % 1000 THEN 1 ELSE 0 END AS n_copies
+  FROM d
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM c WHERE n_copies >= 1
+""",
+)
+def epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-EPOCH replication for data-constrained training: each
+    source repeats at its own target epoch count (2.3 epochs = every doc
+    twice, plus a deterministic 30% of docs a third time; targets below
+    1.0 epoch DOWN-sample the tail the same way). The fractional part is
+    decided by thresholding the same affine doc_id hash as
+    `mixture_sample` — reproducible across engines, re-runs, and task
+    retries, and integer permille arithmetic keeps the threshold exact
+    (no float rate). Emits one row per (doc, copy) with the copy index —
+    downstream shuffle-sharding (`corpus_shuffle_shards`) then spreads
+    repeats across shards. Pure map + generator over the scan: no
+    shuffle, no state; at 100 TB the output is a factor-of-epochs row
+    amplification that never materializes on the driver."""
+    from topk_spark.ops.packing import shuffle_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pm = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 2300)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), 1000)
+        .when(F.col("source").isin("src8", "src9", "src10", "src11"), 1500)
+        .otherwise(700)
+        .cast("long")
+    )
+    h = shuffle_rank(F.col("doc_id"))
+    out = (
+        docs.withColumn("pm", pm)
+        .withColumn(
+            "n_copies",
+            F.expr("pm div 1000")
+            + ((h % 1000) < (F.col("pm") % 1000)).cast("long"),
+        )
+        .where(F.col("n_copies") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))))
+    )
+    return out.select("doc_id", "source", "copy", "n_copies")
+
+
 @register(
     "robust_outlier_filter",
     tags=("PIPE-outlier",),

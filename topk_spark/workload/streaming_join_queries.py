@@ -1500,3 +1500,149 @@ def stream_asof_leftouter_restart_drain(
         restart_after=2,
     )
     return drained.drop("_bid")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source GLOBAL watermark (multipleWatermarkPolicy=min) under the gate:
+# two watermarked sources, one stateful operator — the slowest source governs
+# every window close (round-10; behavioral min-vs-max pin in
+# tests/test_streaming.py::test_multiple_watermark_policy_min_vs_max)
+# ---------------------------------------------------------------------------
+
+_UNION_MINWM_ORACLE = """
+WITH es AS (
+  SELECT event_id, ts, user_id, event_type,
+         CAST(CAST(json_extract(props, '$.k') AS INT) AS BIGINT)
+           * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents
+  FROM events
+),
+bnd AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax FROM es),
+a AS (SELECT * FROM es WHERE user_id % 2 = 0),
+b AS (
+  SELECT es.* FROM es, bnd
+  WHERE user_id % 2 = 1
+    AND epoch_us(ts) <= bnd.tmin + (bnd.tmax - bnd.tmin) * 2 // 3
+),
+-- min-policy global watermark: the SLOWEST source's (max ts - delay)
+wm AS (
+  SELECT least(
+    (SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) FROM a),
+    (SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) FROM b)
+  ) - 10000 AS w
+),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+agg AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS ws,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+         count(*) AS order_count
+  FROM u GROUP BY event_type, 2
+)
+SELECT event_type, ws AS window_start,
+       CAST(ws + 300000 AS BIGINT) AS window_end,
+       revenue_cents, order_count
+FROM agg, wm
+WHERE ws + 300000 <= wm.w
+"""
+
+
+def _union_minwm_sources(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two event streams with deliberately UNEQUAL reach: source A = even
+    users over the full span; source B = odd users truncated at 2/3 of the
+    global span (exact integer-µs cutoff from one broadcast bounds
+    aggregate, mirrored verbatim in the oracle). B's lag is what makes the
+    min policy observable: A alone would close ~1/3 more windows."""
+    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.streaming_drain_queries import _range_tile
+
+    es = order_stream(spark, sf_dir).select(
+        "ts", "user_id", "event_type", "revenue_cents"
+    )
+    bnd = es.agg(
+        F.expr("unix_micros(min(ts))").alias("_tmin"),
+        F.expr("unix_micros(max(ts))").alias("_tmax"),
+    )
+    esb = es.crossJoin(F.broadcast(bnd))
+    a = esb.where(F.col("user_id") % 2 == 0)
+    b = esb.where(
+        (F.col("user_id") % 2 == 1)
+        & (
+            F.expr("unix_micros(ts)")
+            <= F.col("_tmin") + F.expr("(_tmax - _tmin) * 2 div 3")
+        )
+    )
+    cols = ["ts", "user_id", "event_type", "revenue_cents"]
+    return (
+        _range_tile(a.select(*cols), "ts", 3),
+        _range_tile(b.select(*cols), "ts", 3),
+    )
+
+
+def _build_union_rollup(l: DataFrame, r: DataFrame) -> DataFrame:
+    from topk_spark.ops.rollup import windowed_rollup
+
+    u = l.withWatermark("ts", "10 seconds").unionByName(
+        r.withWatermark("ts", "10 seconds")
+    )
+    return windowed_rollup(
+        u,
+        "ts",
+        ["event_type"],
+        [
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.count("*").alias("order_count"),
+        ],
+        "5 minutes",
+    ).select(
+        "event_type", "window_start", "window_end", "revenue_cents", "order_count"
+    )
+
+
+@register(
+    "stream_union_minwm_rollup_drain",
+    tags=("T1", "T3", "T5", "streaming", "multi-source"),
+    oracle=_UNION_MINWM_ORACLE,
+)
+def stream_union_minwm_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO watermarked sources feeding ONE windowed aggregation — the
+    multi-topic production topology (a reference deployment consuming
+    orders from several Kafka topics into one rollup), gated on Spark's
+    default multi-watermark policy: the GLOBAL watermark is the MIN of the
+    per-source watermarks, so the lagging source (B stops at 2/3 of the
+    span) governs every window close and the fast source's last-third
+    windows are withheld as still-open. The oracle derives that governing
+    watermark as least(max_a, max_b) − 10 s from first principles — an
+    engine that closed on the fast source's clock (the 'max' policy, or a
+    per-source-watermark bug) emits ~1/3 more windows and hash-mismatches;
+    one that dropped B's rows as late under A's watermark under-counts
+    shared windows. Both sources replay as event-time-ordered terciles of
+    their OWN ranges, so neither source's rows are ever late relative to
+    the combined watermark (derivation at the behavioral twin,
+    tests/test_streaming.py::test_multiple_watermark_policy_min_vs_max)."""
+    a, b = _union_minwm_sources(spark, sf_dir)
+    drained = drain_join(spark, a, b, _build_union_rollup, n_batches=3)
+    return drained.drop("_bid")
+
+
+@register(
+    "stream_union_minwm_rollup_restart_drain",
+    tags=("T1", "T3", "T8", "streaming", "multi-source", "restart"),
+    oracle=_UNION_MINWM_ORACLE,
+)
+def stream_union_minwm_rollup_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin: generation 1 drains only the first tercile
+    of EACH source; the restarted query must recover TWO per-source
+    watermarks plus the windowed-aggregation state from one checkpoint.
+    Losing either source's watermark re-derives the global min wrongly
+    (re-emitting or mis-closing windows under the exactly-once append
+    hash); losing the agg state under-counts windows straddling the
+    stop."""
+    a, b = _union_minwm_sources(spark, sf_dir)
+    drained = drain_join(
+        spark, a, b, _build_union_rollup, n_batches=3, restart_after=1
+    )
+    return drained.drop("_bid")
