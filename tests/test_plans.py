@@ -326,3 +326,28 @@ def test_sliding_from_slices_amplifies_partials_not_events(spark, sf_dir):
     direct = plan_of("rollup_sliding_5m_1m", spark, sf_dir)
     assert "Generate" not in direct, direct
     assert direct.count("Exchange") == 1, direct
+
+
+def test_epoch_upsample_is_map_only_generate(spark, sf_dir):
+    """epoch_upsample: deterministic replication must be a pure map +
+    generator over the scan — no Exchange, no Join, no aggregate. A shuffle
+    here would move the amplified rows instead of letting downstream
+    sharding do one purposeful exchange."""
+    plan = plan_of("epoch_upsample", spark, sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_trending_1h_from_slices_plan_shape(spark, sf_dir):
+    """trending_1h_1m_from_slices: the ratio-60 trending read must keep the
+    slice-sharing shape — single scan, slice aggregate BELOW the hop
+    explode (so partials, not events, amplify 60×), and exactly three
+    exchanges (slice agg, hop agg, rank-per-window); no join anywhere."""
+    plan = plan_of("trending_1h_1m_from_slices", spark, sf_dir)
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 3, plan
+    below = plan.split("Generate explode", 1)[1]
+    assert below.count("HashAggregate") >= 2, plan

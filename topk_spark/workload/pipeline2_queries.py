@@ -536,3 +536,60 @@ def topk_per_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("window_start", "event_type", "revenue_cents", "rank")
     )
+
+
+@register(
+    "trending_1h_1m_from_slices",
+    tags=("T3", "K2", "A5", "PIPE-epoch"),
+    oracle=f"""
+WITH {_ES},
+slid AS (
+  SELECT e.event_type, e.revenue_cents,
+         epoch_ms(date_trunc('minute', e.ts)) - k.k * 60000 AS ws
+  FROM es e CROSS JOIN (SELECT unnest(range(60)) AS k) k
+),
+agg AS (
+  SELECT ws, event_type,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+  FROM slid GROUP BY ws, event_type
+),
+r AS (
+  SELECT ws, event_type, revenue_cents,
+         CAST(row_number() OVER (PARTITION BY ws
+              ORDER BY revenue_cents DESC, event_type ASC) AS INT) AS rank
+  FROM agg
+)
+SELECT CAST(ws AS BIGINT) AS window_start, event_type, revenue_cents, rank
+FROM r WHERE rank <= 3
+""",
+)
+def trending_1h_1m_from_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard-standard trending read — top-3 event types per 1-HOUR
+    window hopping every minute (ratio 60) — built on the SLICE-SHARING
+    form, because at this ratio the direct amplify form is exactly the
+    scale cliff PLANS.md's round-10 rule forbids: 60× map-side event
+    copies vs one tumbling slice pass + re-aggregation of per-slice
+    partials (slice count bounded by keys × minutes, independent of event
+    volume). Rank is per hop window (≤ one row per event type — no global
+    sort); the oracle materializes the 60-fold amplification explicitly,
+    so the hash also re-proves the two-level rewrite at this ratio."""
+    from topk_spark.ops.rollup import sliding_rollup_from_slices
+
+    es = order_stream(spark, sf_dir)
+    agg = sliding_rollup_from_slices(
+        es,
+        "ts",
+        ["event_type"],
+        [F.sum("revenue_cents").cast("long").alias("revenue_cents")],
+        ["revenue_cents"],
+        window_ms=3_600_000,
+        slide_ms=60_000,
+    ).select("window_start", "event_type", "revenue_cents")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("revenue_cents").desc(), F.col("event_type").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("window_start", "event_type", "revenue_cents", "rank")
+    )
