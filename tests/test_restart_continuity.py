@@ -891,3 +891,56 @@ def test_exact_histogram_state_survives_restart(spark, tmp_path, store, sf_dir):
     got = sorted(tuple(r) for r in drained.collect())
     want = sorted(tuple(r) for r in want_df.collect())
     assert got == want, f"exact histogram state lost across restart under {store}"
+
+
+def test_union_min_watermark_survives_restart(spark, tmp_path, store, sf_dir):
+    """Multi-source recovery (round-10): the union-rollup drain restarts
+    after the first tercile of EACH source, so the restarted query must
+    reload TWO per-source watermarks plus the built-in windowed-aggregation
+    state from one checkpoint — under both state-store providers (the
+    driver-gated twin runs the default provider only). Expected output is
+    the relational rollup of both sources' union closed under the
+    MIN-policy governing watermark (the lagging source's max ts − 10 s),
+    computed here from the same fixtures the drain replays."""
+    from topk_spark.workload.streaming_join_queries import (
+        _build_union_rollup,
+        _union_minwm_sources,
+        drain_join,
+    )
+
+    a, b = _union_minwm_sources(spark, sf_dir)
+    drained = drain_join(
+        spark, a, b, _build_union_rollup, n_batches=3, restart_after=1
+    ).drop("_bid")
+
+    u = a.drop("_tile").unionByName(b.drop("_tile"))
+    wm = min(
+        a.agg(F.unix_millis(F.max("ts"))).collect()[0][0],
+        b.agg(F.unix_millis(F.max("ts"))).collect()[0][0],
+    ) - 10_000
+    want_df = (
+        u.groupBy(
+            "event_type",
+            (F.floor(F.unix_millis("ts") / 300_000) * 300_000)
+            .cast("long")
+            .alias("window_start"),
+        )
+        .agg(
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.count("*").alias("order_count"),
+        )
+        .where(F.col("window_start") + 300_000 <= F.lit(wm))
+        .select(
+            "event_type",
+            "window_start",
+            (F.col("window_start") + 300_000).cast("long").alias("window_end"),
+            "revenue_cents",
+            "order_count",
+        )
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want, (
+        f"union min-watermark recovery diverged under {store}: "
+        f"{len(got)} vs {len(want)} rows"
+    )
