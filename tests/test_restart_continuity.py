@@ -944,3 +944,70 @@ def test_union_min_watermark_survives_restart(spark, tmp_path, store, sf_dir):
         f"union min-watermark recovery diverged under {store}: "
         f"{len(got)} vs {len(want)} rows"
     )
+
+
+def test_trending_slices_restart_both_providers(spark, tmp_path, store, sf_dir):
+    """The ratio-60 slice-sharing trending composition across a restart
+    (round-10 VERDICT next #5, folded into the live drain's twin): the
+    recovered state is TUMBLING 1-minute slice partials — a different state
+    shape from the hop-window partials the direct-form sliding pin above
+    recovers — plus the emitted-hop frontier, which the drain re-derives
+    from its persisted slice tier rather than memory. Generation 1 drains
+    only the first event-time tercile; the full composed output (top-3 per
+    closed 1h hop) must equal the relational derivation over closed slices:
+    W = newest closed slice end lower-bounds the watermark, hops with
+    end <= W are decidable. A slice-state reset under-counts every hop a
+    straddling slice tiles (60 each); a frontier reset re-emits hops."""
+    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.streaming_drain_queries import _trending_60_drain
+
+    drained = _trending_60_drain(spark, sf_dir, restart_after=1)
+
+    ev = order_stream(spark, sf_dir).select("ts", "event_type", "revenue_cents")
+    want_df = spark.sql(
+        """
+        WITH sl AS (
+          SELECT event_type, revenue_cents,
+                 CAST(floor(unix_millis(ts) / 60000) * 60000 AS BIGINT) AS ss,
+                 unix_millis(ts) AS ms
+          FROM {ev}
+        ),
+        wm AS (SELECT max(ms) - 10000 AS w FROM sl),
+        closed AS (
+          SELECT sl.* FROM sl, wm WHERE sl.ss + 60000 <= wm.w
+        ),
+        wmax AS (SELECT max(ss) + 60000 AS we FROM closed),
+        hop AS (
+          SELECT c.event_type, c.revenue_cents, c.ss - t.k * 60000 AS ws
+          FROM closed c
+          LATERAL VIEW explode(sequence(0, 59)) t AS k
+        ),
+        agg AS (
+          SELECT event_type, ws,
+                 CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+          FROM hop GROUP BY event_type, ws
+        ),
+        emit AS (
+          SELECT a.* FROM agg a, wmax WHERE a.ws + 3600000 <= wmax.we
+        ),
+        r AS (
+          SELECT ws, event_type, revenue_cents,
+                 CAST(row_number() OVER (PARTITION BY ws
+                      ORDER BY revenue_cents DESC, event_type ASC) AS INT)
+                   AS rank
+          FROM emit
+        )
+        SELECT CAST(ws AS BIGINT) AS window_start,
+               CAST(ws + 3600000 AS BIGINT) AS window_end,
+               event_type, revenue_cents, rank
+        FROM r WHERE rank <= 3
+        """,
+        ev=ev,
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert len(want) > 100  # non-vacuous: many closed hops at this fixture
+    assert got == want, (
+        f"trending slices composition diverged across restart under {store}: "
+        f"{len(got)} vs {len(want)} rows"
+    )

@@ -1512,3 +1512,249 @@ def stream_sliding_topk_restart_drain(
     watermark reset re-emits or mis-closes windows, duplicating or dropping
     leaderboard rows under the exactly-once-per-window hash."""
     return _sliding_topk_drain(spark, sf_dir, restart_after=1)
+
+
+# ---------------------------------------------------------------------------
+# LIVE ratio-60 trending: the dashboard-standard 1h/1m leaderboard served by
+# the SLICE-SHARING composition — a tumbling 1-minute slice rollup is the
+# only stateful streaming stage (open-state factor 1×, vs 60× direct), and
+# foreachBatch derives which hop windows the batch's newly-closed slices
+# make decidable, re-aggregates exactly those from the slice tier, and ranks.
+# PLANS.md's round-10 amplification rule (hop ratio > ~5 → slice-sharing)
+# applied to the engine's own live product surface.
+# ---------------------------------------------------------------------------
+
+# Closure derivation (the min-watermark discipline from
+# stream_union_minwm_rollup_drain, applied to slices): append emits a slice
+# exactly when the watermark passes its END, so the newest closed slice end
+# W is a PROVEN lower bound on the watermark — and a hop window [ws, ws+1h)
+# is decidable from closed slices exactly when ws + 1h <= W (every one of
+# its slices then has end <= W <= wm, i.e. is already in the tier). Deriving
+# hop closure from W rather than from wm = max(ts) − 10s matters when the
+# stream's trailing minutes are EMPTY: no slice closes there, the tier
+# cannot know those hops are complete, and emitting them would be a guess.
+# The oracle therefore derives W = max slice end over closed slices (slices
+# exist only where events do) and gates hops on ws + 3600000 <= W.
+_TRENDING_60_ORACLE = f"""
+WITH {_ES},
+wm AS (
+  SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM es
+),
+sl AS (
+  SELECT event_type, revenue_cents,
+         CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) AS ss
+  FROM es
+),
+closed AS (
+  SELECT sl.* FROM sl, wm WHERE sl.ss + 60000 <= wm.w
+),
+wmax AS (SELECT max(ss) + 60000 AS we FROM closed),
+hop AS (
+  SELECT c.event_type, c.revenue_cents, c.ss - k.k * 60000 AS ws
+  FROM closed c CROSS JOIN (SELECT unnest(range(60)) AS k) k
+),
+agg AS (
+  SELECT event_type, ws,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+  FROM hop GROUP BY event_type, ws
+),
+emit AS (
+  SELECT a.* FROM agg a, wmax WHERE a.ws + 3600000 <= wmax.we
+),
+r AS (
+  SELECT ws, event_type, revenue_cents,
+         CAST(row_number() OVER (PARTITION BY ws
+              ORDER BY revenue_cents DESC, event_type ASC) AS INT) AS rank
+  FROM emit
+)
+SELECT CAST(ws AS BIGINT) AS window_start,
+       CAST(ws + 3600000 AS BIGINT) AS window_end,
+       event_type, revenue_cents, rank
+FROM r WHERE rank <= 3
+"""
+
+_TRENDING_WINDOW_MS = 3_600_000
+_TRENDING_SLIDE_MS = 60_000
+
+
+def _trending_60_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from topk_spark.ops.rollup import windowed_rollup
+
+    ranked_schema = StructType(
+        [
+            StructField("window_start", LongType(), False),
+            StructField("window_end", LongType(), False),
+            StructField("event_type", StringType(), True),
+            StructField("revenue_cents", LongType(), True),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+    tier_root = tempfile.mkdtemp(prefix="topk_spark_trending_tier_")
+    _TMP_ROOTS.append(tier_root)
+    tier = os.path.join(tier_root, "slices")
+
+    es = order_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "revenue_cents"
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        # the ONLY stateful streaming stage: tumbling 1-minute slices —
+        # each event touches exactly ONE window, so open aggregation state
+        # is 1× (the direct 1h/1m form would hold 60 open windows per key)
+        return windowed_rollup(
+            s.withWatermark("ts", "10 seconds"),
+            "ts",
+            ["event_type"],
+            [F.sum("revenue_cents").cast("long").alias("revenue_cents")],
+            "1 minute",
+        ).select("event_type", "window_start", "window_end", "revenue_cents")
+
+    def rank_new_hops(batch: DataFrame) -> DataFrame:
+        """foreachBatch stage: persist the batch's closed slices, then emit
+        the ranked top-3 for every hop window those slices newly made
+        decidable. W advances monotonically (a batch only ever closes
+        slices past the previous watermark), so `W_prev < hop_end <= W_cur`
+        partitions hops across batches — each hop is emitted exactly once,
+        and the partition survives a restart because W_prev is re-derived
+        from the persisted tier, not from in-memory state."""
+        sess = batch.sparkSession
+
+        def read_tier() -> DataFrame:
+            # one flat dir of per-batch subwrites (upto_<W>/...): recurse
+            return (
+                sess.read.option("recursiveFileLookup", "true")
+                .schema(batch.schema)
+                .parquet(tier)
+            )
+
+        w_prev = None
+        if os.path.isdir(tier):
+            w_prev = read_tier().agg(F.max("window_end")).collect()[0][0]
+        batch = batch.persist()
+        w_cur = batch.agg(F.max("window_end")).collect()[0][0]
+        if w_cur is None:  # no slices closed this batch → no new hops
+            batch.unpersist()
+            return sess.createDataFrame([], ranked_schema)
+        # idempotent tier append: the subdir name is the batch's W (strictly
+        # increasing across non-empty batches), so a foreachBatch RETRY
+        # overwrites its own slices instead of duplicating them — the same
+        # guarantee a production slice tier gets from partition overwrite
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tier, f"upto_{w_cur}")
+        )
+        batch.unpersist()
+        slices = read_tier()
+        if w_prev is not None:
+            # hops still open at W_prev have ws > W_prev − window, and all
+            # their slices start at >= ws — prune the tier scan to exactly
+            # the slice range the new hops can touch (at scale this is the
+            # partition-pruned read; everything older is never re-read)
+            slices = slices.filter(
+                F.col("window_start") > F.lit(w_prev - _TRENDING_WINDOW_MS)
+            )
+        hop = (
+            slices.withColumn(
+                "_k",
+                F.explode(
+                    F.expr(
+                        f"sequence(0, {_TRENDING_WINDOW_MS // _TRENDING_SLIDE_MS - 1})"
+                    )
+                ),
+            )
+            .withColumn(
+                "ws",
+                (
+                    F.col("window_start")
+                    - F.col("_k") * F.lit(_TRENDING_SLIDE_MS)
+                ).cast("long"),
+            )
+            .withColumn("we", (F.col("ws") + F.lit(_TRENDING_WINDOW_MS)).cast("long"))
+            .where(
+                (F.col("we") <= F.lit(w_cur))
+                & (F.col("we") > F.lit(w_prev if w_prev is not None else -(1 << 62)))
+            )
+            .groupBy("ws", "we", "event_type")
+            .agg(F.sum("revenue_cents").cast("long").alias("revenue_cents"))
+        )
+        w = Window.partitionBy("ws").orderBy(
+            F.col("revenue_cents").desc(), F.col("event_type").asc()
+        )
+        return (
+            hop.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 3)
+            .select(
+                F.col("ws").alias("window_start"),
+                F.col("we").alias("window_end"),
+                "event_type",
+                "revenue_cents",
+                "rank",
+            )
+        )
+
+    return _drain(
+        spark,
+        es,
+        build,
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=restart_after,
+        batch_transform=rank_new_hops,
+    )
+
+
+@register(
+    "stream_trending_1h_1m_drain",
+    tags=("K1", "K2", "A5", "A9", "T1", "T3", "streaming"),
+    oracle=_TRENDING_60_ORACLE,
+)
+def stream_trending_1h_1m_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE trending leaderboard at the dashboard-standard 1h/1m (ratio 60)
+    — top-3 event types by revenue per hop window, emitted exactly once per
+    closed hop, built on the SLICE-SHARING composition: the streaming stage
+    is a plain tumbling 1-minute slice rollup (each event touches ONE
+    window; open state 1× vs the direct sliding form's 60× at this ratio —
+    the measured crossover in bench sliding_ratio put slices ahead past
+    ratio ~5, PLANS.md round-10 rule), and foreachBatch re-aggregates 60
+    closed slice partials per hop + ranks. Hop closure is DERIVED from
+    closed slices, not assumed from the clock: append emits a slice exactly
+    when the watermark passes its end, so the newest closed slice end W
+    lower-bounds the watermark and a hop is decidable iff hop_end <= W —
+    the same proven-bound discipline as the union drain's min-watermark
+    derivation. The reference's "trending now" tile at its realistic window
+    shape (KafkaConsumerTopKJob.kt:243-272 stores ranked rows per window
+    fire); at 100 TB the hop re-aggregation touches only per-slice partials
+    (|keys| × minutes rows, independent of event volume) and the tier read
+    prunes to the one-window slice range each batch's new hops span."""
+    return _trending_60_drain(spark, sf_dir)
+
+
+@register(
+    "stream_trending_1h_1m_restart_drain",
+    tags=("K1", "K2", "A5", "T1", "T3", "T8", "streaming", "restart"),
+    oracle=_TRENDING_60_ORACLE,
+)
+def stream_trending_1h_1m_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_trending_1h_1m_drain` — and the
+    ratio-60 restart pin for the slices form (the ratio-5 twin pins hop
+    re-aggregation of the same state shape; here the recovered state is
+    tumbling 1-MINUTE slice partials plus the watermark). Generation 1
+    drains only the first event-time tile; a freshly-built query resumes
+    from the checkpoint alone. Slices straddling the stop hold partial sums
+    in recovered tumbling aggregation state (a reset under-counts every hop
+    they tile — 60 hops each); the emitted-hop frontier W_prev is re-derived
+    from the persisted slice tier, so a restart can neither re-emit nor
+    skip a hop window under the exactly-once-per-window hash."""
+    return _trending_60_drain(spark, sf_dir, restart_after=1)
