@@ -261,6 +261,76 @@ def trending(
     )
 
 
+def percentiles(
+    histogram_tier: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value_cents",
+    count_col: str = "n",
+    pcts: tuple[int, ...] = (50, 90, 99),
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """EXACT percentile read over a windowed value-HISTOGRAM tier — the
+    serving endpoint for what streaming/exact_quantile.py computes
+    continuously. The reference's only published latency numbers ARE
+    percentiles (BASELINE.md P50/P99 claims over rollups); this is that
+    read as a typed endpoint, with the same discipline as the other five:
+    typed parameters (Catalyst literals, not string-interpolated SQL),
+    CLOSED-CONTAINMENT time range (window_start >= start AND window_end <=
+    end), defaults start = now − 1h / end = now (TopKController.kt:34-38).
+
+    Tier contract: one row per (key, window, value) carrying the value's
+    in-window count — the windowed generalization of the exact-quantile
+    state (counts are sum-mergeable across windows, so range re-aggregation
+    is exact; merge-rollup discipline, orders_1m_rollup_table.json:72-84).
+    The read re-aggregates counts per (key, value) over the range, then
+    computes the ceil(p·n/100)-th order statistic declaratively: one
+    cumulative-sum window per key in value order, rank = (n·p + 99) div 100
+    in pure integers (streaming/exact_quantile.py's arithmetic — the same
+    rank both engines and the DuckDB oracle replay bit-for-bit). Output:
+    (key, n_rows, p{p}_cents...) — one row per key.
+
+    At 100 TB: the scan is window-pruned to the range; the shuffle carries
+    per-(key, value) partials bounded by |domain| × |keys|, independent of
+    event volume; the per-key sort inside the window function sorts ≤
+    |domain| rows. No UDF anywhere — whole-stage codegen end to end."""
+    pcts = tuple(sorted(int(p) for p in pcts))
+    if len(set(pcts)) != len(pcts) or not all(1 <= p <= 100 for p in pcts):
+        raise ValueError(
+            f"pcts must be distinct whole percents in 1..100, got {pcts}"
+        )
+    now = _now_ms()
+    end_ms = end_ms if end_ms is not None else now
+    start_ms = start_ms if start_ms is not None else now - 3_600_000
+    base = _range_filter(histogram_tier, start_ms, end_ms)
+    hist = base.groupBy(key_col, value_col).agg(
+        F.sum(count_col).cast("long").alias("_c")
+    )
+    wk = Window.partitionBy(key_col)
+    wcum = wk.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        key_col,
+        value_col,
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wk).cast("long").alias("n_rows"),
+    )
+    # q(p) = smallest value whose cumulative count reaches the integer rank
+    # (n·p + 99) div 100 — `div`, not `/`: Spark's / is DOUBLE division and
+    # a float boundary here could straddle the exact integer rank
+    qcols = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.expr(f"(n_rows * {p} + 99) div 100"),
+                F.col(value_col),
+            )
+        )
+        .cast("long")
+        .alias(f"p{p}_cents")
+        for p in pcts
+    ]
+    return cum.groupBy(key_col).agg(F.max("n_rows").alias("n_rows"), *qcols)
+
+
 def health(spark) -> dict:
     """`GET /health` analog (TopKController.kt:25-27): cheap liveness — the
     session answers a trivial action and reports its version. No table

@@ -251,3 +251,68 @@ def serve_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_ms=_END,
         k=3,
     )
+
+
+@register(
+    "serve_percentiles",
+    tags=("SERVE", "A5", "A7", "K2"),
+    oracle=f"""
+WITH {_ES},
+f AS (
+  SELECT event_type, revenue_cents FROM es
+  WHERE CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) >= {_START}
+    AND CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= {_END}
+),
+o AS (
+  SELECT event_type, revenue_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY revenue_cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p90_cents,
+       CAST(MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p99_cents
+FROM o GROUP BY event_type
+""",
+)
+def serve_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /percentiles?pcts=50,90,99 semantics: EXACT revenue P50/P90/P99
+    per event type over a time range, served through serve.api.percentiles
+    over a windowed value-histogram tier — the serving read for the exact
+    streaming quantiles (stream_exact_quantile_drain computes the same
+    order statistics continuously; this answers the range read a dashboard
+    issues). The reference's only PUBLISHED latency numbers are percentiles
+    (BASELINE.md P50/P99 claims), so this was the last published-surface
+    analog without a typed endpoint. The tier is one row per (type, minute
+    window, distinct cents value) with the value's in-window count — counts
+    re-aggregate exactly across the range (sum-mergeable), then the
+    ceil(p·n)-th order statistic falls out of one cumulative-sum window per
+    type, integer rank arithmetic (n·p + 99) div 100 in both engines. The
+    oracle derives the same statistics straight from raw events in
+    contained windows — so the hash also proves the histogram-tier rewrite
+    (events → per-window value counts → range re-aggregation) is
+    lossless."""
+    from topk_spark.serve.api import percentiles
+
+    es = order_stream(spark, sf_dir)
+    tier = windowed_rollup(
+        es,
+        "ts",
+        ["event_type", "revenue_cents"],
+        [F.count("*").alias("n")],
+        "1 minute",
+    ).select("event_type", "revenue_cents", "window_start", "window_end", "n")
+    return percentiles(
+        tier,
+        key_col="event_type",
+        value_col="revenue_cents",
+        count_col="n",
+        pcts=(50, 90, 99),
+        start_ms=_START,
+        end_ms=_END,
+    )
