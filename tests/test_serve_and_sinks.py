@@ -64,6 +64,70 @@ def test_router_range_inside_one_coarse_window(spark):
     assert total == 15
 
 
+def test_trending_router_freshness_and_row_identity(spark):
+    """TrendingRouter (round-10 VERDICT next #4): requests whose newest
+    contained hop is materialized route to the pre-ranked tier and return
+    EXACTLY the rows rank-on-read computes; requests past the tier's
+    high-water mark (or deeper than its rank depth) fall back to
+    rank-on-read — correctness never waits on the materializer."""
+    from topk_spark.serve.api import trending
+    from topk_spark.serve.router import TrendingRouter
+
+    day0 = 1_704_067_200_000
+    # sliding 5m/1m rollup tier over 3 h, 3 keys with distinct metrics so
+    # ranks are deterministic and key-dependent
+    n_hops = 3 * 60
+    rollup = (
+        spark.range(n_hops)
+        .select(
+            (F.lit(day0) + F.col("id") * MIN).alias("window_start"),
+            (F.lit(day0) + F.col("id") * MIN + 5 * MIN).alias("window_end"),
+            F.explode(F.array(F.lit("a"), F.lit("b"), F.lit("c"))).alias(
+                "event_type"
+            ),
+            F.col("id").alias("_i"),
+        )
+        .withColumn(
+            "revenue_cents",
+            (
+                F.col("_i") * 7
+                + F.when(F.col("event_type") == "a", 100)
+                .when(F.col("event_type") == "b", 200)
+                .otherwise((F.col("_i") % 3) * 250)
+            ).cast("long"),
+        )
+        .drop("_i")
+    )
+    # materialize the pre-ranked tier ONLY through the first 2 h of hop ends
+    through = day0 + 2 * HOUR
+    preranked = trending(
+        rollup, "event_type", "revenue_cents", day0, through, k=3
+    )
+    router = TrendingRouter(
+        preranked, rollup, slide_ms=MIN, preranked_k=3
+    )
+    assert router._through_ms == through  # high-water probe found the tier edge
+
+    fresh = (day0 + 10 * MIN, day0 + 70 * MIN)
+    stale = (day0 + 90 * MIN, day0 + 170 * MIN)  # newest hop end past through
+    assert router.route(*fresh, k=3) == "preranked"
+    assert router.route(*stale, k=3) == "rank_on_read"
+    assert router.route(*fresh, k=5) == "rank_on_read"  # depth exceeded
+    assert router.route(day0, day0 + MIN - 1, k=3) == "rank_on_read"  # no hop
+
+    # row identity on BOTH paths, same request: callers can't observe the tier
+    direct = trending(rollup, "event_type", "revenue_cents", *fresh, k=3)
+    via_router = router.read(*fresh, k=3)
+    assert via_router.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_router).count() == 0
+    assert direct.count() > 0
+    # fallback path answers the stale request identically to rank-on-read
+    fb = router.read(*stale, k=3)
+    fb_direct = trending(rollup, "event_type", "revenue_cents", *stale, k=3)
+    assert fb.exceptAll(fb_direct).count() == 0
+    assert fb_direct.exceptAll(fb).count() == 0
+
+
 def test_write_olap_table_layout_and_retention(spark, tmp_path):
     df = spark.range(100).select(
         F.col("id"),

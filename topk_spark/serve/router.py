@@ -90,3 +90,93 @@ class TierRouter:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+class TrendingRouter:
+    """Pre-ranked-vs-rank-on-read routing for the trending tile — the same
+    make-the-tier-choice-explicit discipline as TierRouter, applied to the
+    reference's actual serving design: its streaming job stores one RANKED
+    row list per window fire and reads serve those rows back verbatim
+    (KafkaConsumerTopKJob.kt:243-272 → QueryService.kt:55-60). Here the
+    pre-ranked tier is what `stream_sliding_topk_drain` /
+    `stream_trending_1h_1m_drain` emit incrementally (exactly-once ranked
+    rows per closed hop window, materialized); `serve.api.trending` over
+    the sliding rollup tier is the flexible fallback (any k, any metric,
+    windows the pipeline has not closed yet). Measured in bench.py
+    serving_trending: the pre-ranked read is a pure range-pruned scan with
+    no exchange (P99 95.0 vs 121.1 ms rank-on-read at r10).
+
+    Freshness rule (per-request, no clock guess): the newest hop the
+    request can contain is the last slide-aligned window END inside
+    [start, end]; the pre-ranked tier serves the request iff it has been
+    materialized THROUGH that end (its high-water mark — max window_end at
+    registration, one tiny agg, cached — is >= it) AND the requested k is
+    within the materialized rank depth. Otherwise the rollup path ranks on
+    read — correctness never depends on the materializer being caught up.
+    """
+
+    def __init__(
+        self,
+        preranked: DataFrame,
+        rollup: DataFrame,
+        key_col: str = "event_type",
+        metric_col: str = "revenue_cents",
+        window_ms: int = 300_000,
+        slide_ms: int = 60_000,
+        preranked_k: int = 3,
+        preranked_through_ms: int | None = None,
+    ):
+        import pyspark.sql.functions as F
+
+        self._preranked = preranked
+        self._rollup = rollup
+        self._key_col = key_col
+        self._metric_col = metric_col
+        self._window_ms = window_ms
+        self._slide_ms = slide_ms
+        self._preranked_k = preranked_k
+        if preranked_through_ms is None:
+            # one-time high-water probe; a live deployment passes the
+            # drain's committed frontier instead (it already tracks W)
+            row = preranked.agg(F.max("window_end")).collect()[0]
+            preranked_through_ms = row[0] if row[0] is not None else -(1 << 62)
+        self._through_ms = int(preranked_through_ms)
+
+    def route(self, start_ms: int, end_ms: int, k: int) -> str:
+        """'preranked' | 'rank_on_read' — split out of read() so tests pin
+        the decision itself, not just the rows."""
+        if k > self._preranked_k:
+            return "rank_on_read"
+        newest_we = end_ms - (end_ms % self._slide_ms)  # last aligned end <= end
+        if newest_we - self._window_ms < start_ms:
+            # no hop window fits the range under closed containment — both
+            # paths return zero rows; route to the flexible one by convention
+            return "rank_on_read"
+        return "preranked" if newest_we <= self._through_ms else "rank_on_read"
+
+    def read(self, start_ms: int, end_ms: int, k: int = 3) -> DataFrame:
+        """Ranked top-k per hop window in [start, end], closed containment —
+        column contract identical on both paths (window_start, window_end,
+        key, metric, rank), so callers cannot observe which tier answered
+        except through latency."""
+        import pyspark.sql.functions as F
+
+        from topk_spark.serve.api import trending
+
+        if self.route(start_ms, end_ms, k) == "preranked":
+            return self._preranked.filter(
+                (F.col("window_start") >= F.lit(start_ms))
+                & (F.col("window_end") <= F.lit(end_ms))
+                & (F.col("rank") <= F.lit(k))
+            ).select(
+                "window_start", "window_end", self._key_col,
+                self._metric_col, "rank",
+            )
+        return trending(
+            self._rollup,
+            key_col=self._key_col,
+            metric_col=self._metric_col,
+            start_ms=start_ms,
+            end_ms=end_ms,
+            k=k,
+        )
