@@ -600,14 +600,15 @@ def test_multiple_watermark_policy_min_vs_max(spark, tmp_path):
     source cannot cause premature closes that drop its late rows) vs 'max'
     (latency over completeness: the fastest source drives closes).
 
-    Fixture: source A reaches 02:00, source B stops at 00:20 (both 10 s
-    delay). A union into a 5-minute tumbling count in append mode must
-    close windows strictly below wm = max_ts − 10 s of the GOVERNING
-    source: 4 windows under 'min' (B's 00:20 gates), 24 under 'max' (A's
-    02:00 drives — B's in-flight windows close early, exactly the
-    completeness risk the default avoids). Derived counts, not just
-    set-inequality, so a future default flip or policy regression fails
-    loudly."""
+    Fixture: source A reaches 01:59, source B stops at 00:19 (one row per
+    minute, so max ts is the LAST minute's start; both 10 s delay). A union
+    into a 5-minute tumbling count in append mode must close windows
+    strictly below wm = max_ts − 10 s of the GOVERNING source: 3 windows
+    under 'min' (B's 00:19 gates: ends 00:05..00:15 ≤ 00:18:50), 23 under
+    'max' (A's 01:59 drives: ends ≤ 01:58:50 — B's in-flight windows close
+    early, exactly the completeness risk the default avoids). Derived
+    counts, not just set-inequality, so a future default flip or policy
+    regression fails loudly."""
     base = 1_704_067_200_000
     m = 60_000
 

@@ -93,6 +93,11 @@ _PRIORITY_MODULES: tuple[str, ...] = (
 #     crossJoin, and stream_asof_leftouter_drain dropped a dead local import
 #     — all verified result-identical by preflight, but each must face the
 #     gate once post-change.
+#   round-11 implementation changes (standing window discipline): the exact-
+#     quantile drains' state encoding moved from a JSON string to packed
+#     binary int64 arrays (same histogram, same oracle — but the state path
+#     changed, so both drains face the gate again), and funnel_conversion
+#     gained the explicit broadcast on its scalar crossJoin chain.
 _FORCE_RESAMPLE: dict[str, int] = {
     "rolling_7d_revenue": 4,
     "minhash_lsh_neardup": 5,
@@ -100,6 +105,9 @@ _FORCE_RESAMPLE: dict[str, int] = {
     "stream_embed_neardup_restart_drain": 10,
     "approx_percentile_bound": 10,
     "stream_asof_leftouter_drain": 10,
+    "stream_exact_quantile_drain": 11,
+    "stream_exact_quantile_restart_drain": 11,
+    "funnel_conversion": 11,
 }
 
 # (Names pruned from the registry in later rounds are dropped from this

@@ -77,7 +77,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0]
     for df in counts[1:]:
-        out = out.crossJoin(df)
+        out = out.crossJoin(F.broadcast(df))  # 1-row scalar aggregates
     return out
 
 

@@ -38,10 +38,16 @@ es AS (
 # Affine-hash constants — keep in sync with topk_spark.ops.packing
 # (key reduced mod 2^31 first so the multiply never overflows int64;
 # DuckDB would raise on overflow where Spark wraps).
-_HASH_SQL = (
-    "((((doc_id % 2147483648) + 2147483648) % 2147483648"
-    " * 1103515245 + 12345) % 2147483648)"
-)
+def _hash_over(col: str) -> str:
+    """ops.packing.shuffle_rank as DuckDB SQL over an arbitrary integer
+    column expression."""
+    return (
+        f"(((({col} % 2147483648) + 2147483648) % 2147483648"
+        f" * 1103515245 + 12345) % 2147483648)"
+    )
+
+
+_HASH_SQL = _hash_over("doc_id")
 
 
 # Shared by rollup_sliding_5m_1m (direct amplify form) and
@@ -378,6 +384,95 @@ def epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("copy", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))))
     )
     return out.select("doc_id", "source", "copy", "n_copies")
+
+
+@register(
+    "pipeline_upsample_shard_pack",
+    tags=("PIPE-epoch", "PIPE-shuffle", "PIPE-pack", "chain"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST({_EPOCH_PM_SQL} AS BIGINT) AS pm,
+         {_HASH_SQL} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars,
+         pm // 1000
+           + CASE WHEN h % 1000 < pm % 1000 THEN 1 ELSE 0 END AS n_copies
+  FROM d
+),
+u AS (
+  SELECT doc_id, n_chars,
+         CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+  FROM c WHERE n_copies >= 1
+),
+k AS (
+  SELECT doc_id, copy, n_chars, doc_id * 4 + copy AS ukey FROM u
+),
+s AS (
+  SELECT doc_id, copy, n_chars, ukey,
+         {_hash_over("ukey")} AS shuffle_key,
+         CAST({_hash_over("ukey")} % 16 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, copy, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY shuffle_key, ukey) AS BIGINT) AS pos,
+       CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY shard
+                                      ORDER BY shuffle_key, ukey
+                                      ROWS UNBOUNDED PRECEDING) - n_chars)
+                  / 8192.0) AS BIGINT) AS pack_id
+FROM s
+""",
+)
+def pipeline_upsample_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data PIPELINE CHAIN as one hash-gated query: fractional-
+    epoch upsampling (`epoch_upsample`) → deterministic shuffle-sharding
+    (`corpus_shuffle_shards`) → concat-then-chunk packing
+    (`pack_sequences_chunked`), composed end to end so the INTERACTIONS the
+    three separately-green gates cannot see are pinned: every (doc, copy)
+    repeat gets its own shuffle key (ukey = doc_id·4 + copy — distinct
+    int64 per copy, n_copies <= 3 by the permille table), so repeats spread
+    across shards instead of packing adjacently, and the packer sees the
+    AMPLIFIED corpus (pack boundaries shift wherever a repeat lands). The
+    streaming analog of the r8 dedup→join→rollup chain drain, for the
+    batch mixture pipeline. At 100 TB: upsample is a map-side generator,
+    sharding is map-side hash, packing is one shuffle on shard + a
+    partition-local sort — the chain adds NO exchange beyond the single
+    pack shuffle, which Catalyst shares with the position window (same
+    partitioning + ordering)."""
+    from topk_spark.ops.packing import pack_chunked, shuffle_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pm = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 2300)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), 1000)
+        .when(F.col("source").isin("src8", "src9", "src10", "src11"), 1500)
+        .otherwise(700)
+        .cast("long")
+    )
+    h = shuffle_rank(F.col("doc_id"))
+    up = (
+        docs.withColumn("pm", pm)
+        .withColumn(
+            "n_copies",
+            F.expr("pm div 1000")
+            + ((h % 1000) < (F.col("pm") % 1000)).cast("long"),
+        )
+        .where(F.col("n_copies") >= 1)
+        .withColumn(
+            "copy",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))),
+        )
+        .withColumn(
+            "ukey", (F.col("doc_id") * F.lit(4) + F.col("copy")).cast("long")
+        )
+    )
+    packed = pack_chunked(up, "ukey", "n_chars", 8192, 16)
+    return packed.select("doc_id", "copy", "shard", "pos", "pack_id")
 
 
 @register(
