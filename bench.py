@@ -523,15 +523,24 @@ def bench_sliding_ratio(spark, sf_dir: str) -> dict:
                 slide_ms=slide_ms,
             ).select("event_type", "window_start", "revenue_cents", "order_count")
 
-        # result identity at this ratio: same (rows, total revenue, total
-        # count) — the ratio-5 twin is value-hash-gated by the driver, this
-        # keeps the ratio-60 point honest too
-        chk_a = amplify().agg(
-            F.count("*"), F.sum("revenue_cents"), F.sum("order_count")
-        ).collect()[0]
-        chk_s = slices().agg(
-            F.count("*"), F.sum("revenue_cents"), F.sum("order_count")
-        ).collect()[0]
+        # result identity at this ratio, ROW-LEVEL: count + an order-
+        # independent xor of per-row hashes over every column (bit_xor
+        # cannot overflow and compensating per-window errors cannot cancel
+        # under xor unless two full row-hashes collide) — the ratio-5 twin
+        # is value-hash-gated by the driver, this keeps the ratio-60 point
+        # equally honest (round-10 ADVICE: the old 3-aggregate check could
+        # mask compensating per-window errors)
+        def row_fingerprint(df):
+            return df.agg(
+                F.count("*").alias("n"),
+                F.expr(
+                    "bit_xor(xxhash64(event_type, window_start, "
+                    "revenue_cents, order_count))"
+                ).alias("h"),
+            ).collect()[0]
+
+        chk_a = row_fingerprint(amplify())
+        chk_s = row_fingerprint(slices())
         if tuple(chk_a) != tuple(chk_s):
             raise RuntimeError(
                 f"sliding forms diverged at {label}: amplify {tuple(chk_a)} "
@@ -623,9 +632,31 @@ def bench_serving_trending(spark, sf_dir: str) -> dict:
                 & (F.col("window_end") <= F.lit(rg[1]))
             ).collect()
 
+        # the ROUTED path (serve/router.TrendingRouter): the tile read a
+        # deployment actually issues — freshness decided per request from
+        # the pre-ranked tier's high-water mark (pure Python once probed),
+        # pre-ranked scan when fresh, rank-on-read fallback otherwise. All
+        # ten ranges here are materialized, so this measures the fresh path
+        # plus routing overhead.
+        from topk_spark.serve.router import TrendingRouter
+
+        router = TrendingRouter(
+            ranked_tier, tier, slide_ms=60_000, preranked_k=3,
+            hour_bucket_col="hb",
+        )
+        if router.route(ranges[0][0], ranges[0][1], 3) != "preranked":
+            raise RuntimeError(
+                "trending router did not choose the pre-ranked tier for a "
+                "materialized range — freshness probe broken"
+            )
+
+        def routed(rg):
+            return router.read(rg[0], rg[1], k=3).collect()
+
         out = {"distinct_ranges": len(ranges)}
         for name, read in (("rank_on_read", rank_on_read),
-                           ("preranked", preranked)):
+                           ("preranked", preranked),
+                           ("routed", routed)):
             got = 0
             for rg in ranges:  # prime once each, untimed
                 got += len(read(rg))
@@ -646,6 +677,192 @@ def bench_serving_trending(spark, sf_dir: str) -> dict:
                 "p99_ms": _pct(t, 0.99),
                 "max_ms": round(t[-1] * 1000, 1),
             }
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_serving_percentiles(spark, sf_dir: str) -> dict:
+    """Warm/cold latency of the exact-percentile endpoint
+    (serve/api.percentiles over a MATERIALIZED per-(key, 1m window, value)
+    histogram tier — the serving read for streaming/exact_quantile.py's
+    state, and the analog of the reference's own published P50/P99 numbers).
+    10 distinct 1-hour ranges; `cold_first_ms` is each range's first-ever
+    read (file listing + codegen on the percentile plan), `warm` cycles 50
+    timed reads after that prime."""
+    from topk_spark.ops.rollup import windowed_rollup
+    from topk_spark.serve.api import percentiles
+    from topk_spark.workload.events_queries import order_stream
+
+    work = tempfile.mkdtemp(prefix="topk_bench_pctile_")
+    try:
+        es = order_stream(spark, sf_dir)
+        path = os.path.join(work, "hist_tier")
+        hour = 3_600_000
+        windowed_rollup(
+            es,
+            "ts",
+            ["event_type", "revenue_cents"],
+            [F.count("*").alias("n")],
+            "1 minute",
+        ).select(
+            "event_type", "revenue_cents", "window_start", "window_end", "n"
+        ).withColumn(
+            "hb", (F.col("window_start") / F.lit(hour)).cast("long")
+        ).repartition("hb").write.partitionBy("hb").parquet(path)
+        tier = spark.read.parquet(path)
+        t_min = tier.agg(F.min("window_start")).collect()[0][0]
+        ranges = [(t_min + i * hour, t_min + (i + 1) * hour) for i in range(10)]
+
+        def read(rg):
+            # hb partition prune first (window_start predicates alone cannot
+            # prune a directory layout), then the endpoint's containment
+            pruned = tier.filter(
+                (F.col("hb") >= F.lit(rg[0] // hour))
+                & (F.col("hb") <= F.lit((rg[1] - 1) // hour))
+            ).drop("hb")
+            return percentiles(
+                pruned,
+                key_col="event_type",
+                value_col="revenue_cents",
+                count_col="n",
+                pcts=(50, 90, 99),
+                start_ms=rg[0],
+                end_ms=rg[1],
+            ).collect()
+
+        cold, got = [], 0
+        for rg in ranges:
+            t0 = time.perf_counter()
+            got += len(read(rg))
+            cold.append(time.perf_counter() - t0)
+        if got == 0:
+            raise RuntimeError("percentile bench read zero rows over all ranges")
+        cold.sort()
+        warm = []
+        for i in range(50):
+            rg = ranges[i % len(ranges)]
+            t0 = time.perf_counter()
+            read(rg)
+            warm.append(time.perf_counter() - t0)
+        warm.sort()
+        return {
+            "distinct_ranges": len(ranges),
+            "cold_first_ms": {"p50_ms": _pct(cold, 0.50),
+                              "max_ms": round(cold[-1] * 1000, 1)},
+            "warm": {"reads": len(warm), "p50_ms": _pct(warm, 0.50),
+                     "p99_ms": _pct(warm, 0.99),
+                     "max_ms": round(warm[-1] * 1000, 1)},
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_quantile_state(spark) -> dict:
+    """State-size measurement for the exact integer-histogram quantile
+    (streaming/exact_quantile.py, binary two-array encoding new r11) vs GK
+    (percentile_approx, accuracy 50) at the histogram's own declared
+    domain scale (~10^5 distinct integer values per key) — the round-10
+    VERDICT asked for the module's "smaller than raw by orders of
+    magnitude" claim as a NUMBER. Both operators run as real availableNow
+    streaming queries; `state_mem_bytes` comes from the engine's
+    stateOperators progress metrics (same provider, same batch layout).
+    The exact histogram runs at TWO row volumes over the same domain to
+    pin the structural claim: its state is O(domain) — blob bytes hold
+    constant while raw-row bytes grow with n."""
+    import json as _json
+
+    from topk_spark.streaming.exact_quantile import (
+        encode_histogram,
+        streaming_exact_quantile,
+    )
+
+    n_keys, domain = 4, 100_000
+    work = tempfile.mkdtemp(prefix="topk_bench_qstate_")
+    try:
+        def write_src(rows_per_key: int, name: str) -> str:
+            src = os.path.join(work, name)
+            # (id·knuth) mod domain: deterministic, covers the domain with
+            # repetition once rows_per_key > domain (real metric shape:
+            # many measurements over a bounded cents/ms value domain)
+            spark.range(rows_per_key * n_keys).select(
+                (F.col("id") % n_keys).cast("string").alias("k"),
+                ((F.col("id") * 2654435761) % domain).cast("long").alias("v"),
+            ).coalesce(4).write.parquet(src)
+            return src
+
+        def run_stream(build, src: str, tag: str) -> dict:
+            out_sink = os.path.join(work, f"out_{tag}")
+            q = (
+                build(spark.readStream.schema("k string, v long").parquet(src))
+                .writeStream.foreachBatch(
+                    lambda d, b: d.write.mode("append").parquet(out_sink)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(work, f"ckpt_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progs = [
+                pr if isinstance(pr, dict) else _json.loads(pr.json)
+                for pr in q.recentProgress
+            ]
+            ops = [
+                p["stateOperators"][0]
+                for p in progs
+                if p.get("stateOperators")
+            ]
+            last = ops[-1]
+            rows = int(last["numRowsTotal"])
+            mem = int(last.get("memoryUsedBytes") or 0)
+            return {
+                "state_rows": rows,
+                "state_mem_bytes": mem,
+                "state_mem_per_key": round(mem / max(rows, 1)),
+            }
+
+        def exact_build(s):
+            return streaming_exact_quantile(
+                s, key="k", value_col="v", pcts=(50, 99)
+            )
+
+        def gk_build(s):
+            return s.groupBy("k").agg(
+                F.percentile_approx("v", F.lit(0.5), F.lit(50)).alias("med")
+            )
+
+        out = {"keys": n_keys, "domain": domain}
+        for rows_per_key, tag in ((100_000, "small"), (500_000, "large")):
+            src = write_src(rows_per_key, f"src_{tag}")
+            ex = run_stream(exact_build, src, f"exact_{tag}")
+            # exact blob bytes, computed from the data itself (not the
+            # engine's map-overhead estimate): one key's full histogram
+            hist = (
+                spark.read.parquet(src)
+                .where(F.col("k") == "0")
+                .groupBy("v")
+                .agg(F.count("*").alias("c"))
+                .orderBy("v")
+                .collect()
+            )
+            blob = encode_histogram([r["v"] for r in hist], [r["c"] for r in hist])
+            ex["distinct_per_key"] = len(hist)
+            ex["blob_bytes_binary"] = len(blob)
+            ex["raw_rows_bytes_per_key"] = rows_per_key * 8
+            ex["raw_over_blob"] = round(rows_per_key * 8 / len(blob), 2)
+            out[f"exact_{tag}"] = ex
+            if tag == "large":
+                out["gk"] = run_stream(gk_build, src, "gk")
+        out["blob_constant_across_5x_rows"] = (
+            out["exact_large"]["blob_bytes_binary"]
+            <= out["exact_small"]["blob_bytes_binary"] * 1.05
+        )
+        out["exact_over_gk_mem"] = round(
+            out["exact_large"]["state_mem_bytes"]
+            / max(out["gk"]["state_mem_bytes"], 1),
+            2,
+        )
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1606,9 +1823,31 @@ def main() -> None:
         f"{serve_trend['rank_on_read']['p50_ms']} / P99 "
         f"{serve_trend['rank_on_read']['p99_ms']} ms; pre-ranked tier P50 "
         f"{serve_trend['preranked']['p50_ms']} / P99 "
-        f"{serve_trend['preranked']['p99_ms']} ms over "
+        f"{serve_trend['preranked']['p99_ms']} ms; ROUTED (TrendingRouter, "
+        f"fresh path) P50 {serve_trend['routed']['p50_ms']} / P99 "
+        f"{serve_trend['routed']['p99_ms']} ms over "
         f"{serve_trend['rank_on_read']['reads']} reads of "
         f"{serve_trend['distinct_ranges']} ranges",
+        file=sys.stderr,
+    )
+    serve_pct = bench_serving_percentiles(spark, sf_dir)
+    print(
+        f"# serving percentiles (exact P50/P90/P99 over histogram tier): "
+        f"warm P50 {serve_pct['warm']['p50_ms']} / P99 "
+        f"{serve_pct['warm']['p99_ms']} ms; cold first-read P50 "
+        f"{serve_pct['cold_first_ms']['p50_ms']} ms",
+        file=sys.stderr,
+    )
+    qstate = bench_quantile_state(spark)
+    print(
+        f"# quantile state at domain {qstate['domain']}: exact blob "
+        f"{qstate['exact_large']['blob_bytes_binary']} B/key (constant "
+        f"across 5x rows: {qstate['blob_constant_across_5x_rows']}), raw/blob "
+        f"{qstate['exact_large']['raw_over_blob']}x at "
+        f"{qstate['exact_large']['raw_rows_bytes_per_key']} raw B/key; "
+        f"state mem exact {qstate['exact_large']['state_mem_per_key']} vs GK "
+        f"{qstate['gk']['state_mem_per_key']} B/key "
+        f"(x{qstate['exact_over_gk_mem']})",
         file=sys.stderr,
     )
     sliding_ratio = bench_sliding_ratio(spark, sf_dir)
@@ -1783,6 +2022,8 @@ def main() -> None:
         "e2e_latency": latency,
         "serving_point_read": serve,
         "serving_trending": serve_trend,
+        "serving_percentiles": serve_pct,
+        "quantile_state": qstate,
         "sliding_ratio": sliding_ratio,
         "scaling": scaling,
         "regressions": regressions,
@@ -1835,6 +2076,11 @@ def _compact_summary(full: dict, detail_name: str) -> str:
         "serve_p50_ms": full["serving_point_read"]["warm"]["p50_ms"],
         "serve_p99_ms": full["serving_point_read"]["warm"]["p99_ms"],
         "trending_p99_ms": full["serving_trending"]["preranked"]["p99_ms"],
+        "trending_routed_p99_ms": full["serving_trending"]["routed"]["p99_ms"],
+        "pctile_p99_ms": full["serving_percentiles"]["warm"]["p99_ms"],
+        "qstate_raw_over_blob": full["quantile_state"]["exact_large"][
+            "raw_over_blob"
+        ],
         "sliding_r60_amp_over_slices": full["sliding_ratio"]["1h_1m"][
             "amplify_over_slices"
         ],

@@ -55,6 +55,17 @@ def _full_record(n_regressions: int = 0) -> dict:
         "serving_trending": {
             "rank_on_read": {"p50_ms": 133.5, "p99_ms": 164.1},
             "preranked": {"p50_ms": 72.7, "p99_ms": 95.8},
+            "routed": {"p50_ms": 74.1, "p99_ms": 97.2},
+        },
+        "serving_percentiles": {
+            "warm": {"p50_ms": 88.3, "p99_ms": 141.2},
+            "cold_first_ms": {"p50_ms": 301.4},
+        },
+        "quantile_state": {
+            "exact_large": {"raw_over_blob": 10.0,
+                            "blob_bytes_binary": 400000},
+            "gk": {"state_mem_per_key": 2048},
+            "exact_over_gk_mem": 183.2,
         },
         "sliding_ratio": {
             "5m_1m": {"amplify_over_slices": 0.9},
@@ -86,6 +97,7 @@ def test_compact_line_parses_and_fits_tail_capture():
         "metric", "value", "unit", "queries", "r01_subset_total", "sf",
         "ingest_eps", "ingest_skew_eps", "e2e_raw_s", "e2e_rollup_s",
         "serve_p50_ms", "serve_p99_ms", "trending_p99_ms",
+        "trending_routed_p99_ms", "pctile_p99_ms", "qstate_raw_over_blob",
         "sliding_r60_amp_over_slices", "join_alpha",
         "join_skew_per_pair_ratio", "chain_over_join_only",
         "scaling_flagged", "regressions", "detail",

@@ -181,3 +181,108 @@ def test_trending_route_registered_only_with_tier(spark):
         assert [(i["event_type"], i["rank"]) for i in by_w[BASE + MIN]] == [
             ("click", 1)
         ]
+
+
+def test_trending_route_via_router_when_preranked_supplied(spark):
+    """With BOTH a sliding tier and a pre-ranked tier, the trending route
+    goes through TrendingRouter: a fresh-and-shallow request must return
+    the materialized ranked rows (identical payload to rank-on-read), and a
+    request past the pre-ranked high-water mark must still answer — the
+    rank-on-read fallback, not an empty tile."""
+    from topk_spark.serve.http import create_app
+
+    tier = spark.createDataFrame(
+        [
+            (BASE, BASE + 5 * MIN, "purchase", 900),
+            (BASE, BASE + 5 * MIN, "click", 500),
+            (BASE, BASE + 5 * MIN, "view", 400),
+            (BASE, BASE + 5 * MIN, "refund", 100),
+            (BASE + MIN, BASE + 6 * MIN, "click", 77),
+        ],
+        "window_start long, window_end long, event_type string, "
+        "revenue_cents long",
+    )
+    # pre-ranked tier materialized only through the FIRST hop's end
+    preranked = spark.createDataFrame(
+        [
+            (BASE, BASE + 5 * MIN, "purchase", 900, 1),
+            (BASE, BASE + 5 * MIN, "click", 500, 2),
+            (BASE, BASE + 5 * MIN, "view", 400, 3),
+        ],
+        "window_start long, window_end long, event_type string, "
+        "revenue_cents long, rank int",
+    )
+    app = create_app(
+        spark, tier, trending_tier=tier, preranked_trending=preranked
+    )
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        # fresh: newest contained hop end == pre-ranked high-water mark
+        r = c.get(
+            "/api/v1/trending",
+            query_string={"start_time": BASE, "end_time": BASE + 5 * MIN},
+        )
+        assert r.status_code == 200
+        items = r.get_json()["items"]
+        assert [(i["event_type"], i["rank"]) for i in items] == [
+            ("purchase", 1), ("click", 2), ("view", 3)
+        ]
+        # stale: range reaches past the materialized frontier -> fallback
+        # must include the second hop the pre-ranked tier does not have
+        r2 = c.get(
+            "/api/v1/trending",
+            query_string={"start_time": BASE, "end_time": BASE + 6 * MIN},
+        )
+        assert r2.status_code == 200
+        ws = {i["window_start"] for i in r2.get_json()["items"]}
+        assert ws == {BASE, BASE + MIN}
+
+
+def test_percentiles_route(spark):
+    """The /api/v1/percentiles extension route: absent without a histogram
+    tier, present with one — exact order statistics per key over the range,
+    pcts parseable from the query string with the same fall-back-to-default
+    discipline as the reference's toLongOrNull params."""
+    from topk_spark.serve.http import create_app
+
+    # one key, values 1..100 cents each once, all inside one minute window
+    tier = spark.range(100).select(
+        F.lit("purchase").alias("event_type"),
+        (F.col("id") + 1).cast("long").alias("revenue_cents"),
+        F.lit(BASE).alias("window_start"),
+        F.lit(BASE + MIN).alias("window_end"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    bare = create_app(spark, tier)
+    bare.config["TESTING"] = True
+    with bare.test_client() as c:
+        assert c.get("/api/v1/percentiles").status_code == 404
+
+    app = create_app(spark, tier, histogram_tier=tier)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        r = c.get(
+            "/api/v1/percentiles",
+            query_string={
+                "start_time": BASE,
+                "end_time": BASE + MIN,
+                "pcts": "50,99",
+            },
+        )
+        assert r.status_code == 200
+        body = r.get_json()
+        assert body["restaurantId"] == "PERCENTILES"
+        assert body["k"] == 2
+        (item,) = body["items"]
+        assert item["event_type"] == "purchase"
+        assert item["n_rows"] == 100
+        assert item["p50_cents"] == 50 and item["p99_cents"] == 99
+        # malformed pcts falls back to (50, 90, 99), not a 400
+        r2 = c.get(
+            "/api/v1/percentiles",
+            query_string={"start_time": BASE, "end_time": BASE + MIN,
+                          "pcts": "fifty"},
+        )
+        assert r2.status_code == 200
+        (item2,) = r2.get_json()["items"]
+        assert item2["p90_cents"] == 90

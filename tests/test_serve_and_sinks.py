@@ -127,6 +127,20 @@ def test_trending_router_freshness_and_row_identity(spark):
     assert fb.exceptAll(fb_direct).count() == 0
     assert fb_direct.exceptAll(fb).count() == 0
 
+    # hour-bucket layout: with hour_bucket_col set, the pruned fast path
+    # must return exactly the same rows (the hb predicates are a superset
+    # of containment, never a filter change)
+    pr_hb = preranked.withColumn(
+        "hb", (F.col("window_start") / F.lit(HOUR)).cast("long")
+    )
+    router_hb = TrendingRouter(
+        pr_hb, rollup, slide_ms=MIN, preranked_k=3, hour_bucket_col="hb"
+    )
+    assert router_hb.route(*fresh, k=3) == "preranked"
+    via_hb = router_hb.read(*fresh, k=3)
+    assert via_hb.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_hb).count() == 0
+
 
 def test_write_olap_table_layout_and_retention(spark, tmp_path):
     df = spark.range(100).select(

@@ -7,11 +7,20 @@ Routes, exactly as the reference registers them:
 - GET /api/v1/restaurants/all/topk                 (:66-95)
 - GET /api/v1/restaurants/<id>/topk/revenue        (:98-128; id 'all' → global)
 
-Plus one EXTENSION route (registered only when a sliding tier is supplied):
+Plus two EXTENSION routes (each registered only when its tier is supplied):
 - GET /api/v1/trending?start_time=&end_time=&k=3   → serve/api.trending —
   ranked top-k per hop window, the live-leaderboard read
   (stream_sliding_topk_drain's serving story; same envelope, restaurantId
-  'TRENDING').
+  'TRENDING'). When `preranked_trending` is ALSO supplied, the route goes
+  through serve/router.TrendingRouter: fresh-and-shallow requests serve
+  from the materialized ranked rows (a pure range-pruned scan), the rest
+  rank on read — the measured-cheaper deployment shape (bench
+  serving_trending).
+- GET /api/v1/percentiles?start_time=&end_time=&pcts=50,90,99 →
+  serve/api.percentiles — exact per-key value percentiles over a windowed
+  histogram tier (the serving read for streaming/exact_quantile.py; the
+  reference's published numbers are latency percentiles, this is that
+  read as a route; envelope restaurantId 'PERCENTILES').
 
 Envelope parity (TopKController.kt:132-138 `TopKResponse` + Models.kt:39-49
 `TopKResult`): the wrapper keys are the Kotlin property names
@@ -52,11 +61,18 @@ def create_app(
     spark: SparkSession,
     rollup: DataFrame,
     trending_tier: DataFrame | None = None,
+    preranked_trending: DataFrame | None = None,
+    histogram_tier: DataFrame | None = None,
 ):
     """Build the Flask app serving the three reference routes + health over
     the given rollup DataFrame (columns per serve/api.py contract).
     `trending_tier`: optional SLIDING rollup tier (window_start/window_end/
-    event_type/revenue_cents) — supplying it registers /api/v1/trending."""
+    event_type/revenue_cents) — supplying it registers /api/v1/trending.
+    `preranked_trending`: optional materialized ranked rows (what the
+    trending drains emit) — with `trending_tier` it routes the trending
+    endpoint through TrendingRouter's freshness rule.
+    `histogram_tier`: optional per-(event_type, window, revenue_cents)
+    count tier — supplying it registers /api/v1/percentiles."""
     try:
         from flask import Flask, jsonify, request
     except ImportError as exc:  # pragma: no cover - env without flask
@@ -128,6 +144,13 @@ def create_app(
         return _respond(restaurant_id, start, end, k, df)
 
     if trending_tier is not None:
+        router = None
+        if preranked_trending is not None:
+            from topk_spark.serve.router import TrendingRouter
+
+            # one high-water probe at app build; a live deployment refreshes
+            # it from the drain's committed frontier
+            router = TrendingRouter(preranked_trending, trending_tier)
 
         @app.get("/api/v1/trending")
         def trending():
@@ -136,9 +159,37 @@ def create_app(
             end = _int_or(request.args.get("end_time"), now)
             start = _int_or(request.args.get("start_time"), now - 3_600_000)
             k = _int_or(request.args.get("k"), 3)
-            df = serve_api.trending(
-                trending_tier, "event_type", "revenue_cents", start, end, k
-            )
+            if router is not None:
+                df = router.read(start, end, k)
+            else:
+                df = serve_api.trending(
+                    trending_tier, "event_type", "revenue_cents", start, end, k
+                )
             return _respond("TRENDING", start, end, k, df)
+
+    if histogram_tier is not None:
+
+        @app.get("/api/v1/percentiles")
+        def percentiles():
+            now = serve_api._now_ms()
+            end = _int_or(request.args.get("end_time"), now)
+            start = _int_or(request.args.get("start_time"), now - 3_600_000)
+            raw = request.args.get("pcts")
+            try:
+                pcts = tuple(int(p) for p in raw.split(",")) if raw else (50, 90, 99)
+            except ValueError:
+                pcts = (50, 90, 99)  # toLongOrNull-style fallback, not a 400
+            df = serve_api.percentiles(
+                histogram_tier,
+                key_col="event_type",
+                value_col="revenue_cents",
+                count_col="n",
+                pcts=pcts,
+                start_ms=start,
+                end_ms=end,
+            )
+            # k is not a percentile-read parameter; echo the pct count so
+            # the envelope shape stays uniform across routes
+            return _respond("PERCENTILES", start, end, len(pcts), df)
 
     return app
