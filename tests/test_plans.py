@@ -351,3 +351,20 @@ def test_trending_1h_from_slices_plan_shape(spark, sf_dir):
     assert plan.count("Exchange") == 3, plan
     below = plan.split("Generate explode", 1)[1]
     assert below.count("HashAggregate") >= 2, plan
+
+
+def test_serve_percentiles_shares_one_sort_across_windows(spark, sf_dir):
+    """serve_percentiles: the exact-percentile read must stay a three-
+    exchange plan — tier rollup agg, per-(key,value) histogram agg, then
+    ONE key-partitioned exchange + ONE sort shared by BOTH window
+    functions (the cumulative ordered sum and the per-key total), with the
+    final per-key aggregate reusing that partitioning (no fourth
+    exchange). A second Sort or a fourth Exchange means the two window
+    specs stopped sharing their frame, doubling the read's shuffle cost;
+    a Join anywhere means the rank arithmetic regressed to a self-join."""
+    plan = plan_of("serve_percentiles", spark, sf_dir)
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 3, plan
+    assert plan.count("Window") == 2, plan
+    assert plan.count("+- Sort") == 1, plan
