@@ -1637,9 +1637,18 @@ def _trending_60_drain(
                 .parquet(tier)
             )
 
+        # W_prev is the max W over prior batches — and each batch's subdir
+        # is NAMED by its W (see the idempotent write below), so the
+        # frontier recovers from one directory listing, O(#batches), not a
+        # scan of the tier's data (which grows with history)
         w_prev = None
         if os.path.isdir(tier):
-            w_prev = read_tier().agg(F.max("window_end")).collect()[0][0]
+            ends = [
+                int(d.rsplit("_", 1)[1])
+                for d in os.listdir(tier)
+                if d.startswith("upto_")
+            ]
+            w_prev = max(ends) if ends else None
         batch = batch.persist()
         w_cur = batch.agg(F.max("window_end")).collect()[0][0]
         if w_cur is None:  # no slices closed this batch → no new hops
