@@ -516,3 +516,129 @@ def stream_exact_quantile_restart_drain(
     every type immediately, and the recovered counts shift every quantile
     at cents granularity."""
     return _exact_quantile_drain(spark, sf_dir, restart_after=1)
+
+
+# ---------------------------------------------------------------------------
+# The percentile SERVING TIER materialized LIVE (round 11): a built-in
+# windowed streaming aggregation keyed by (type, VALUE) emits per-minute
+# value->count histogram rows on window close; serve/api.percentiles then
+# answers the range read over the drained tier. Composes the tier
+# construction (closure policy, per-window value counts) and the read's
+# exact re-aggregation under ONE value hash — the deployment story behind
+# serve_percentiles, whose registered gate builds the same tier in batch.
+# ---------------------------------------------------------------------------
+
+# Oracle: exact order statistics over events whose minute window CLOSED
+# (window_end <= wm = max ts - 10 s) — the same integer rank arithmetic as
+# _EXACT_QUANTILE_ORACLE with the drain's closure predicate applied first.
+_LIVE_PCTILE_ORACLE = f"""
+WITH {_EV_ES},
+wm AS (
+  SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM es
+),
+f AS (
+  SELECT event_type, revenue_cents FROM es, wm
+  WHERE CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= wm.w
+),
+o AS (
+  SELECT event_type, revenue_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY revenue_cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p90_cents,
+       CAST(MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p99_cents
+FROM o GROUP BY event_type
+"""
+
+
+def _live_percentile_tier_drain(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
+    from topk_spark.ops.rollup import windowed_rollup
+    from topk_spark.serve.api import percentiles
+    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.streaming_drain_queries import _drain
+
+    ev = order_stream(spark, sf_dir).select("ts", "event_type", "revenue_cents")
+
+    def build(s: DataFrame) -> DataFrame:
+        return windowed_rollup(
+            s.withWatermark("ts", "10 seconds"),
+            "ts",
+            ["event_type", "revenue_cents"],
+            [F.count("*").alias("n")],
+            "1 minute",
+        ).select("event_type", "revenue_cents", "window_start", "window_end", "n")
+
+    tier = _drain(
+        spark,
+        ev,
+        build,
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=restart_after,
+    )
+    # the serving read over everything the stream has closed: every drained
+    # row is a closed window by append semantics, so the containment range
+    # is unbounded — the read's job here is the exact re-aggregation
+    return percentiles(
+        tier,
+        key_col="event_type",
+        value_col="revenue_cents",
+        count_col="n",
+        pcts=(50, 90, 99),
+        start_ms=0,
+        end_ms=1 << 53,
+    )
+
+
+@register(
+    "stream_percentile_tier_drain",
+    tags=("A7", "K2", "T1", "T5", "SERVE", "streaming"),
+    oracle=_LIVE_PCTILE_ORACLE,
+)
+def stream_percentile_tier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile serving tier MATERIALIZED LIVE, composed with its
+    serving read under one value hash: the streaming stage is a built-in
+    1-minute windowed aggregation keyed by (event_type, revenue_cents) —
+    the group key CONTAINS the metric value, so closed windows emit exactly
+    the per-window value->count histogram rows serve_percentiles reads —
+    and the drained tier feeds serve.api.percentiles for the exact
+    P50/P90/P99 per type. The oracle replays the ceil(p*n)-th order
+    statistic over events in CLOSED windows only (end <= max ts - 10 s),
+    so the hash pins the closure policy, the per-window value counts, AND
+    the read's lossless re-aggregation at cents granularity. vs
+    stream_exact_quantile_drain (custom GroupState blob updated per batch,
+    update mode): this is the WINDOWED form — state is bounded by open
+    windows x values-in-window, history lives in the tier, and the read
+    can answer ANY time range, which is what a serving deployment needs.
+    At 100 TB the streaming state is one row per (open window, type,
+    distinct value) and the tier append is exactly-once per closed window."""
+    return _live_percentile_tier_drain(spark, sf_dir)
+
+
+@register(
+    "stream_percentile_tier_restart_drain",
+    tags=("A7", "K2", "T1", "T8", "SERVE", "streaming", "restart"),
+    oracle=_LIVE_PCTILE_ORACLE,
+)
+def stream_percentile_tier_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_percentile_tier_drain`: the
+    recovered state is built-in windowed aggregation keyed by (type,
+    VALUE) — per-(window, type) there are as many state rows as distinct
+    cents values, so a reset loses straddling windows' partial counts for
+    thousands of keys at once and shifts the served quantiles at cents
+    granularity; the append log must also not re-emit tier rows already
+    closed before the stop (a duplicate histogram row double-counts its
+    value in the read's re-aggregation)."""
+    return _live_percentile_tier_drain(spark, sf_dir, restart_after=1)
