@@ -316,3 +316,84 @@ def serve_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ms=_START,
         end_ms=_END,
     )
+
+
+# Misaligned range for the routed read: the TierRouter must cover the
+# middle from the 1-HOUR tier and both half-hour edges from the 1-MINUTE
+# tier (2024-01-05T00:30Z .. 2024-01-24T23:30Z, minute-aligned endpoints).
+_R_START = _START + 1_800_000
+_R_END = _END - 86_400_000 - 1_800_000
+
+
+@register(
+    "percentiles_tier_routed",
+    tags=("SERVE", "A5", "A7", "A9", "K2"),
+    oracle=f"""
+WITH {_ES},
+f AS (
+  SELECT event_type, revenue_cents FROM es
+  WHERE CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) >= {_R_START}
+    AND CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= {_R_END}
+),
+o AS (
+  SELECT event_type, revenue_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY revenue_cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p90_cents,
+       CAST(MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p99_cents
+FROM o GROUP BY event_type
+""",
+)
+def percentiles_tier_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile read answered through the ROLLUP-TIER ROUTER
+    (serve/router.TierRouter — previously pinned only by unit tests, now
+    under the driver's value hash): a 1-minute value-histogram tier plus
+    its hourly MERGE-ROLLUP compaction (ops/rollup.merge_rollup — value
+    counts are sum-mergeable, so coarse histograms are exact), and a
+    deliberately MISALIGNED 20-day range whose half-hour edges only the
+    fine tier can tile. The router covers the aligned middle from ~470
+    hourly rows' worth of windows and the edges from 1-minute rows;
+    serve.api.percentiles re-aggregates counts across the union and
+    computes the exact ceil(p*n)-th order statistics. The oracle derives
+    the same statistics from raw events under minute containment, so the
+    hash proves the ladder + routing + read lossless end to end — scan a
+    month at hour granularity, pay minute granularity only at the edges
+    (the reference's rollup-ladder read discipline,
+    orders_1m_rollup_table.json:72-84, applied to histograms). At 100 TB
+    this is the difference between scanning ~10^6 hourly histogram rows
+    and ~10^10 raw events for a month-long percentile read."""
+    from topk_spark.ops.rollup import merge_rollup
+    from topk_spark.serve.api import percentiles
+    from topk_spark.serve.router import TierRouter
+
+    es = order_stream(spark, sf_dir)
+    t1m = windowed_rollup(
+        es,
+        "ts",
+        ["event_type", "revenue_cents"],
+        [F.count("*").alias("n")],
+        "1 minute",
+    ).select("event_type", "revenue_cents", "window_start", "window_end", "n")
+    t1h = merge_rollup(
+        t1m, ["event_type", "revenue_cents"], ["n"],
+        target_window_ms=3_600_000,
+    ).select("event_type", "revenue_cents", "window_start", "window_end", "n")
+    router = TierRouter({60_000: t1m, 3_600_000: t1h})
+    scan = router.scan(_R_START, _R_END)
+    return percentiles(
+        scan,
+        key_col="event_type",
+        value_col="revenue_cents",
+        count_col="n",
+        pcts=(50, 90, 99),
+        start_ms=_R_START,
+        end_ms=_R_END,
+    )
