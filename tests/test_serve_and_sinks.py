@@ -443,3 +443,53 @@ def test_trending_containment_rank_and_tiebreak(spark):
         by_w.setdefault(r.window_start, []).append(r)
     assert set(by_w) == {0, m}  # straddling [-1m,4m) still excluded
     assert [(r.event_type, r.rank) for r in by_w[m]] == [("a", 1)]
+
+
+def test_trending_router_fast_path_partition_prunes(spark, tmp_path):
+    """The round-11 measured lesson, pinned at the plan level: on an
+    hour-bucket-partitioned pre-ranked tier, the router's fast path must
+    push the hb predicates into PartitionFilters (without them the
+    'fast' path scanned all ~720 hour directories and measured ~5x slower
+    than rank-on-read — bench run 1). Asserts both the pruned file count
+    and the PartitionFilters clause."""
+    from topk_spark.serve.router import TrendingRouter
+
+    day0 = 1_704_067_200_000
+    n_hours = 48
+    pre = (
+        spark.range(n_hours * 60)
+        .select(
+            (F.lit(day0) + F.col("id") * MIN).alias("window_start"),
+            (F.lit(day0) + F.col("id") * MIN + 5 * MIN).alias("window_end"),
+            F.lit("a").alias("event_type"),
+            (F.col("id") * 7).cast("long").alias("revenue_cents"),
+            F.lit(1).cast("int").alias("rank"),
+        )
+        .withColumn("hb", (F.col("window_start") / F.lit(HOUR)).cast("long"))
+    )
+    path = str(tmp_path / "preranked")
+    pre.repartition("hb").write.partitionBy("hb").parquet(path)
+    tier = spark.read.parquet(path)
+
+    router = TrendingRouter(
+        tier, tier, slide_ms=MIN, preranked_k=3, hour_bucket_col="hb"
+    )
+    rg = (day0 + 10 * HOUR, day0 + 11 * HOUR)
+    assert router.route(*rg, k=3) == "preranked"
+    df = router.read(*rg, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "hb" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
+    # runtime proof of pruning (DataFrame.inputFiles ignores pushdown):
+    # the rows actually read come from exactly the two hour directories
+    # the range can touch, out of 48
+    touched = {
+        f["f"].rsplit("/", 2)[1]
+        for f in df.withColumn("f", F.input_file_name())
+        .select("f")
+        .distinct()
+        .collect()
+    }
+    want = {f"hb={day0 // HOUR + 9}", f"hb={day0 // HOUR + 10}"}
+    assert touched and touched <= want, (touched, want)
