@@ -437,7 +437,10 @@ def test_exact_order_statistics_law(hist, pcts):
     histogram to a sorted multiset and index the ceil(p·n/100)-th element
     directly (1-based). Integer rank arithmetic means the two can never
     disagree — including at exact rank boundaries, with ties, and with
-    negative values."""
+    negative values. pcts stay in GENERATED (arbitrary, possibly
+    duplicated) order: results must line up per caller index — the
+    round-10 ADVICE bug handed a smaller percentile the larger one's
+    value whenever it was listed after it."""
     import math
 
     from topk_spark.streaming.exact_quantile import exact_order_statistics
@@ -445,10 +448,71 @@ def test_exact_order_statistics_law(hist, pcts):
     hist.sort()
     values = [v for v, _ in hist]
     counts = [c for _, c in hist]
-    pcts = sorted(pcts)
     expanded = sorted(v for v, c in hist for _ in range(c))
     n, qs = exact_order_statistics(values, counts, pcts)
     assert n == len(expanded)
     for p, q in zip(pcts, qs):
         rank = math.ceil(n * p / 100)  # exact: n*p < 2**52
         assert q == expanded[rank - 1], (p, rank, n)
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),        # key
+            st.integers(0, 90),       # minute window index
+            st.integers(-500, 500),   # cents value (ties + negatives likely)
+            st.integers(1, 9),        # in-window count
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    pcts=st.lists(
+        st.integers(1, 100), min_size=1, max_size=4, unique=True
+    ),
+)
+def test_serve_percentiles_matches_order_statistics_law(spark, rows, pcts):
+    """serve.api.percentiles vs the registered rank arithmetic: for ANY
+    windowed histogram tier (arbitrary keys, windows, duplicate values
+    across windows, arbitrary counts) the endpoint's cumulative-window
+    derivation must equal exact_order_statistics on each key's MERGED
+    histogram — the law that lets the serving read, the streaming
+    operator, and every DuckDB oracle share one definition of q(p)."""
+    from topk_spark.serve.api import percentiles
+    from topk_spark.streaming.exact_quantile import exact_order_statistics
+
+    base = 1_704_067_200_000
+    pcts = sorted(pcts)
+    tier = spark.createDataFrame(
+        [
+            (str(k), base + w * 60_000, base + (w + 1) * 60_000, v, c)
+            for k, w, v, c in rows
+        ],
+        "event_type string, window_start long, window_end long, "
+        "revenue_cents long, n long",
+    )
+    got = {
+        r["event_type"]: tuple(r)[1:]
+        for r in percentiles(
+            tier,
+            key_col="event_type",
+            value_col="revenue_cents",
+            count_col="n",
+            pcts=tuple(pcts),
+            start_ms=0,
+            end_ms=1 << 53,
+        ).collect()
+    }
+    # model: merge each key's histogram across windows, then the shared
+    # integer rank arithmetic
+    merged: dict[str, dict[int, int]] = {}
+    for k, w, v, c in rows:
+        merged.setdefault(str(k), {})
+        merged[str(k)][v] = merged[str(k)].get(v, 0) + c
+    assert set(got) == set(merged)
+    for k, hist in merged.items():
+        values = sorted(hist)
+        counts = [hist[v] for v in values]
+        n, qs = exact_order_statistics(values, counts, pcts)
+        assert got[k] == (n, *qs), (k, got[k], (n, *qs))
