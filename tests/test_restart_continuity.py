@@ -1011,3 +1011,55 @@ def test_trending_slices_restart_both_providers(spark, tmp_path, store, sf_dir):
         f"trending slices composition diverged across restart under {store}: "
         f"{len(got)} vs {len(want)} rows"
     )
+
+
+def test_percentile_tier_restart_both_providers(spark, tmp_path, store, sf_dir):
+    """The live percentile tier across a restart (round 11): built-in
+    windowed aggregation whose GROUP KEY CONTAINS THE METRIC VALUE — per
+    (window, type) there are as many state rows as distinct cents values,
+    the highest-cardinality windowed-agg state class in the suite (the
+    sliding pin above recovers a handful of windows; this recovers
+    thousands of value rows). The drained tier feeds the percentile read,
+    so a lost straddling window's partial counts shift served quantiles at
+    cents granularity and n_rows mechanically; the expected result is the
+    order-statistic derivation over events in closed minutes."""
+    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.heavyhitter_queries import (
+        _live_percentile_tier_drain,
+    )
+
+    got_df = _live_percentile_tier_drain(spark, sf_dir, restart_after=1)
+
+    ev = order_stream(spark, sf_dir).select("ts", "event_type", "revenue_cents")
+    want_df = spark.sql(
+        """
+        WITH wm AS (SELECT max(unix_millis(ts)) - 10000 AS w FROM {ev}),
+        f AS (
+          SELECT event_type, revenue_cents FROM {ev}, wm
+          WHERE CAST(floor(unix_millis(ts) / 60000) * 60000 AS BIGINT)
+                  + 60000 <= wm.w
+        ),
+        o AS (
+          SELECT event_type, revenue_cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY revenue_cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM f
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+               MIN(CASE WHEN rn = (n * 50 + 99) div 100
+                        THEN revenue_cents END) AS p50_cents,
+               MIN(CASE WHEN rn = (n * 90 + 99) div 100
+                        THEN revenue_cents END) AS p90_cents,
+               MIN(CASE WHEN rn = (n * 99 + 99) div 100
+                        THEN revenue_cents END) AS p99_cents
+        FROM o GROUP BY event_type
+        """,
+        ev=ev,
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert len(want) >= 3
+    assert got == want, (
+        f"value-keyed windowed-agg state lost across restart under {store}"
+    )
