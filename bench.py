@@ -682,6 +682,84 @@ def bench_serving_trending(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_sliding_state_rows(spark, sf_dir: str) -> dict:
+    """LIVE streaming-state comparison at the dashboard-standard hop ratio
+    60 (1h/1m): the direct sliding aggregation holds one state row per OPEN
+    hop window per key (~ratio per key at steady state), the slice-sharing
+    form one row per open 1-minute slice per key (~1). Both run as real
+    availableNow streaming queries over event-time-ordered tiles (so the
+    watermark advances batch by batch and eviction actually happens);
+    `final_state_rows` is the engine's own numRowsTotal after the last
+    batch — open windows only, the steady-state footprint a continuous
+    deployment carries. This is the measured form of the PLANS.md
+    amplification rule's state claim (the batch sliding_ratio section
+    measures the compute side)."""
+    import json as _json
+
+    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.streaming_drain_queries import (
+        _range_tile,
+        _write_ordered_tiles,
+    )
+
+    work = tempfile.mkdtemp(prefix="topk_bench_slstate_")
+    try:
+        es = order_stream(spark, sf_dir).select("ts", "event_type", "revenue_cents")
+        tiled = _range_tile(es, "ts", 4)
+        src, _ = _write_ordered_tiles(tiled, work, "src", 4, None)
+
+        def run(form: str) -> dict:
+            stream = (
+                spark.readStream.schema(es.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(src)
+                .withWatermark("ts", "10 seconds")
+            )
+            win = (
+                F.window("ts", "1 hour", "1 minute")
+                if form == "direct"
+                else F.window("ts", "1 minute")
+            )
+            agg = stream.groupBy(win.alias("w"), "event_type").agg(
+                F.sum("revenue_cents").alias("s")
+            )
+            out_sink = os.path.join(work, f"out_{form}")
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda d, b: d.write.mode("append").parquet(out_sink)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, f"ckpt_{form}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in (
+                    pr if isinstance(pr, dict) else _json.loads(pr.json)
+                    for pr in q.recentProgress
+                )
+                if p.get("stateOperators")
+            ]
+            return {"final_state_rows": rows[-1], "peak_state_rows": max(rows)}
+
+        direct = run("direct")
+        slices = run("slices")
+        return {
+            "ratio": 60,
+            "direct": direct,
+            "slices": slices,
+            "direct_over_slices_final": round(
+                direct["final_state_rows"] / max(slices["final_state_rows"], 1),
+                2,
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_serving_percentiles(spark, sf_dir: str) -> dict:
     """Warm/cold latency of the exact-percentile endpoint
     (serve/api.percentiles over a MATERIALIZED per-(key, 1m window, value)
@@ -1860,6 +1938,16 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
+    slstate = bench_sliding_state_rows(spark, sf_dir)
+    print(
+        f"# live sliding state rows at ratio 60: direct "
+        f"{slstate['direct']['final_state_rows']} vs slices "
+        f"{slstate['slices']['final_state_rows']} open rows after drain "
+        f"(x{slstate['direct_over_slices_final']}; peaks "
+        f"{slstate['direct']['peak_state_rows']}/"
+        f"{slstate['slices']['peak_state_rows']})",
+        file=sys.stderr,
+    )
 
     streaming = bench_streaming_ingest(spark, float(sf))
     print(
@@ -2025,6 +2113,7 @@ def main() -> None:
         "serving_percentiles": serve_pct,
         "quantile_state": qstate,
         "sliding_ratio": sliding_ratio,
+        "sliding_state_rows": slstate,
         "scaling": scaling,
         "regressions": regressions,
         "regressions_noise_cleared": noise_cleared,
@@ -2083,6 +2172,9 @@ def _compact_summary(full: dict, detail_name: str) -> str:
         ],
         "sliding_r60_amp_over_slices": full["sliding_ratio"]["1h_1m"][
             "amplify_over_slices"
+        ],
+        "sliding_r60_state_ratio": full["sliding_state_rows"][
+            "direct_over_slices_final"
         ],
         "neardup_alpha_rocksdb": full["streaming_scaling"]["neardup"]
         .get("rocksdb", {})

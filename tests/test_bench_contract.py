@@ -71,6 +71,11 @@ def _full_record(n_regressions: int = 0) -> dict:
             "5m_1m": {"amplify_over_slices": 0.9},
             "1h_1m": {"amplify_over_slices": 2.201},
         },
+        "sliding_state_rows": {
+            "direct": {"final_state_rows": 300, "peak_state_rows": 54000},
+            "slices": {"final_state_rows": 5, "peak_state_rows": 10900},
+            "direct_over_slices_final": 60.0,
+        },
         "scaling": {"flagged": []},
         "regressions": [
             {
@@ -98,7 +103,7 @@ def test_compact_line_parses_and_fits_tail_capture():
         "ingest_eps", "ingest_skew_eps", "e2e_raw_s", "e2e_rollup_s",
         "serve_p50_ms", "serve_p99_ms", "trending_p99_ms",
         "trending_routed_p99_ms", "pctile_p99_ms", "qstate_raw_over_blob",
-        "sliding_r60_amp_over_slices", "join_alpha",
+        "sliding_r60_amp_over_slices", "sliding_r60_state_ratio", "join_alpha",
         "join_skew_per_pair_ratio", "chain_over_join_only",
         "scaling_flagged", "regressions", "detail",
     ):
