@@ -638,11 +638,12 @@ def bench_serving_trending(spark, sf_dir: str) -> dict:
         # pre-ranked scan when fresh, rank-on-read fallback otherwise. All
         # ten ranges here are materialized, so this measures the fresh path
         # plus routing overhead.
-        from topk_spark.serve.router import TrendingRouter
+        from topk_spark.serve.router import TierSpec, TrendingRouter
 
         router = TrendingRouter(
-            ranked_tier, tier, slide_ms=60_000, preranked_k=3,
-            hour_bucket_col="hb",
+            TierSpec(df=ranked_tier, window_ms=300_000, partition_col="hb",
+                     partition_ms=hour),
+            tier, slide_ms=60_000, preranked_k=3,
         )
         if router.route(ranges[0][0], ranges[0][1], 3) != "preranked":
             raise RuntimeError(

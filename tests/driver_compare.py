@@ -139,6 +139,11 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
     reg = load_all()
     args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:  # --json PATH: also dump {name: result} as JSON
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     names = list(reg) if args == ["--all"] else args
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # The driver imports __spark_entry__ into its OWN session — no UTC
@@ -157,6 +162,7 @@ def main():
     else:
         spark = get_spark("driver_compare")
     failures = 0
+    results: dict[str, dict] = {}
     for name in names:
         q = reg[name]
         try:
@@ -165,7 +171,19 @@ def main():
             res = {"name": name, "status": "ERROR", "err": repr(e)[:300]}
         if res["status"] not in ("PASS", "rows_only"):
             failures += 1
+        results[name] = res
         print(res, flush=True)
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {n: {k: repr(v) if k in ("schema", "type_drift", "first_diffs")
+                     and not isinstance(v, str) else v
+                     for k, v in r.items()}
+                 for n, r in results.items()},
+                fh, indent=1,
+            )
     print(f"failures: {failures}")
     sys.exit(1 if failures else 0)
 

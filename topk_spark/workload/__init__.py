@@ -98,6 +98,13 @@ _PRIORITY_MODULES: tuple[str, ...] = (
 #     binary int64 arrays (same histogram, same oracle — but the state path
 #     changed, so both drains face the gate again), and funnel_conversion
 #     gained the explicit broadcast on its scalar crossJoin chain.
+#   round-12 implementation changes (standing window discipline): the
+#     trending-60 drain's frontier derivation became retry-safe (excludes
+#     the batch's own upto_<W_cur> subdir — round-11 ADVICE) and moved to
+#     the shared io/tier.py helpers; decode_histogram gained the legacy-
+#     JSON-state fallback (both exact-quantile drains decode state through
+#     it); percentiles_tier_routed now routes through TierSpec-carrying
+#     tiers (router layout metadata).
 _FORCE_RESAMPLE: dict[str, int] = {
     "rolling_7d_revenue": 4,
     "minhash_lsh_neardup": 5,
@@ -105,9 +112,12 @@ _FORCE_RESAMPLE: dict[str, int] = {
     "stream_embed_neardup_restart_drain": 10,
     "approx_percentile_bound": 10,
     "stream_asof_leftouter_drain": 10,
-    "stream_exact_quantile_drain": 11,
-    "stream_exact_quantile_restart_drain": 11,
+    "stream_exact_quantile_drain": 12,
+    "stream_exact_quantile_restart_drain": 12,
     "funnel_conversion": 11,
+    "stream_trending_1h_1m_drain": 12,
+    "stream_trending_1h_1m_restart_drain": 12,
+    "percentiles_tier_routed": 12,
 }
 
 # (Names pruned from the registry in later rounds are dropped from this

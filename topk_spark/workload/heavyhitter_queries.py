@@ -642,3 +642,230 @@ def stream_percentile_tier_restart_drain(
     closed before the stop (a duplicate histogram row double-counts its
     value in the read's re-aggregation)."""
     return _live_percentile_tier_drain(spark, sf_dir, restart_after=1)
+
+
+# ---------------------------------------------------------------------------
+# LIVE tier compaction (round 12): the reference's MergeRollupTask runs
+# CONTINUOUSLY alongside ingestion (orders_1m_rollup_table.json:72-84,
+# bufferTimePeriod=24h) — fine segments older than a buffer horizon are
+# replaced by coarse rollups WHILE new data keeps arriving, and reads span
+# the mixed fine/coarse ladder. This composes that: the percentile drain's
+# foreachBatch persists closed 1-minute histogram rows to a fine tier AND
+# compacts every hour older than (watermark − 24h) into an hourly tier, each
+# with the idempotent upto_<frontier> subdir discipline (io/tier.py); the
+# final read routes across the mixed tiers via TierRouter with the hourly
+# tier's TierSpec.through_ms = its compaction frontier C — coarse rows
+# answer history through C, fine rows answer the recent tail, and the range
+# DELIBERATELY straddles C so the hash pins the boundary.
+# ---------------------------------------------------------------------------
+
+_HOUR_MS = 3_600_000
+_COMPACT_BUFFER_MS = 24 * _HOUR_MS  # reference bufferTimePeriod=24h
+
+# Oracle: the same closed-window order statistics as _LIVE_PCTILE_ORACLE,
+# over a range DERIVED the way the engine derives it — C = hour-floor of
+# (fine frontier W − 24 h) where W = max closed minute end, range
+# [C − 2.5 h, C + 1.5 h) — so the hash proves the whole composition (live
+# append + continuous compaction + frontier recovery + routed read) against
+# raw events. Lossy compaction, a double-counted retry, a mis-clamped
+# router, or a frontier off by one hour all shift counts at cents
+# granularity.
+_COMPACTED_PCTILE_ORACLE = f"""
+WITH {_EV_ES},
+wm AS (
+  SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM es
+),
+cw AS (
+  SELECT max(CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000) AS we
+  FROM es, wm
+  WHERE CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= wm.w
+),
+rng AS (
+  SELECT (we - {_COMPACT_BUFFER_MS}) // {_HOUR_MS} * {_HOUR_MS} - 9000000 AS r0,
+         (we - {_COMPACT_BUFFER_MS}) // {_HOUR_MS} * {_HOUR_MS} + 5400000 AS r1
+  FROM cw
+),
+f AS (
+  SELECT event_type, revenue_cents FROM es, wm, rng
+  WHERE CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) >= rng.r0
+    AND CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= rng.r1
+    AND CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= wm.w
+),
+o AS (
+  SELECT event_type, revenue_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY revenue_cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p90_cents,
+       CAST(MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p99_cents
+FROM o GROUP BY event_type
+"""
+
+
+def _compacted_percentile_tier_drain(
+    spark: SparkSession,
+    sf_dir: str,
+    restart_after: int | None = None,
+    _debug_dirs: list | None = None,
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from topk_spark.io.tier import append_upto, read_tier, tier_frontier
+    from topk_spark.ops.rollup import merge_rollup, windowed_rollup
+    from topk_spark.serve.api import percentiles
+    from topk_spark.serve.router import TierRouter, TierSpec
+    from topk_spark.workload.events_queries import order_stream
+    from topk_spark.workload.streaming_drain_queries import _TMP_ROOTS, _drain
+
+    tier_root = tempfile.mkdtemp(prefix="topk_spark_pctile_compact_")
+    _TMP_ROOTS.append(tier_root)
+    fine_dir = os.path.join(tier_root, "fine")
+    coarse_dir = os.path.join(tier_root, "coarse")
+    if _debug_dirs is not None:
+        _debug_dirs.extend([fine_dir, coarse_dir])
+
+    ev = order_stream(spark, sf_dir).select("ts", "event_type", "revenue_cents")
+
+    def build(s: DataFrame) -> DataFrame:
+        return windowed_rollup(
+            s.withWatermark("ts", "10 seconds"),
+            "ts",
+            ["event_type", "revenue_cents"],
+            [F.count("*").alias("n")],
+            "1 minute",
+        ).select("event_type", "revenue_cents", "window_start", "window_end", "n")
+
+    def persist_and_compact(batch: DataFrame) -> DataFrame:
+        """The continuous MergeRollupTask analog, one hop per micro-batch:
+        append the batch's closed fine rows (idempotent by fine frontier
+        W), then compact every hour whose end moved under the buffer
+        horizon hour-floor(W − 24h) into the hourly tier (idempotent by
+        compaction frontier C). A retry of either write overwrites its own
+        upto_<frontier> subdir — no double-counted histogram rows — and
+        both frontiers re-derive from directory names with `below=` the
+        current value, so a retry also compacts the SAME hour span
+        (io/tier.py; the round-11 ADVICE derivation order). Hours in
+        (C_prev, C_cur] are fully present in the fine tier when compacted:
+        their minute windows end before C_cur <= W − 24h, hence closed and
+        appended by a strictly earlier (or this) batch's fine write."""
+        sess = batch.sparkSession
+        batch = batch.persist()
+        w_cur = batch.agg(F.max("window_end")).collect()[0][0]
+        if w_cur is None:
+            batch.unpersist()
+            return sess.createDataFrame([], batch.schema)
+        append_upto(batch, fine_dir, w_cur)
+        batch.unpersist()
+        c_cur = (w_cur - _COMPACT_BUFFER_MS) // _HOUR_MS * _HOUR_MS
+        c_prev = tier_frontier(coarse_dir, below=c_cur)
+        floor_c = c_prev if c_prev is not None else -(1 << 62)
+        if c_cur > floor_c:
+            fine = read_tier(sess, fine_dir, batch.schema)
+            newly = fine.filter(
+                (F.col("window_end") <= F.lit(c_cur))
+                & (F.col("window_end") > F.lit(floor_c))
+            )
+            hourly = merge_rollup(
+                newly, ["event_type", "revenue_cents"], ["n"],
+                target_window_ms=_HOUR_MS,
+            ).select(
+                "event_type", "revenue_cents", "window_start", "window_end", "n"
+            )
+            # written even when empty: the upto_<C> subdir IS the recorded
+            # frontier, so C advances deterministically with the watermark
+            # (an hour with no events compacts to zero rows, not to a
+            # frontier stall)
+            append_upto(hourly, coarse_dir, c_cur)
+        return sess.createDataFrame([], batch.schema)
+
+    _drain(
+        spark,
+        ev,
+        build,
+        output_mode="append",
+        max_files_per_trigger=3,
+        ordered_split=("ts", 3),
+        restart_after=restart_after,
+        batch_transform=persist_and_compact,
+    )
+
+    schema = (
+        "event_type string, revenue_cents long, window_start long, "
+        "window_end long, n long"
+    )
+    fine = read_tier(spark, fine_dir, schema)
+    coarse = read_tier(spark, coarse_dir, schema)
+    c = tier_frontier(coarse_dir)
+    router = TierRouter(
+        {
+            _HOUR_MS: TierSpec(df=coarse, window_ms=_HOUR_MS, through_ms=c),
+            60_000: TierSpec(df=fine, window_ms=60_000),
+        }
+    )
+    r0, r1 = c - 9_000_000, c + 5_400_000
+    return percentiles(
+        router.scan(r0, r1),
+        key_col="event_type",
+        value_col="revenue_cents",
+        count_col="n",
+        pcts=(50, 90, 99),
+        start_ms=r0,
+        end_ms=r1,
+    )
+
+
+@register(
+    "stream_compacted_tier_drain",
+    tags=("A5", "A7", "A9", "S10", "SERVE", "streaming"),
+    oracle=_COMPACTED_PCTILE_ORACLE,
+)
+def stream_compacted_tier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE merge-rollup compaction under the value hash — the reference's
+    continuous MergeRollupTask (orders_1m_rollup_table.json:72-84,
+    bufferTimePeriod=24h) composed end to end: while the percentile
+    histogram drain keeps appending closed 1-minute rows, every hour older
+    than (watermark − 24h) is compacted into an hourly histogram tier
+    inside the same foreachBatch, and the final read routes across the
+    MIXED ladder (TierRouter with the hourly TierSpec clamped at its
+    compaction frontier C) over a range that deliberately straddles C —
+    2 hours answered from coarse rows, the half-hour edge and the 1.5 h
+    tail past the horizon from fine rows. The oracle re-derives C and the
+    range from raw events, so the hash proves compaction-during-ingest
+    lossless INCLUDING the horizon boundary; both tier writes are
+    idempotent by upto_<frontier> subdir overwrite (a foreachBatch retry
+    replaces its own output and re-derives the same predecessor frontier —
+    no double-counted rows; io/tier.py). At 100 TB this is the ladder
+    maintenance story: history costs one hourly row per (key, value, hour)
+    instead of 60 minute rows, reads prune to ~hours not ~minutes, and the
+    compactor's incremental span (C_prev, C_cur] touches each fine row
+    exactly once."""
+    return _compacted_percentile_tier_drain(spark, sf_dir)
+
+
+@register(
+    "stream_compacted_tier_restart_drain",
+    tags=("A5", "A9", "T8", "SERVE", "streaming", "restart"),
+    oracle=_COMPACTED_PCTILE_ORACLE,
+)
+def stream_compacted_tier_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_compacted_tier_drain`: generation
+    1 drains only the first event-time tile (appending fine rows AND
+    compacting its pre-horizon hours), then a freshly-built query resumes
+    from the checkpoint. BOTH frontiers must recover from the persisted
+    tiers' subdir names — a reset fine frontier would re-append (duplicate)
+    closed histogram rows, a reset compaction frontier would re-compact
+    hours already in the coarse tier and double every pre-stop count in the
+    routed read; recovered windowed-aggregation state must also finish the
+    minute windows straddling the stop. The same hash as the forward drain
+    pins all of it."""
+    return _compacted_percentile_tier_drain(spark, sf_dir, restart_after=1)
