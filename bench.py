@@ -837,6 +837,152 @@ def bench_serving_percentiles(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_percentile_ladder(spark, sf_dir: str) -> dict:
+    """LONG-RANGE routed percentile read over the mixed 1m/1h histogram
+    ladder (round-11 VERDICT #3's measurement ask) — fine-tier-only vs
+    TierRouter, with rows-scanned recorded per path, for TWO value domains:
+
+    - revenue_cents: a VALUE-DOMINATED histogram — at this fixture nearly
+      every (minute, type, value) row carries a distinct value, so hourly
+      compaction cannot collapse rows (measured ~1.00x) and the ladder's
+      only win is partition-count, not row-count. The expected "~60x"
+      ladder cut does NOT apply to such histograms — that expectation comes
+      from METRIC rollups (sums), where coarsening is exactly window-ratio.
+    - quantity: a SMALL domain (1..5) — hourly rows collapse toward
+      |domain| x |keys| x hours and the ladder pays off the way the metric
+      ladder does.
+
+    The recorded rule (PLANS.md round-12): histogram-ladder compression =
+    value-domain saturation of the coarse window, not the window ratio;
+    coarsen percentile tiers only where values repeat (bounded domains,
+    bucketed values), otherwise serve long ranges from the fine tier and
+    rely on partition pruning alone."""
+    from topk_spark.ops.rollup import merge_rollup, windowed_rollup
+    from topk_spark.serve.api import percentiles
+    from topk_spark.serve.router import TierRouter, TierSpec
+    from topk_spark.workload.events_queries import order_stream
+
+    hour, day = 3_600_000, 86_400_000
+    work = tempfile.mkdtemp(prefix="topk_bench_ladder_")
+    out: dict[str, dict] = {}
+    try:
+        es = order_stream(spark, sf_dir)
+        for vcol in ("revenue_cents", "quantity"):
+            base = es.select(
+                "ts", "event_type", F.col(vcol).cast("long").alias("v")
+            )
+            fpath = os.path.join(work, f"fine_{vcol}")
+            windowed_rollup(
+                base, "ts", ["event_type", "v"], [F.count("*").alias("n")],
+                "1 minute",
+            ).select("event_type", "v", "window_start", "window_end", "n")\
+             .withColumn("hb", (F.col("window_start") / F.lit(hour)).cast("long"))\
+             .repartition("hb").write.partitionBy("hb").parquet(fpath)
+            fine = spark.read.parquet(fpath)
+            cpath = os.path.join(work, f"coarse_{vcol}")
+            merge_rollup(
+                fine.drop("hb"), ["event_type", "v"], ["n"],
+                target_window_ms=hour,
+            ).select("event_type", "v", "window_start", "window_end", "n")\
+             .withColumn("db", (F.col("window_start") / F.lit(day)).cast("long"))\
+             .repartition("db").write.partitionBy("db").parquet(cpath)
+            coarse = spark.read.parquet(cpath)
+            bounds = fine.agg(
+                F.min("window_start").alias("lo"), F.max("window_end").alias("hi")
+            ).collect()[0]
+            r0, r1 = bounds.lo + 1_800_000, bounds.hi - 1_800_000  # misaligned
+            router = TierRouter({
+                hour: TierSpec(df=coarse, window_ms=hour,
+                               partition_col="db", partition_ms=day),
+                60_000: TierSpec(df=fine, window_ms=60_000,
+                                 partition_col="hb", partition_ms=hour),
+            })
+            fine_scan = TierSpec(
+                df=fine, window_ms=60_000, partition_col="hb",
+                partition_ms=hour,
+            ).pruned(r0, r1)
+            routed_scan = router.scan(r0, r1)
+            entry: dict = {
+                "range_hours": round((r1 - r0) / hour, 1),
+                "fine_rows_scanned": fine_scan.count(),
+                "routed_rows_scanned": routed_scan.count(),
+            }
+            entry["rows_ratio"] = round(
+                entry["fine_rows_scanned"]
+                / max(entry["routed_rows_scanned"], 1), 2,
+            )
+            for name, scan in (("fine_only", fine_scan), ("routed", routed_scan)):
+                rd = percentiles(
+                    scan, key_col="event_type", value_col="v", count_col="n",
+                    pcts=(50, 90, 99), start_ms=r0, end_ms=r1,
+                )
+                rows = len(rd.collect())  # prime
+                if rows == 0:
+                    raise RuntimeError(
+                        f"ladder bench ({vcol}/{name}) read zero rows"
+                    )
+                t = []
+                for _ in range(6):
+                    t0 = time.perf_counter()
+                    rd.collect()
+                    t.append(time.perf_counter() - t0)
+                t.sort()
+                entry[f"{name}_p50_ms"] = _pct(t, 0.50)
+            entry["routed_speedup"] = round(
+                entry["fine_only_p50_ms"] / max(entry["routed_p50_ms"], 1e-9), 2
+            )
+            out[vcol] = entry
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_serving_scaling(
+    spark, sf_dir: str, main_points: dict[str, float]
+) -> dict:
+    """Latency-scaling exponents for the SERVING reads (round-11 VERDICT
+    #5): the headline queries have a measured t ~ n^alpha over the testdata
+    ladder (bench_scaling); the serving paths were measured at the main sf
+    only. Re-runs the trending-tile and percentile serving benches at the
+    largest ladder sf below the main run and records
+    alpha = log(p50_main/p50_ref)/log(step) per path. Pruned tier reads
+    should be strongly sublinear (alpha << 1): their scan is bounded by the
+    touched partitions, not the corpus — a near-linear serving alpha means
+    a read is scanning the tier, and would not survive 100x."""
+    import math
+
+    try:
+        sf_main = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return {"step": None, "alphas": {}}
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    ref_dir = os.path.join(root, "sf0.01")
+    if not os.path.isdir(ref_dir) or sf_main <= 0.01:
+        return {"step": None, "alphas": {}}
+    step = sf_main / 0.01
+    ref_trend = bench_serving_trending(spark, ref_dir)
+    ref_pct = bench_serving_percentiles(spark, ref_dir)
+    ref_points = {
+        "trending_rank_on_read": ref_trend["rank_on_read"]["p50_ms"],
+        "trending_preranked": ref_trend["preranked"]["p50_ms"],
+        "trending_routed": ref_trend["routed"]["p50_ms"],
+        "percentiles_warm": ref_pct["warm"]["p50_ms"],
+    }
+    alphas = {}
+    for k, ref in ref_points.items():
+        main = main_points.get(k)
+        if main and ref:
+            alphas[k] = {
+                "ref_p50_ms": ref,
+                "main_p50_ms": main,
+                "alpha": round(
+                    math.log(max(main, 1e-3) / max(ref, 1e-3))
+                    / math.log(step), 3,
+                ),
+            }
+    return {"step": step, "ref_sf": 0.01, "alphas": alphas}
+
+
 def bench_quantile_state(spark) -> dict:
     """State-size measurement for the exact integer-histogram quantile
     (streaming/exact_quantile.py, binary two-array encoding new r11) vs GK
@@ -1917,6 +2063,35 @@ def main() -> None:
         f"{serve_pct['cold_first_ms']['p50_ms']} ms",
         file=sys.stderr,
     )
+    ladder = bench_percentile_ladder(spark, sf_dir)
+    print(
+        "# percentile ladder (long-range routed vs fine-only): "
+        + "; ".join(
+            f"{k}: rows {v['fine_rows_scanned']}->{v['routed_rows_scanned']} "
+            f"(x{v['rows_ratio']}), p50 {v['fine_only_p50_ms']}->"
+            f"{v['routed_p50_ms']} ms (x{v['routed_speedup']})"
+            for k, v in ladder.items()
+        ),
+        file=sys.stderr,
+    )
+    serve_scale = bench_serving_scaling(
+        spark, sf_dir,
+        {
+            "trending_rank_on_read": serve_trend["rank_on_read"]["p50_ms"],
+            "trending_preranked": serve_trend["preranked"]["p50_ms"],
+            "trending_routed": serve_trend["routed"]["p50_ms"],
+            "percentiles_warm": serve_pct["warm"]["p50_ms"],
+        },
+    )
+    print(
+        f"# serving latency scaling over a {serve_scale.get('step')}x data "
+        f"step: "
+        + "; ".join(
+            f"{k}: {v['ref_p50_ms']}->{v['main_p50_ms']} ms (alpha {v['alpha']})"
+            for k, v in serve_scale.get("alphas", {}).items()
+        ),
+        file=sys.stderr,
+    )
     qstate = bench_quantile_state(spark)
     print(
         f"# quantile state at domain {qstate['domain']}: exact blob "
@@ -2112,6 +2287,8 @@ def main() -> None:
         "serving_point_read": serve,
         "serving_trending": serve_trend,
         "serving_percentiles": serve_pct,
+        "percentile_ladder": ladder,
+        "serving_scaling": serve_scale,
         "quantile_state": qstate,
         "sliding_ratio": sliding_ratio,
         "sliding_state_rows": slstate,
@@ -2168,6 +2345,18 @@ def _compact_summary(full: dict, detail_name: str) -> str:
         "trending_p99_ms": full["serving_trending"]["preranked"]["p99_ms"],
         "trending_routed_p99_ms": full["serving_trending"]["routed"]["p99_ms"],
         "pctile_p99_ms": full["serving_percentiles"]["warm"]["p99_ms"],
+        "ladder_ratio_qty": full["percentile_ladder"]["quantity"]["rows_ratio"],
+        "ladder_ratio_rev": full["percentile_ladder"]["revenue_cents"][
+            "rows_ratio"
+        ],
+        "serve_alpha_pct": full["serving_scaling"]
+        .get("alphas", {})
+        .get("percentiles_warm", {})
+        .get("alpha"),
+        "serve_alpha_trend_routed": full["serving_scaling"]
+        .get("alphas", {})
+        .get("trending_routed", {})
+        .get("alpha"),
         "qstate_raw_over_blob": full["quantile_state"]["exact_large"][
             "raw_over_blob"
         ],

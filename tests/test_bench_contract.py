@@ -61,6 +61,19 @@ def _full_record(n_regressions: int = 0) -> dict:
             "warm": {"p50_ms": 88.3, "p99_ms": 141.2},
             "cold_first_ms": {"p50_ms": 301.4},
         },
+        "percentile_ladder": {
+            "revenue_cents": {"rows_ratio": 1.0, "routed_speedup": 1.0},
+            "quantity": {"rows_ratio": 4.7, "routed_speedup": 1.4},
+        },
+        "serving_scaling": {
+            "step": 10.0,
+            "alphas": {
+                "percentiles_warm": {"ref_p50_ms": 60.1, "main_p50_ms": 88.3,
+                                     "alpha": 0.167},
+                "trending_routed": {"ref_p50_ms": 50.2, "main_p50_ms": 74.1,
+                                    "alpha": 0.169},
+            },
+        },
         "quantile_state": {
             "exact_large": {"raw_over_blob": 10.0,
                             "blob_bytes_binary": 400000},
@@ -102,7 +115,9 @@ def test_compact_line_parses_and_fits_tail_capture():
         "metric", "value", "unit", "queries", "r01_subset_total", "sf",
         "ingest_eps", "ingest_skew_eps", "e2e_raw_s", "e2e_rollup_s",
         "serve_p50_ms", "serve_p99_ms", "trending_p99_ms",
-        "trending_routed_p99_ms", "pctile_p99_ms", "qstate_raw_over_blob",
+        "trending_routed_p99_ms", "pctile_p99_ms", "ladder_ratio_qty",
+        "ladder_ratio_rev", "serve_alpha_pct", "serve_alpha_trend_routed",
+        "qstate_raw_over_blob",
         "sliding_r60_amp_over_slices", "sliding_r60_state_ratio", "join_alpha",
         "join_skew_per_pair_ratio", "chain_over_join_only",
         "scaling_flagged", "regressions", "detail",

@@ -56,14 +56,17 @@ class TierSpec:
     def pruned(self, start_ms: int, end_ms: int) -> DataFrame:
         """The tier's rows for [start_ms, end_ms) under CLOSED containment,
         with the layout-derived partition predicates applied first (windows
-        starting in the range live in buckets start//p .. (end-1)//p)."""
+        starting in the range live in buckets start//p .. (end-1)//p). The
+        partition column is dropped afterwards — it is layout, not data, and
+        tiers of different granularity use different bucket columns, so a
+        cross-tier union must not carry it."""
         out = self.df
         if self.partition_col is not None:
             p = self.partition_ms or 3_600_000
             out = out.filter(
                 (F.col(self.partition_col) >= F.lit(start_ms // p))
                 & (F.col(self.partition_col) <= F.lit((end_ms - 1) // p))
-            )
+            ).drop(self.partition_col)
         return out.filter(
             (F.col("window_start") >= F.lit(start_ms))
             & (F.col("window_end") <= F.lit(end_ms))
