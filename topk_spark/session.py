@@ -26,6 +26,14 @@ _RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for every pandas_udf / applyInPandas / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Result-neutral but 5-6x on the stateful drains under a driver-owned
+    # session: Spark's default 200 shuffle partitions means 200 state-store
+    # instances per stateful operator per micro-batch (AQE does not coalesce
+    # streaming stateful shuffles, and the count is baked into each fresh
+    # checkpoint). Runtime-settable, so every query fn sizes it to the
+    # machine instead of inheriting the 200 default (round-12: the vanilla
+    # full-registry sweep spent most of its wall clock here).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 # Set-at-build confs (best effort when the session already exists).
@@ -33,7 +41,6 @@ _BUILD_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
 }
