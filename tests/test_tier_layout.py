@@ -55,3 +55,69 @@ def test_append_upto_retry_is_idempotent(spark, tmp_path):
     )
     assert got == [0, 1, 2, 3, 4]
     assert tier_frontier(d) == 200
+
+
+def test_rank_new_hops_retry_reemits_same_hops(spark, tmp_path):
+    """The round-11 ADVICE at-most-once hole, pinned at the behavior level:
+    a foreachBatch RETRY (the batch's own upto_<W_cur> subdir already on
+    disk from the failed attempt) must re-emit exactly the hop rows the
+    first attempt computed — the unfixed derivation saw its own directory,
+    concluded W_prev == W_cur, and emitted zero rows, silently dropping
+    that batch's hop windows forever."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from topk_spark.workload.streaming_drain_queries import make_rank_new_hops
+
+    HOUR, MIN = 3_600_000, 60_000
+    ranked_schema = StructType(
+        [
+            StructField("window_start", LongType(), False),
+            StructField("window_end", LongType(), False),
+            StructField("event_type", StringType(), True),
+            StructField("revenue_cents", LongType(), True),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+    tier = str(tmp_path / "slices")
+    fn = make_rank_new_hops(tier, ranked_schema)
+
+    day0 = 1_704_067_200_000
+
+    def slice_batch(minutes):
+        return spark.createDataFrame(
+            [
+                (t, day0 + m * MIN, day0 + (m + 1) * MIN, 100 * (m + 1) + i)
+                for m in minutes
+                for i, t in enumerate(("click", "view"))
+            ],
+            "event_type string, window_start long, window_end long, "
+            "revenue_cents long",
+        )
+
+    # batch 1 closes minutes 0..60 -> W1 = day0 + 61 min; every hop ending
+    # <= W1 is decidable (the leading partial hops included, exactly as the
+    # drain's oracle models them): ws in [day0 - 59 min, day0 + 1 min]
+    b1 = slice_batch(range(61))
+    first = sorted(map(tuple, fn(b1).collect()))
+    assert {r[0] for r in first} == {day0 + k * MIN for k in range(-59, 2)}
+    # RETRY of the same batch: upto_<W1> exists; must re-emit identically
+    retry = sorted(map(tuple, fn(b1).collect()))
+    assert retry == first
+    # and the tier must not have double-counted (one subdir, same rows)
+    import os
+
+    assert len([d for d in os.listdir(tier) if d.startswith("upto_")]) == 1
+    # batch 2 closes minutes 61..121 -> W2 = day0 + 122 min; the new hops
+    # are exactly W1 < hop_end <= W2 (ws in [day0+2min, day0+62min]) —
+    # nothing from batch 1 re-emits on a CLEAN advance
+    b2 = slice_batch(range(61, 122))
+    second = fn(b2).collect()
+    assert {r.window_start for r in second} == {
+        day0 + k * MIN for k in range(2, 63)
+    }

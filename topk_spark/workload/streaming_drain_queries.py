@@ -1577,68 +1577,26 @@ _TRENDING_WINDOW_MS = 3_600_000
 _TRENDING_SLIDE_MS = 60_000
 
 
-def _trending_60_drain(
-    spark: SparkSession,
-    sf_dir: str,
-    restart_after: int | None = None,
-    _tier_dirs: list | None = None,
-) -> DataFrame:
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    from topk_spark.ops.rollup import windowed_rollup
-
-    ranked_schema = StructType(
-        [
-            StructField("window_start", LongType(), False),
-            StructField("window_end", LongType(), False),
-            StructField("event_type", StringType(), True),
-            StructField("revenue_cents", LongType(), True),
-            StructField("rank", IntegerType(), False),
-        ]
-    )
-    tier_root = tempfile.mkdtemp(prefix="topk_spark_trending_tier_")
-    _TMP_ROOTS.append(tier_root)
-    tier = os.path.join(tier_root, "slices")
-    if _tier_dirs is not None:
-        _tier_dirs.append(tier)
-
-    es = order_stream(spark, sf_dir).select(
-        "event_id", "ts", "event_type", "revenue_cents"
-    )
-
-    def build(s: DataFrame) -> DataFrame:
-        # the ONLY stateful streaming stage: tumbling 1-minute slices —
-        # each event touches exactly ONE window, so open aggregation state
-        # is 1× (the direct 1h/1m form would hold 60 open windows per key)
-        return windowed_rollup(
-            s.withWatermark("ts", "10 seconds"),
-            "ts",
-            ["event_type"],
-            [F.sum("revenue_cents").cast("long").alias("revenue_cents")],
-            "1 minute",
-        ).select("event_type", "window_start", "window_end", "revenue_cents")
+def make_rank_new_hops(tier: str, ranked_schema):
+    """Build the trending drain's foreachBatch stage (module-level so the
+    RETRY contract is unit-testable without streaming machinery): persist
+    the batch's closed slices to `tier`, then emit the ranked top-3 for
+    every hop window those slices newly made decidable. W advances
+    monotonically (a batch only ever closes slices past the previous
+    watermark), so `W_prev < hop_end <= W_cur` partitions hops across
+    batches — a clean stop/restart can neither re-emit nor skip a hop
+    window, because W_prev is re-derived from the persisted tier, not from
+    in-memory state. A mid-batch RETRY (crash between the tier write and
+    the sink commit) re-derives the SAME W_prev — the frontier listing
+    excludes the retrying batch's own `upto_<W_cur>` subdir via
+    `below=w_cur` (round-11 ADVICE: the unfiltered listing saw
+    W_prev == W_cur and silently skipped the batch's hops forever) — so a
+    retry re-emits the same hop rows: the tier stays exactly-once by
+    subdir overwrite, the sink gets the append-retry (at-least-once)
+    semantics every drain sink has (pinned by
+    tests/test_tier_layout.py::test_rank_new_hops_retry_reemits_same_hops)."""
 
     def rank_new_hops(batch: DataFrame) -> DataFrame:
-        """foreachBatch stage: persist the batch's closed slices, then emit
-        the ranked top-3 for every hop window those slices newly made
-        decidable. W advances monotonically (a batch only ever closes
-        slices past the previous watermark), so `W_prev < hop_end <= W_cur`
-        partitions hops across batches — a clean stop/restart can neither
-        re-emit nor skip a hop window, because W_prev is re-derived from
-        the persisted tier, not from in-memory state. A mid-batch RETRY
-        (crash between the tier write and the sink commit) re-derives the
-        SAME W_prev — the frontier listing excludes the retrying batch's
-        own `upto_<W_cur>` subdir via `below=w_cur` (round-11 ADVICE: the
-        unfiltered listing saw W_prev == W_cur and silently skipped the
-        batch's hops forever) — so a retry re-emits the same hop rows: the
-        tier stays exactly-once by subdir overwrite, the sink gets the
-        append-retry (at-least-once) semantics every drain sink has."""
         from topk_spark.io.tier import append_upto, read_tier, tier_frontier
 
         sess = batch.sparkSession
@@ -1702,6 +1660,56 @@ def _trending_60_drain(
             )
         )
 
+    return rank_new_hops
+
+
+def _trending_60_drain(
+    spark: SparkSession,
+    sf_dir: str,
+    restart_after: int | None = None,
+    _tier_dirs: list | None = None,
+) -> DataFrame:
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from topk_spark.ops.rollup import windowed_rollup
+
+    ranked_schema = StructType(
+        [
+            StructField("window_start", LongType(), False),
+            StructField("window_end", LongType(), False),
+            StructField("event_type", StringType(), True),
+            StructField("revenue_cents", LongType(), True),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+    tier_root = tempfile.mkdtemp(prefix="topk_spark_trending_tier_")
+    _TMP_ROOTS.append(tier_root)
+    tier = os.path.join(tier_root, "slices")
+    if _tier_dirs is not None:
+        _tier_dirs.append(tier)
+
+    es = order_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "revenue_cents"
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        # the ONLY stateful streaming stage: tumbling 1-minute slices —
+        # each event touches exactly ONE window, so open aggregation state
+        # is 1× (the direct 1h/1m form would hold 60 open windows per key)
+        return windowed_rollup(
+            s.withWatermark("ts", "10 seconds"),
+            "ts",
+            ["event_type"],
+            [F.sum("revenue_cents").cast("long").alias("revenue_cents")],
+            "1 minute",
+        ).select("event_type", "window_start", "window_end", "revenue_cents")
+
     return _drain(
         spark,
         es,
@@ -1710,7 +1718,7 @@ def _trending_60_drain(
         max_files_per_trigger=3,
         ordered_split=("ts", 3),
         restart_after=restart_after,
-        batch_transform=rank_new_hops,
+        batch_transform=make_rank_new_hops(tier, ranked_schema),
     )
 
 
