@@ -840,23 +840,26 @@ def bench_serving_percentiles(spark, sf_dir: str) -> dict:
 def bench_percentile_ladder(spark, sf_dir: str) -> dict:
     """LONG-RANGE routed percentile read over the mixed 1m/1h histogram
     ladder (round-11 VERDICT #3's measurement ask) — fine-tier-only vs
-    TierRouter, with rows-scanned recorded per path, for TWO value domains:
+    TierRouter, with rows-scanned recorded per path, for TWO value domains
+    (revenue_cents: ~unbounded; quantity: 0..99).
 
-    - revenue_cents: a VALUE-DOMINATED histogram — at this fixture nearly
-      every (minute, type, value) row carries a distinct value, so hourly
-      compaction cannot collapse rows (measured ~1.00x) and the ladder's
-      only win is partition-count, not row-count. The expected "~60x"
-      ladder cut does NOT apply to such histograms — that expectation comes
-      from METRIC rollups (sums), where coarsening is exactly window-ratio.
-    - quantity: a SMALL domain (1..5) — hourly rows collapse toward
-      |domain| x |keys| x hours and the ladder pays off the way the metric
-      ladder does.
-
-    The recorded rule (PLANS.md round-12): histogram-ladder compression =
-    value-domain saturation of the coarse window, not the window ratio;
-    coarsen percentile tiers only where values repeat (bounded domains,
-    bucketed values), otherwise serve long ranges from the fine tier and
-    rely on partition pruning alone."""
+    Measured result (r12, sf0.1): NEITHER compresses here — revenue_cents
+    1.00x (values ~unique per row), quantity only 1.14x — because the
+    fixture is DENSITY-limited: ~28 events per (hour, type) is below even
+    the 100-value domain, so a coarse window rarely sees the same value
+    twice. Histogram-ladder compression is value-domain SATURATION of the
+    coarse window: hourly rows/key ~ min(events_per_hour_key, |domain|),
+    so the ratio is ~events_per_window_key/|domain| capped at the window
+    ratio — at production densities (millions of events/hour) a bounded
+    domain saturates and hourly rows collapse to |domain| x |keys| x hours
+    regardless of volume, which is exactly when the ladder pays. The
+    "~60x" intuition belongs to METRIC rollups (sums), where coarsening is
+    window-ratio by construction. Recorded rule (PLANS.md round-12):
+    coarsen percentile tiers only where the coarse window saturates the
+    domain (bounded/bucketed values at real densities); otherwise serve
+    long ranges from the fine tier and rely on partition pruning — an
+    unsaturated ladder adds union overhead for nothing (quantity's routed
+    read measured 0.84x HERE)."""
     from topk_spark.ops.rollup import merge_rollup, windowed_rollup
     from topk_spark.serve.api import percentiles
     from topk_spark.serve.router import TierRouter, TierSpec

@@ -62,8 +62,8 @@ def _full_record(n_regressions: int = 0) -> dict:
             "cold_first_ms": {"p50_ms": 301.4},
         },
         "percentile_ladder": {
-            "revenue_cents": {"rows_ratio": 1.0, "routed_speedup": 1.0},
-            "quantity": {"rows_ratio": 4.7, "routed_speedup": 1.4},
+            "revenue_cents": {"rows_ratio": 1.0, "routed_speedup": 1.05},
+            "quantity": {"rows_ratio": 1.14, "routed_speedup": 0.84},
         },
         "serving_scaling": {
             "step": 10.0,
