@@ -516,3 +516,74 @@ def test_serve_percentiles_matches_order_statistics_law(spark, rows, pcts):
         counts = [hist[v] for v in values]
         n, qs = exact_order_statistics(values, counts, pcts)
         assert got[k] == (n, *qs), (k, got[k], (n, *qs))
+
+
+# --- TierRouter cover law (round 12) --------------------------------------
+# The router's plan is PURE PYTHON (no Spark), so the law runs on raw
+# hypothesis inputs: for any tier ladder (coarsest w3 > w2 > w1, each a
+# multiple of the next-finer), any frontiers, and any range, the plan's
+# segments must (1) be disjoint and sorted inside [start, end); (2) align
+# each segment to its tier's window; (3) never let a frontier'd tier cover
+# past floor(through); (4) leave uncovered ONLY edge remainders smaller
+# than the finest window (closed containment cannot use partial windows —
+# anything larger uncovered would silently drop data from a scan).
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.data(),
+    w1=st.sampled_from([1, 2, 5]),
+    m2=st.integers(2, 6),
+    m3=st.integers(2, 6),
+)
+def test_tier_router_cover_law(data, w1, m2, m3):
+    from topk_spark.serve.router import TierRouter, TierSpec
+
+    w2 = w1 * m2
+    w3 = w2 * m3
+    tiers = {}
+    for w in (w1, w2, w3):
+        through = data.draw(
+            st.one_of(st.none(), st.integers(0, 20 * w3)),
+            label=f"through_{w}",
+        )
+        # df is never touched by plan(); a sentinel stands in
+        tiers[w] = TierSpec(df=None, window_ms=w, through_ms=through)
+    start = data.draw(st.integers(0, 10 * w3), label="start")
+    end = data.draw(st.integers(start + 1, start + 10 * w3), label="end")
+    router = TierRouter(tiers)
+    plan = router.plan(start, end)
+
+    prev_end = start
+    for tier, s, e in plan:
+        w = tier.window_ms
+        assert start <= s < e <= end
+        assert s >= prev_end, "segments overlap or unsorted"
+        assert s % w == 0 and e % w == 0, "segment not window-aligned"
+        if tier.through_ms is not None:
+            assert e <= tier.through_ms - tier.through_ms % w
+        prev_end = e
+    # uncovered gaps: only where even the finest tier cannot tile — each
+    # gap must be shorter than one finest window UNLESS the finest tier's
+    # own frontier truncates it (then everything past the frontier floor
+    # is legitimately unservable)
+    fine = tiers[w1]
+    fine_limit = (
+        end
+        if fine.through_ms is None
+        else min(end, fine.through_ms - fine.through_ms % w1)
+    )
+    gaps = []
+    prev_end = start
+    for _, s, e in plan:
+        if s > prev_end:
+            gaps.append((prev_end, s))
+        prev_end = e
+    if prev_end < end:
+        gaps.append((prev_end, end))
+    for gs, ge in gaps:
+        servable_start = gs + (-gs) % w1  # first aligned fine start in gap
+        servable = min(ge, fine_limit) - servable_start
+        assert servable < w1, (
+            f"gap [{gs},{ge}) holds a full servable fine window "
+            f"(plan={[(t.window_ms, s, e) for t, s, e in plan]})"
+        )
