@@ -91,7 +91,17 @@ def bench_streaming_ingest(spark, sf: float, skew: bool = False) -> dict:
     parquet (the full SURVEY §3.2 pipeline, availableNow trigger).
 
     The reference's headline is 579 orders/s max tested through the
-    equivalent Flink topology (BASELINE.md) — this prints the same unit."""
+    equivalent Flink topology (BASELINE.md) — this prints the same unit.
+
+    Round-13 (round-12 VERDICT #5): the timed pipeline runs TWICE over the
+    same generated input (fresh sink/checkpoint dirs per trial) and the
+    record keeps the best — the same two-trial noise policy the headline
+    queries get from the regression-retry path. This section is pure
+    wall-clock over ~seconds of streaming work, so a co-tenant window was
+    able to print a 35k → 19k ev/s dip as the round's driver-visible number
+    while every individually-timed query improved (BENCH_r12 `ingest_eps`
+    vs the builder record); both trial walls are recorded so a real
+    regression (both trials slow) stays visible."""
     from topk_spark.io.sources import read_json_file_stream
     from topk_spark.schemas import ORDER_EVENT
     from topk_spark.streaming.job import (
@@ -122,30 +132,35 @@ def bench_streaming_ingest(spark, sf: float, skew: bool = False) -> dict:
         src = os.path.join(work, "input")
         _synth_order_events(spark, src, n, skew=skew)
 
-        t0 = time.perf_counter()
-        deduped = build_dedup_stream(
-            read_json_file_stream(spark, src, ORDER_EVENT)
-        )
-        q1 = start_raw_sink(
-            deduped,
-            os.path.join(work, "raw"),
-            os.path.join(work, "ckpt_raw"),
-            available_now=True,
-        )
-        q1.awaitTermination()
-        q2 = start_rollup_from_raw(
-            spark,
-            os.path.join(work, "raw"),
-            os.path.join(work, "rollup"),
-            os.path.join(work, "ckpt_rollup"),
-            available_now=True,
-        )
-        q2.awaitTermination()
-        wall = time.perf_counter() - t0
+        walls: list[float] = []
+        for trial in range(2):
+            tdir = os.path.join(work, f"t{trial}")
+            t0 = time.perf_counter()
+            deduped = build_dedup_stream(
+                read_json_file_stream(spark, src, ORDER_EVENT)
+            )
+            q1 = start_raw_sink(
+                deduped,
+                os.path.join(tdir, "raw"),
+                os.path.join(tdir, "ckpt_raw"),
+                available_now=True,
+            )
+            q1.awaitTermination()
+            q2 = start_rollup_from_raw(
+                spark,
+                os.path.join(tdir, "raw"),
+                os.path.join(tdir, "rollup"),
+                os.path.join(tdir, "ckpt_rollup"),
+                available_now=True,
+            )
+            q2.awaitTermination()
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
         return {
             "events": n,
             "restaurant_dist": "powerlaw_top1_32pct" if skew else "uniform",
             "wall_s": round(wall, 4),
+            "trial_walls_s": [round(w, 4) for w in walls],
             "events_per_sec": round(n / wall, 1),
         }
     finally:
@@ -859,7 +874,17 @@ def bench_percentile_ladder(spark, sf_dir: str) -> dict:
     domain (bounded/bucketed values at real densities); otherwise serve
     long ranges from the fine tier and rely on partition pruning — an
     unsaturated ladder adds union overhead for nothing (quantity's routed
-    read measured 0.84x HERE)."""
+    read measured 0.84x HERE).
+
+    Round-13 (round-12 VERDICT #6): the rule needs BOTH endpoints measured,
+    so `quantity_dense` synthesizes the saturated regime the fixture never
+    reaches — the same 0..99 quantity domain with the 30-day event spine
+    time-compressed into 12 hours (ts' = tmin + (ts − tmin)/60; pure spine
+    transform, values untouched), lifting density to ~1.7k events per
+    (hour, type) at sf0.1, ~17x the domain. Predicted hourly compression
+    events_per_window_key/|domain| ≈ min(..., 60); the recorded
+    rows_ratio/routed_speedup row is the WIN endpoint on record next to
+    the sparse rows' measured losses."""
     from topk_spark.ops.rollup import merge_rollup, windowed_rollup
     from topk_spark.serve.api import percentiles
     from topk_spark.serve.router import TierRouter, TierSpec
@@ -870,9 +895,26 @@ def bench_percentile_ladder(spark, sf_dir: str) -> dict:
     out: dict[str, dict] = {}
     try:
         es = order_stream(spark, sf_dir)
-        for vcol in ("revenue_cents", "quantity"):
-            base = es.select(
-                "ts", "event_type", F.col(vcol).cast("long").alias("v")
+        tmin_ms = es.agg(
+            F.unix_millis(F.min("ts")).alias("t")
+        ).collect()[0].t
+        dense = es.withColumn(
+            "ts",
+            F.timestamp_millis(
+                (
+                    F.lit(tmin_ms)
+                    + ((F.unix_millis("ts") - F.lit(tmin_ms)) / F.lit(60))
+                ).cast("long")
+            ),
+        )
+        cases = [
+            ("revenue_cents", es, "revenue_cents"),
+            ("quantity", es, "quantity"),
+            ("quantity_dense", dense, "quantity"),
+        ]
+        for vcol, src, valcol in cases:
+            base = src.select(
+                "ts", "event_type", F.col(valcol).cast("long").alias("v")
             )
             fpath = os.path.join(work, f"fine_{vcol}")
             windowed_rollup(
@@ -2351,6 +2393,12 @@ def _compact_summary(full: dict, detail_name: str) -> str:
         "ladder_ratio_qty": full["percentile_ladder"]["quantity"]["rows_ratio"],
         "ladder_ratio_rev": full["percentile_ladder"]["revenue_cents"][
             "rows_ratio"
+        ],
+        "ladder_ratio_dense": full["percentile_ladder"]["quantity_dense"][
+            "rows_ratio"
+        ],
+        "ladder_speedup_dense": full["percentile_ladder"]["quantity_dense"][
+            "routed_speedup"
         ],
         "serve_alpha_pct": full["serving_scaling"]
         .get("alphas", {})

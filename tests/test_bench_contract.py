@@ -32,8 +32,14 @@ def _full_record(n_regressions: int = 0) -> dict:
         "queries": timings,
         "r01_subset_total": 3.2109,
         "sf": 0.1,
-        "streaming_ingest": {"events_per_sec": 26598.4},
-        "streaming_ingest_skewed": {"events_per_sec": 33558.1},
+        "streaming_ingest": {
+            "events_per_sec": 26598.4,
+            "trial_walls_s": [7.5191, 8.1234],
+        },
+        "streaming_ingest_skewed": {
+            "events_per_sec": 33558.1,
+            "trial_walls_s": [5.9601, 6.2345],
+        },
         "streaming_scaling": {
             "neardup": {"rocksdb": {"alpha": 0.972}},
             "flagged": [],
@@ -64,6 +70,7 @@ def _full_record(n_regressions: int = 0) -> dict:
         "percentile_ladder": {
             "revenue_cents": {"rows_ratio": 1.0, "routed_speedup": 1.05},
             "quantity": {"rows_ratio": 1.14, "routed_speedup": 0.84},
+            "quantity_dense": {"rows_ratio": 14.7, "routed_speedup": 2.31},
         },
         "serving_scaling": {
             "step": 10.0,
@@ -116,7 +123,8 @@ def test_compact_line_parses_and_fits_tail_capture():
         "ingest_eps", "ingest_skew_eps", "e2e_raw_s", "e2e_rollup_s",
         "serve_p50_ms", "serve_p99_ms", "trending_p99_ms",
         "trending_routed_p99_ms", "pctile_p99_ms", "ladder_ratio_qty",
-        "ladder_ratio_rev", "serve_alpha_pct", "serve_alpha_trend_routed",
+        "ladder_ratio_rev", "ladder_ratio_dense", "ladder_speedup_dense",
+        "serve_alpha_pct", "serve_alpha_trend_routed",
         "qstate_raw_over_blob",
         "sliding_r60_amp_over_slices", "sliding_r60_state_ratio", "join_alpha",
         "join_skew_per_pair_ratio", "chain_over_join_only",

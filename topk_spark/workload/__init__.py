@@ -105,6 +105,15 @@ _PRIORITY_MODULES: tuple[str, ...] = (
 #     JSON-state fallback (both exact-quantile drains decode state through
 #     it); percentiles_tier_routed now routes through TierSpec-carrying
 #     tiers (router layout metadata).
+#   round-13 implementation changes (standing window discipline): the tier
+#     lifecycle completed — tier_frontier now counts only _SUCCESS-committed
+#     subdirs (round-12 ADVICE), the compactor purges compacted fine subdirs
+#     behind a retention margin with a committed-skip guard and reads its
+#     compaction span at directory level, the trending drain purges dead
+#     slice subdirs and prunes its tier read the same way, and TierRouter
+#     plans through per-call frontier snapshots (frontier_dir refresh) with
+#     the degenerate-range scan fix — so every query composing these paths
+#     faces the gate again.
 _FORCE_RESAMPLE: dict[str, int] = {
     "rolling_7d_revenue": 4,
     "minhash_lsh_neardup": 5,
@@ -115,9 +124,12 @@ _FORCE_RESAMPLE: dict[str, int] = {
     "stream_exact_quantile_drain": 12,
     "stream_exact_quantile_restart_drain": 12,
     "funnel_conversion": 11,
-    "stream_trending_1h_1m_drain": 12,
-    "stream_trending_1h_1m_restart_drain": 12,
-    "percentiles_tier_routed": 12,
+    "stream_trending_1h_1m_drain": 13,
+    "stream_trending_1h_1m_restart_drain": 13,
+    "percentiles_tier_routed": 13,
+    "stream_compacted_tier_drain": 13,
+    "stream_compacted_tier_restart_drain": 13,
+    "stream_trending_routed_serve": 13,
 }
 
 # (Names pruned from the registry in later rounds are dropped from this

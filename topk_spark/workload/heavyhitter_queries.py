@@ -661,6 +661,17 @@ def stream_percentile_tier_restart_drain(
 
 _HOUR_MS = 3_600_000
 _COMPACT_BUFFER_MS = 24 * _HOUR_MS  # reference bufferTimePeriod=24h
+# Fine-tier retention margin below the compaction frontier (round-12 VERDICT
+# #1: compacted fine subdirs must be PURGED, the reference's segment
+# replacement — orders_1m_rollup_table.json:72-84 replaces merged segments,
+# :7-9 drops at retention). Fine rows with window_end <= C are compacted
+# into the hourly tier, but the router still sends MISALIGNED edge segments
+# below C to the fine tier (a range starting at C − 2.5 h has a half-hour
+# fine edge before its first aligned hour), so the purge cut keeps a margin:
+# delete only subdirs wholly <= C − 3 h. Anything a routed read can reach
+# below that is answered at hourly granularity only — exactly the
+# reference's post-replacement behavior.
+_FINE_RETAIN_MS = 3 * _HOUR_MS
 
 # Oracle: the same closed-window order statistics as _LIVE_PCTILE_ORACLE,
 # over a range DERIVED the way the engine derives it — C = hour-floor of
@@ -718,7 +729,13 @@ def _compacted_percentile_tier_drain(
     import os
     import tempfile
 
-    from topk_spark.io.tier import append_upto, read_tier, tier_frontier
+    from topk_spark.io.tier import (
+        append_upto,
+        purge_upto,
+        read_tier,
+        read_tier_span,
+        tier_frontier,
+    )
     from topk_spark.ops.rollup import merge_rollup, windowed_rollup
     from topk_spark.serve.api import percentiles
     from topk_spark.serve.router import TierRouter, TierSpec
@@ -746,16 +763,34 @@ def _compacted_percentile_tier_drain(
     def persist_and_compact(batch: DataFrame) -> DataFrame:
         """The continuous MergeRollupTask analog, one hop per micro-batch:
         append the batch's closed fine rows (idempotent by fine frontier
-        W), then compact every hour whose end moved under the buffer
-        horizon hour-floor(W − 24h) into the hourly tier (idempotent by
-        compaction frontier C). A retry of either write overwrites its own
-        upto_<frontier> subdir — no double-counted histogram rows — and
-        both frontiers re-derive from directory names with `below=` the
-        current value, so a retry also compacts the SAME hour span
-        (io/tier.py; the round-11 ADVICE derivation order). Hours in
-        (C_prev, C_cur] are fully present in the fine tier when compacted:
-        their minute windows end before C_cur <= W − 24h, hence closed and
-        appended by a strictly earlier (or this) batch's fine write."""
+        W), compact every hour whose end moved under the buffer horizon
+        hour-floor(W − 24h) into the hourly tier (idempotent by compaction
+        frontier C), then PURGE fine subdirs wholly below C − retain — the
+        reference's segment replacement completed (round-12 VERDICT #1).
+        Retry/ordering contract:
+
+        - both tier writes overwrite their own upto_<frontier> subdir, and
+          frontier derivation uses `below=` + the _SUCCESS gate (io/tier.py)
+          — no double-counted rows;
+        - a COMMITTED upto_<c_cur> short-circuits recompaction (round-12
+          ADVICE: while c_cur is unchanged across batches the old form
+          re-read and re-wrote the full pre-horizon history every batch;
+          committed coverage through c_cur means there is nothing new to
+          compact). This also makes the purge retry-safe: fine rows feed a
+          compaction at most once BEFORE their purge becomes reachable — a
+          retry that finds the coarse write committed skips straight past
+          the read that would have missed them;
+        - the purge runs strictly AFTER the coarse commit, cut a retention
+          margin below C (_FINE_RETAIN_MS keeps the routed misaligned-edge
+          reads below C answerable), and subdir deletion is idempotent.
+
+        The compaction read is DIRECTORY-level (round-12 VERDICT #2):
+        read_tier_span selects only the upto_* subdirs whose span can
+        overlap (C_prev, C_cur] from the listing — O(span), not a full-tier
+        scan relying on parquet min/max stats. Hours in (C_prev, C_cur] are
+        fully present in the fine tier when compacted: their minute windows
+        end before C_cur <= W − 24h, hence closed and appended by a
+        strictly earlier (or this) batch's fine write."""
         sess = batch.sparkSession
         batch = batch.persist()
         w_cur = batch.agg(F.max("window_end")).collect()[0][0]
@@ -765,25 +800,29 @@ def _compacted_percentile_tier_drain(
         append_upto(batch, fine_dir, w_cur)
         batch.unpersist()
         c_cur = (w_cur - _COMPACT_BUFFER_MS) // _HOUR_MS * _HOUR_MS
-        c_prev = tier_frontier(coarse_dir, below=c_cur)
-        floor_c = c_prev if c_prev is not None else -(1 << 62)
-        if c_cur > floor_c:
-            fine = read_tier(sess, fine_dir, batch.schema)
-            newly = fine.filter(
-                (F.col("window_end") <= F.lit(c_cur))
-                & (F.col("window_end") > F.lit(floor_c))
+        committed = os.path.exists(
+            os.path.join(coarse_dir, f"upto_{c_cur}", "_SUCCESS")
+        )
+        if not committed:
+            c_prev = tier_frontier(coarse_dir, below=c_cur)
+            floor_c = c_prev if c_prev is not None else -(1 << 62)
+            newly = read_tier_span(
+                sess, fine_dir, batch.schema, floor_c, c_cur
             )
-            hourly = merge_rollup(
-                newly, ["event_type", "revenue_cents"], ["n"],
-                target_window_ms=_HOUR_MS,
-            ).select(
-                "event_type", "revenue_cents", "window_start", "window_end", "n"
-            )
-            # written even when empty: the upto_<C> subdir IS the recorded
-            # frontier, so C advances deterministically with the watermark
-            # (an hour with no events compacts to zero rows, not to a
-            # frontier stall)
-            append_upto(hourly, coarse_dir, c_cur)
+            if newly is not None:
+                hourly = merge_rollup(
+                    newly, ["event_type", "revenue_cents"], ["n"],
+                    target_window_ms=_HOUR_MS,
+                ).select(
+                    "event_type", "revenue_cents",
+                    "window_start", "window_end", "n",
+                )
+                # written even when empty: the upto_<C> subdir IS the
+                # recorded frontier, so C advances deterministically with
+                # the watermark (an hour with no events compacts to zero
+                # rows, not to a frontier stall)
+                append_upto(hourly, coarse_dir, c_cur)
+        purge_upto(fine_dir, c_cur - _FINE_RETAIN_MS)
         return sess.createDataFrame([], batch.schema)
 
     _drain(

@@ -1594,10 +1594,33 @@ def make_rank_new_hops(tier: str, ranked_schema):
     retry re-emits the same hop rows: the tier stays exactly-once by
     subdir overwrite, the sink gets the append-retry (at-least-once)
     semantics every drain sink has (pinned by
-    tests/test_tier_layout.py::test_rank_new_hops_retry_reemits_same_hops)."""
+    tests/test_tier_layout.py::test_rank_new_hops_retry_reemits_same_hops).
+
+    Round-13 retention (round-12 VERDICT #1 applied to the slice tier too):
+    after the append, slice subdirs no read can ever touch again are
+    PURGED, cut at `W_prev − window + slide`. That bound is exactly the
+    oldest slice THIS batch's hops can reach (the first undecided hop ends
+    at W_prev + slide, its slices end from W_prev − window + 2·slide), and
+    every later constraint is looser: future batches' frontiers only grow,
+    and the routed-serve read spans at most one window below the final
+    frontier. A subdir named W' holds only rows with window_end <= W', so
+    deleting W' <= cut destroys no reachable slice — and the PREDECESSOR
+    subdir (W' = W_prev > cut since window > slide) always survives, so a
+    retry of this batch re-derives the same W_prev (a purge that ate it
+    would widen the retry's hop span — duplicate emissions). The slice
+    read itself is pruned at DIRECTORY level (tier_subdirs_overlapping
+    over the same bound — O(surviving in-window subdirs), not O(history));
+    the row-level window_start filter stays, for the straddling subdir's
+    out-of-range rows."""
 
     def rank_new_hops(batch: DataFrame) -> DataFrame:
-        from topk_spark.io.tier import append_upto, read_tier, tier_frontier
+        from topk_spark.io.tier import (
+            append_upto,
+            purge_upto,
+            read_tier,
+            tier_frontier,
+            tier_subdirs_overlapping,
+        )
 
         sess = batch.sparkSession
         batch = batch.persist()
@@ -1612,15 +1635,19 @@ def make_rank_new_hops(tier: str, ranked_schema):
         w_prev = tier_frontier(tier, below=w_cur)
         append_upto(batch, tier, w_cur)
         batch.unpersist()
-        slices = read_tier(sess, tier, batch.schema)
         if w_prev is not None:
             # hops still open at W_prev have ws > W_prev − window, and all
-            # their slices start at >= ws — prune the tier scan to exactly
-            # the slice range the new hops can touch (at scale this is the
-            # partition-pruned read; everything older is never re-read)
-            slices = slices.filter(
+            # their slices start at >= ws (window_end > W_prev − window +
+            # slide) — retire subdirs wholly below that reach, then read
+            # only the subdirs the new hops' slice range can live in
+            reach = w_prev - _TRENDING_WINDOW_MS + _TRENDING_SLIDE_MS
+            purge_upto(tier, reach)
+            paths = tier_subdirs_overlapping(tier, reach, w_cur)
+            slices = sess.read.schema(batch.schema).parquet(*paths).filter(
                 F.col("window_start") > F.lit(w_prev - _TRENDING_WINDOW_MS)
             )
+        else:
+            slices = read_tier(sess, tier, batch.schema)
         hop = (
             slices.withColumn(
                 "_k",
