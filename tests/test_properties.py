@@ -587,3 +587,43 @@ def test_tier_router_cover_law(data, w1, m2, m3):
             f"gap [{gs},{ge}) holds a full servable fine window "
             f"(plan={[(t.window_ms, s, e) for t, s, e in plan]})"
         )
+
+
+# --- TierRouter retention law (round 13) ----------------------------------
+# retain_from_ms is ONE clamp at plan entry: for any ladder, any frontiers,
+# any range, and any retention horizon R, the retained plan must equal the
+# unretained plan over the clamped range [max(start, R), end) — retention
+# adds no new routing behavior, it only shrinks the question. (The physical
+# side — purged segments — is pinned at the drain level in
+# test_streaming_drains.py; this law is why the purge is unobservable: no
+# plan ever routes below R, purged or not.)
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.data(),
+    w1=st.sampled_from([1, 2, 5]),
+    m2=st.integers(2, 6),
+    m3=st.integers(2, 6),
+)
+def test_tier_router_retention_is_range_clamp(data, w1, m2, m3):
+    from topk_spark.serve.router import TierRouter, TierSpec
+
+    w2 = w1 * m2
+    w3 = w2 * m3
+    tiers = {}
+    for w in (w1, w2, w3):
+        through = data.draw(
+            st.one_of(st.none(), st.integers(0, 20 * w3)),
+            label=f"through_{w}",
+        )
+        tiers[w] = TierSpec(df=None, window_ms=w, through_ms=through)
+    start = data.draw(st.integers(0, 10 * w3), label="start")
+    end = data.draw(st.integers(start + 1, start + 10 * w3), label="end")
+    retain = data.draw(st.integers(0, 12 * w3), label="retain")
+
+    def shape(plan):
+        return [(t.window_ms, s, e) for t, s, e in plan]
+
+    retained = TierRouter(tiers, retain_from_ms=retain).plan(start, end)
+    clamped = TierRouter(tiers).plan(max(start, retain), end)
+    assert shape(retained) == shape(clamped)

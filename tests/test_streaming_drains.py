@@ -276,3 +276,76 @@ def test_compacted_tier_drain_reads_both_tiers_and_matches_fine_only(
     a = sorted(map(tuple, routed.collect()))
     b = sorted(map(tuple, fine_only.collect()))
     assert a == b and len(a) > 0
+
+
+def test_retention_drain_drops_expired_segments_and_clamps_reads(
+    spark, sf_dir
+):
+    """Provenance pin for ladder retention (round-13; reference
+    retentionTimeValue, orders_1m_rollup_table.json:7-9): the value hash
+    proves the retained read's counts, but not that expired segments are
+    physically GONE or that the clamp (not luck of the purge) excludes the
+    expired rows a straddling segment still holds — so assert all three
+    legs directly: (1) coarse segments wholly <= R are deleted (on the
+    fixture's 3-batch schedule that is 2 of 3 — only the newest survives a
+    7 d cut over a 30 d span); (2) the retention-clamped scan of a
+    straddling range plans NOTHING below R even though the surviving
+    straddler still physically carries pre-R hours (an unclamped router
+    over the same tiers DOES read them — proving the clamp is load-bearing,
+    not vacuous); (3) a range wholly expired answers empty, not stale."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from topk_spark.io.tier import read_tier, tier_frontier
+    from topk_spark.serve.router import TierRouter, TierSpec
+    from topk_spark.workload.heavyhitter_queries import (
+        _HOUR_MS,
+        _LADDER_RETENTION_MS,
+        _compacted_percentile_tier_drain,
+    )
+
+    dirs: list[str] = []
+    routed = _compacted_percentile_tier_drain(
+        spark, sf_dir, retention_ms=_LADDER_RETENTION_MS, _debug_dirs=dirs
+    )
+    fine_dir, coarse_dir = dirs
+    w = tier_frontier(fine_dir)
+    r_cut = (w - _LADDER_RETENTION_MS) // _HOUR_MS * _HOUR_MS
+
+    surviving = sorted(
+        int(d.rsplit("_", 1)[1])
+        for d in _os.listdir(coarse_dir)
+        if d.startswith("upto_")
+    )
+    assert surviving and min(surviving) > r_cut, (r_cut, surviving)
+    assert len(surviving) == 1, surviving  # batches 1 and 2 wholly expired
+
+    schema = (
+        "event_type string, revenue_cents long, window_start long, "
+        "window_end long, n long"
+    )
+    fine = read_tier(spark, fine_dir, schema)
+    coarse = read_tier(spark, coarse_dir, schema)
+    c = tier_frontier(coarse_dir)
+    tiers = {
+        _HOUR_MS: TierSpec(df=coarse, window_ms=_HOUR_MS, through_ms=c),
+        60_000: TierSpec(df=fine, window_ms=60_000),
+    }
+    r0, r1 = r_cut - 2 * _HOUR_MS, r_cut + 4 * _HOUR_MS
+    clamped = TierRouter(tiers, retain_from_ms=r_cut).scan(r0, r1)
+    assert clamped.filter(F.col("window_start") < r_cut).count() == 0
+    # the straddling segment still holds pre-R hours on disk: without the
+    # clamp the same range DOES surface them
+    leaked = (
+        TierRouter(tiers)
+        .scan(r0, r1)
+        .filter(F.col("window_start") < r_cut)
+        .count()
+    )
+    assert leaked > 0, "fixture no longer straddles the retention horizon"
+    # a wholly-expired range answers empty (scan's fallback is clamped too)
+    assert TierRouter(tiers, retain_from_ms=r_cut).scan(
+        r_cut - 4 * _HOUR_MS, r_cut
+    ).count() == 0
+    assert routed.count() > 0

@@ -117,14 +117,31 @@ class TierRouter:
     same clamp.
     """
 
-    def __init__(self, tiers: dict[int, DataFrame | TierSpec]):
+    def __init__(
+        self,
+        tiers: dict[int, DataFrame | TierSpec],
+        retain_from_ms: int | None = None,
+    ):
         # sort coarsest first
         self._tiers = [
             _as_spec(w, t)
             for w, t in sorted(tiers.items(), key=lambda kv: -kv[0])
         ]
+        # The ladder's retention horizon — the reference's retentionTimeValue
+        # (orders_1m_rollup_table.json:7-9, 30 DAYS) as the serving-side
+        # filter: windows starting before it are EXPIRED and never planned,
+        # on any tier. Physical expiry is segment drop (purge_upto on subdirs
+        # wholly <= the horizon — a drain's retention step); this clamp is
+        # what makes the two compose: a straddling segment may still hold
+        # expired rows on disk, but no plan routes to them, and a purged
+        # segment was by construction never plannable. One number for the
+        # whole ladder, not per tier — retention is a property of the data's
+        # age, not of any one rollup granularity.
+        self._retain_from_ms = retain_from_ms
 
     def plan(self, start_ms: int, end_ms: int) -> list[tuple[TierSpec, int, int]]:
+        if self._retain_from_ms is not None:
+            start_ms = max(start_ms, self._retain_from_ms)
         # frontier snapshot: ONE read per tier per plan (a live frontier_dir
         # re-lists its directory here, not once per recursion step), so a
         # single plan is internally consistent even against a mid-plan append
@@ -167,6 +184,11 @@ class TierRouter:
         segment, layout-derived partition predicates per TierSpec). All
         tiers must share the rollup column contract (window_start/window_end
         + metric columns)."""
+        if self._retain_from_ms is not None:
+            # the same clamp plan() applies, repeated here so the
+            # empty-plan fallback below cannot scan expired windows either
+            # (a range wholly before retention answers empty, not stale)
+            start_ms = max(start_ms, self._retain_from_ms)
         parts = [
             tier.pruned(s, e) for tier, s, e in self.plan(start_ms, end_ms)
         ]

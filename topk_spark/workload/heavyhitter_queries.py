@@ -672,6 +672,18 @@ _COMPACT_BUFFER_MS = 24 * _HOUR_MS  # reference bufferTimePeriod=24h
 # below that is answered at hourly granularity only — exactly the
 # reference's post-replacement behavior.
 _FINE_RETAIN_MS = 3 * _HOUR_MS
+# Ladder retention horizon (round-13: the reference's retentionTimeValue —
+# orders_1m_rollup_table.json:7-9 keeps the rollup table 30 DAYS and Pinot's
+# retention manager drops whole segments once they fall wholly outside it).
+# Scaled to the fixture's 30-day event span: 7 days, measured from the fine
+# frontier W (the drain's "now"), hour-floored so the retained range stays
+# coarse-tier-tileable. Physical expiry is segment-granularity (purge_upto
+# deletes coarse upto_<F> subdirs with F <= R — every row inside ends
+# <= F <= R, so nothing retained is lost), logical expiry is the router's
+# retain_from_ms clamp (windows STARTING before R are never planned, so
+# expired rows still sitting in a straddling segment are never served) —
+# the two compose exactly like Pinot's segment drop + query time filter.
+_LADDER_RETENTION_MS = 7 * 24 * _HOUR_MS
 
 # Oracle: the same closed-window order statistics as _LIVE_PCTILE_ORACLE,
 # over a range DERIVED the way the engine derives it — C = hour-floor of
@@ -720,10 +732,60 @@ FROM o GROUP BY event_type
 """
 
 
+# Oracle for the RETENTION twin: same closed-window order statistics, over
+# the RETAINED range only — R = hour-floor(we − retention) re-derived from
+# raw events exactly as the engine re-derives it from the fine frontier, the
+# read range [R, R + 4h) (the engine requests [R − 2h, R + 4h); the 2 h
+# below R are EXPIRED — physically purged at segment granularity and
+# logically clamped by the router — so the oracle counting only [R, R+4h)
+# is what proves both: an expired hour served (clamp missing, stale segment
+# leaking) or a retained hour lost (purge cut too deep) shifts n_rows and
+# every percentile at cents granularity).
+_RETENTION_PCTILE_ORACLE = f"""
+WITH {_EV_ES},
+wm AS (
+  SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) - 10000 AS w FROM es
+),
+cw AS (
+  SELECT max(CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000) AS we
+  FROM es, wm
+  WHERE CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= wm.w
+),
+rng AS (
+  SELECT (we - {_LADDER_RETENTION_MS}) // {_HOUR_MS} * {_HOUR_MS} AS r0,
+         (we - {_LADDER_RETENTION_MS}) // {_HOUR_MS} * {_HOUR_MS}
+           + {4 * _HOUR_MS} AS r1
+  FROM cw
+),
+f AS (
+  SELECT event_type, revenue_cents FROM es, wm, rng
+  WHERE CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) >= rng.r0
+    AND CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= rng.r1
+    AND CAST(epoch_ms(date_trunc('minute', ts)) AS BIGINT) + 60000 <= wm.w
+),
+o AS (
+  SELECT event_type, revenue_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY revenue_cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p90_cents,
+       CAST(MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN revenue_cents END)
+            AS BIGINT) AS p99_cents
+FROM o GROUP BY event_type
+"""
+
+
 def _compacted_percentile_tier_drain(
     spark: SparkSession,
     sf_dir: str,
     restart_after: int | None = None,
+    retention_ms: int | None = None,
     _debug_dirs: list | None = None,
 ) -> DataFrame:
     import os
@@ -823,6 +885,18 @@ def _compacted_percentile_tier_drain(
                 # rows, not to a frontier stall)
                 append_upto(hourly, coarse_dir, c_cur)
         purge_upto(fine_dir, c_cur - _FINE_RETAIN_MS)
+        if retention_ms is not None:
+            # Ladder retention (reference retentionTimeValue): drop coarse
+            # segments wholly expired as of THIS batch's watermark. Runs
+            # strictly after the coarse commit; safe against every other
+            # step because nothing ever READS coarse subdirs named <= R —
+            # compaction reads only the fine tier, c_prev derivation only
+            # needs the newest coarse subdir (R = w−retention << C = w−24h,
+            # so the newest always survives), and the serving read's
+            # retain_from_ms clamp never plans below R. Idempotent subdir
+            # deletion, so a purge retry — or a retry of a batch whose
+            # earlier attempt already purged — is a no-op.
+            purge_upto(coarse_dir, (w_cur - retention_ms) // _HOUR_MS * _HOUR_MS)
         return sess.createDataFrame([], batch.schema)
 
     _drain(
@@ -843,13 +917,32 @@ def _compacted_percentile_tier_drain(
     fine = read_tier(spark, fine_dir, schema)
     coarse = read_tier(spark, coarse_dir, schema)
     c = tier_frontier(coarse_dir)
-    router = TierRouter(
-        {
-            _HOUR_MS: TierSpec(df=coarse, window_ms=_HOUR_MS, through_ms=c),
-            60_000: TierSpec(df=fine, window_ms=60_000),
-        }
-    )
-    r0, r1 = c - 9_000_000, c + 5_400_000
+    if retention_ms is not None:
+        # Retention read: R re-derived the way the purge derived it — from
+        # the fine frontier (the newest surviving upto_<W> name IS the
+        # global W; fine purging only removes older subdirs). The request
+        # range deliberately STRADDLES R by 2 h: the router's
+        # retain_from_ms clamp must answer [R, R+4h) only — an expired
+        # hour leaking in (clamp missing) or a retained hour missing
+        # (purge cut too deep) both shift every count the oracle checks.
+        w_fin = tier_frontier(fine_dir)
+        r_cut = (w_fin - retention_ms) // _HOUR_MS * _HOUR_MS
+        router = TierRouter(
+            {
+                _HOUR_MS: TierSpec(df=coarse, window_ms=_HOUR_MS, through_ms=c),
+                60_000: TierSpec(df=fine, window_ms=60_000),
+            },
+            retain_from_ms=r_cut,
+        )
+        r0, r1 = r_cut - 2 * _HOUR_MS, r_cut + 4 * _HOUR_MS
+    else:
+        router = TierRouter(
+            {
+                _HOUR_MS: TierSpec(df=coarse, window_ms=_HOUR_MS, through_ms=c),
+                60_000: TierSpec(df=fine, window_ms=60_000),
+            }
+        )
+        r0, r1 = c - 9_000_000, c + 5_400_000
     return percentiles(
         router.scan(r0, r1),
         key_col="event_type",
@@ -908,3 +1001,52 @@ def stream_compacted_tier_restart_drain(
     minute windows straddling the stop. The same hash as the forward drain
     pins all of it."""
     return _compacted_percentile_tier_drain(spark, sf_dir, restart_after=1)
+
+
+@register(
+    "stream_retention_tier_drain",
+    tags=("A9", "S10", "SERVE", "streaming"),
+    oracle=_RETENTION_PCTILE_ORACLE,
+)
+def stream_retention_tier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ladder RETENTION under the value hash — the reference's
+    retentionTimeValue (orders_1m_rollup_table.json:7-9, 30 DAYS; Pinot's
+    retention manager drops whole segments once wholly expired) composed
+    onto the live compaction drain: every micro-batch, after the coarse
+    commit, coarse segments wholly older than (watermark − 7 d) are
+    physically DELETED (purge_upto at subdir granularity — on the fixture
+    this genuinely drops 2 of the 3 coarse segments), and the final read
+    requests a range deliberately straddling the retention horizon R
+    through a TierRouter whose retain_from_ms clamp plans nothing below R.
+    The oracle re-derives R from raw events and counts [R, R+4h) only, so
+    the hash pins BOTH directions: an expired segment still served (clamp
+    missing / stale straddler leaking) or a retained hour lost (purge cut
+    too deep) shifts every count. At 100 TB this is why retention is O(1):
+    dropping history is directory deletion of frontier-named segments —
+    never a rewrite, never a scan — and the serving clamp makes the
+    physical drop unobservable to any plannable query."""
+    return _compacted_percentile_tier_drain(
+        spark, sf_dir, retention_ms=_LADDER_RETENTION_MS
+    )
+
+
+@register(
+    "stream_retention_tier_restart_drain",
+    tags=("A9", "S10", "T8", "SERVE", "streaming", "restart"),
+    oracle=_RETENTION_PCTILE_ORACLE,
+)
+def stream_retention_tier_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart twin of `stream_retention_tier_drain`: generation
+    1 drains the first event-time tile (fine append + compaction + its
+    retention purge), then a freshly-built query resumes. On top of the
+    compacted twin's dual-frontier recovery, the retention cut must stay
+    consistent across the restart: the resumed generation re-derives R from
+    ITS batches' watermarks and re-purges idempotently — a recovered purge
+    that re-deleted a still-needed segment, or a reset frontier that
+    re-compacted into a purged name, would each shift the retained read's
+    counts against the same hash as the forward drain."""
+    return _compacted_percentile_tier_drain(
+        spark, sf_dir, restart_after=1, retention_ms=_LADDER_RETENTION_MS
+    )
