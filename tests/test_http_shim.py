@@ -460,3 +460,51 @@ def test_percentiles_route_via_tier_router(spark):
             )
             assert r0.status_code == 200
             assert r0.get_json()["items"] == []
+
+
+def test_percentiles_route_honors_retention_clamp(spark):
+    """Round-13 retention through the facade: a retention-carrying
+    TierRouter behind /api/v1/percentiles answers (1) a request straddling
+    the horizon from retained windows only — identical to requesting the
+    clamped range directly — and (2) a wholly-expired range as 200-empty,
+    not stale rows and not a 500. No facade code path is retention-aware;
+    the router's plan-entry clamp is the whole mechanism."""
+    from topk_spark.ops.rollup import merge_rollup
+    from topk_spark.serve.http import create_app
+    from topk_spark.serve.router import TierRouter
+
+    HOUR = 3_600_000
+    t1m = spark.range(180).select(
+        F.lit("purchase").alias("event_type"),
+        ((F.col("id") % 60) + 1).cast("long").alias("revenue_cents"),
+        (F.lit(BASE) + F.col("id") * MIN).alias("window_start"),
+        (F.lit(BASE) + (F.col("id") + 1) * MIN).alias("window_end"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    t1h = merge_rollup(
+        t1m, ["event_type", "revenue_cents"], ["n"], target_window_ms=HOUR,
+    ).select("event_type", "revenue_cents", "window_start", "window_end", "n")
+    r_cut = BASE + HOUR  # first hour expired, hours 2-3 retained
+    router = TierRouter({MIN: t1m, HOUR: t1h}, retain_from_ms=r_cut)
+    app = create_app(spark, t1m, histogram_tier=router)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        straddling = c.get(
+            "/api/v1/percentiles",
+            query_string={"start_time": BASE, "end_time": BASE + 3 * HOUR},
+        )
+        clamped = c.get(
+            "/api/v1/percentiles",
+            query_string={"start_time": r_cut, "end_time": BASE + 3 * HOUR},
+        )
+        assert straddling.status_code == clamped.status_code == 200
+        items = straddling.get_json()["items"]
+        assert items == clamped.get_json()["items"]
+        (item,) = items
+        assert item["n_rows"] == 120  # retained 2h of minutes, not all 180
+        expired = c.get(
+            "/api/v1/percentiles",
+            query_string={"start_time": BASE, "end_time": r_cut},
+        )
+        assert expired.status_code == 200
+        assert expired.get_json()["items"] == []
