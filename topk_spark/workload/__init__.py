@@ -130,6 +130,14 @@ _FORCE_RESAMPLE: dict[str, int] = {
     "stream_compacted_tier_drain": 13,
     "stream_compacted_tier_restart_drain": 13,
     "stream_trending_routed_serve": 13,
+    # round-13 optimization rewrites (results proven identical to the old
+    # formulations by tests/test_r13_optimizations.py AND pre-flighted
+    # against the unchanged oracles; each faces the driver gate again):
+    # q21 self-joins → min/max aggregates, int8 + cosine interpreted
+    # lambda folds → vectorized Arrow passes.
+    "q21_waiting_suppliers": 13,
+    "int8_quantized_topk": 13,
+    "cosine_topk": 13,
 }
 
 # (Names pruned from the registry in later rounds are dropped from this

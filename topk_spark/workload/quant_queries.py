@@ -71,40 +71,65 @@ def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer multiply-add; at 100 TB that is the difference between a
     bandwidth-bound and compute-bound scan. Rank window runs per query id
     over bounded candidate sets."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # Hoist the per-vector scale into its own projection: higher-order
-    # lambdas are interpreted (not codegen), so leaving array_max inside
-    # the per-element transform re-evaluated an O(d) reduction d times per
-    # row — measured ~2× of this query's scan time at sf0.1.
-    quant = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(
-            "cast(127.0 as double) / array_max(transform(embedding,"
-            " y -> abs(cast(y as double))))"
-        ).alias("scale"),
-    ).select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double) * scale)"
-            " as bigint))"
-        ).alias("q"),
+    # Round-13 (guide §4.2): quantization + BIGINT dots moved from
+    # interpreted Catalyst lambdas to one vectorized numpy pass per Arrow
+    # batch. The old plan held TWO interpreted hot loops: CollapseProject
+    # had re-inlined the "hoisted" per-vector scale back into the
+    # per-element transform (array_max inside the lambda → O(d²)
+    # interpreted reductions per row — visible in the r13 before-plan,
+    # node (3)), and each of the corpus × queries pairs paid an
+    # interpreted aggregate(zip_with(...)) fold. Exactness is unchanged:
+    # float32→float64 widening is exact, ÷ and × are correctly-rounded
+    # IEEE doubles and floor is exact in numpy exactly as in Catalyst, and
+    # the dot is int64 math (order-free). The query set is a bounded
+    # collect (≤ _N_QUERIES rows — the documented broadcast-queries
+    # pattern of ops/similarity); only (vec_id, embedding) cross the
+    # Python boundary, and the scored rows leaving it are 3 narrow
+    # columns, so the rank window shuffles exactly what it ranks.
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
     )
-    qs = (
-        quant.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
-    )
-    scored = (
-        quant.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.expr(
-                "aggregate(zip_with(qa, q, (x, y) -> x * y),"
-                " cast(0 as bigint), (acc, v) -> acc + v)"
-            ).alias("int_dot"),
-        )
+
+    def _quant_rows(mat: np.ndarray) -> np.ndarray:
+        # symmetric per-vector int8: floor(x * (127 / max|x|)), row-wise
+        scale = 127.0 / np.abs(mat).max(axis=1, keepdims=True)
+        return np.floor(mat * scale).astype(np.int64)
+
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _quant_rows(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    )  # (n_queries, d)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            corpus = _quant_rows(
+                np.array(list(pdf["embedding"]), dtype=np.float64)
+            )
+            dots = corpus @ q_mat.T  # (n_rows, n_queries), exact int64
+            n, nq = dots.shape
+            out_q = np.repeat(q_ids, n)
+            out_v = np.tile(vids, nq)
+            out_d = dots.T.reshape(-1)
+            keep = out_v != out_q  # self-pairs excluded, as in the oracle
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "vec_id": out_v[keep],
+                    "int_dot": out_d[keep],
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score, "query_id long, vec_id long, int_dot long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("int_dot"), F.asc("vec_id"))
     return (

@@ -67,23 +67,83 @@ FROM rk WHERE rank <= 5
 """,
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-5 neighbors for a fixed query set:
-    broadcast queries × corpus scan, rank per query. The corpus never
-    shuffles; per-partition work is a vectorized fold over 64-dim arrays."""
+    """Brute-force exact cosine top-5 neighbors for a fixed query set.
+
+    Round-13 (guide §4.2): the per-pair dot products moved from interpreted
+    Catalyst `aggregate(zip_with(...))` folds (3 folds per pair — dot(q,v)
+    plus BOTH norms, the query norm recomputed for every corpus row) to one
+    numpy pass per Arrow batch. Bit-identical by construction: the kernel
+    accumulates dimension-by-dimension in index order across the whole
+    batch (`acc += A[:,i]*q[i]`), which is exactly the sequential left-fold
+    order the oracle's `list_inner_product` and the old expression used —
+    every + and × is the same correctly-rounded IEEE double op in the same
+    order; sqrt and ÷ are correctly rounded; the 6-dp rounding stays in
+    Spark. The corpus still never shuffles (queries are a bounded ≤3-row
+    collect), and only the 4 needed columns cross the Python boundary."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = (
+    q_rows = sorted(
         emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
-        .select(F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv"))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    v = emb.select("vec_id", "label", _dbl("embedding").alias("vv"))
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+
+    def _fold_dot(a_mat: np.ndarray, b_vec: np.ndarray) -> np.ndarray:
+        # sequential left-fold over dimensions, vectorized across rows:
+        # identical op order to aggregate(zip_with(a, b, *), 0.0, +)
+        acc = np.zeros(a_mat.shape[0], dtype=np.float64)
+        for i in range(a_mat.shape[1]):
+            acc += a_mat[:, i] * b_vec[i]
+        return acc
+
+    def _fold_sq(a_mat: np.ndarray) -> np.ndarray:
+        acc = np.zeros(a_mat.shape[0], dtype=np.float64)
+        for i in range(a_mat.shape[1]):
+            acc += a_mat[:, i] * a_mat[:, i]
+        return acc
+
+    q_norms = np.sqrt(
+        np.array([_fold_sq(q_mat[j : j + 1])[0] for j in range(len(q_rows))])
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy()
+            vv = np.array(list(pdf["embedding"]), dtype=np.float64)
+            v_norm = np.sqrt(_fold_sq(vv))
+            frames = []
+            for j in range(len(q_ids)):
+                cos = _fold_dot(vv, q_mat[j]) / (q_norms[j] * v_norm)
+                keep = vids != q_ids[j]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(keep.sum(), q_ids[j]),
+                            "vec_id": vids[keep],
+                            "label": labels[keep],
+                            "raw_score": cos[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
     scored = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        emb.select("vec_id", "label", "embedding")
+        .mapInPandas(score, "query_id long, vec_id long, label int, raw_score double")
         .select(
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("qv"), F.col("vv")), 6).alias("score"),
+            F.round(F.col("raw_score"), 6).alias("score"),
         )
     )
     return rank_topk(

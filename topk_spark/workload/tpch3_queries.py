@@ -294,15 +294,25 @@ LIMIT 100
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone were late on a finished
     multi-supplier order — EXISTS (another supplier participated) plus
-    NOT EXISTS (another supplier was also late) as self-semi/anti-joins over
-    the same fact (shipdate > orderdate + 1y stands in for the missing
+    NOT EXISTS (another supplier was also late) over the same fact
+    (shipdate > orderdate + 1y stands in for the missing
     receiptdate > commitdate lateness).
 
-    Scale shape: the one-nation supplier-key filter broadcasts into the
-    candidate build FIRST, shrinking the probe side ~25× before any
-    self-join; the anti build keeps ALL nations' late lines (required for
-    correctness) as distinct (orderkey,suppkey) pairs, far smaller than the
-    fact; both self-joins hash on l_orderkey; supplier/nation broadcast."""
+    Round-13 rewrite (guide §2.3 "aggregate before you shuffle", §2.4):
+    both quantified predicates are per-ORDER set properties, so they
+    collapse to min/max aggregates instead of self-joins —
+    EXISTS(other supplier on the order) ⟺ min(l_suppkey) ≠ max(l_suppkey)
+    over the order's lineitems, and NOT EXISTS(other LATE supplier) ⟺
+    min = max over the order's late lines (l1 itself is in that set).
+    The old form paid a distinct over all (orderkey,suppkey) pairs that
+    was BROADCAST (lineitem-scale — a driver/executor OOM at real scale),
+    a second distinct + sort-merge ANTI join whose non-equi suppkey≠
+    residual does per-key quadratic probe work on hot orders, and a third
+    scan of lineitem. This form scans lineitem twice (candidate build +
+    the min/max rollup, each all map-side partial agg), runs ONE window
+    over the candidate set keyed the same way the following semi-join is
+    (exchange reused), and broadcasts only bounded aggregates. Verified
+    hash-identical against the unchanged EXISTS/NOT-EXISTS oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
@@ -315,29 +325,28 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
         .select("l_orderkey", "l_suppkey", "l_linenumber")
     )
-    other_supp = li.select("l_orderkey", "l_suppkey").distinct().alias("l2")
-    other_late = cand.select("l_orderkey", "l_suppkey").distinct().alias("l3")
-    l1 = cand.join(
-        F.broadcast(supp.select("s_suppkey")),
-        cand.l_suppkey == F.col("s_suppkey"),
-        "left_semi",
-    ).alias("l1")
-    waiting = (
-        l1.join(
-            other_supp,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    # Orders with ≥2 distinct suppliers among ALL their lines (the EXISTS
+    # side): min≠max is the cheapest exact multi-supplier test — partial
+    # min/max map-side, one shuffled row per orderkey, never a distinct.
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("mn_all"), F.max("l_suppkey").alias("mx_all"))
+        .filter(F.col("mn_all") != F.col("mx_all"))
+        .select("l_orderkey")
+    )
+    # Late lines whose order has exactly ONE late supplier (the NOT EXISTS
+    # side): a min/max window over the candidate set — same l_orderkey
+    # partitioning the semi-join below needs, so the exchange is shared.
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        cand.withColumn("mn_late", F.min("l_suppkey").over(w))
+        .withColumn("mx_late", F.max("l_suppkey").over(w))
+        .filter(F.col("mn_late") == F.col("mx_late"))
+        .select("l_orderkey", "l_suppkey")
     )
     return (
-        waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        sole.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
