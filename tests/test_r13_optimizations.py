@@ -142,6 +142,50 @@ def test_int8_vectorized_matches_expression_form(spark, sf_dir):
     assert new == old and len(new) == 25  # 5 queries x top-5
 
 
+def test_banding_batch_kernel_minima_and_equality_classes():
+    """The round-13 batched banding kernel must keep (a) the permutation
+    minima bit-identical to the old per-doc formula — the signature bytes
+    the streaming verify compares — and (b) the bucket EQUALITY CLASSES:
+    two docs share a band bucket iff their minima slices for that band are
+    equal (the digest changed from per-band blake2b to a vectorized rolling
+    polynomial; any injective digest preserves the candidate sets, which is
+    what every downstream verified result depends on)."""
+    import numpy as np
+
+    from topk_spark.ops.sig_kernels import (
+        _perm_constants,
+        sig_band_hashes,
+        sig_band_hashes_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = [
+        rng.integers(0, 2**63, size=int(n)).astype(np.uint64)
+        for n in rng.integers(1, 60, size=300)
+    ]
+    # force shared buckets: doc 1 is a copy of doc 0, doc 2 shares a prefix
+    docs[1] = docs[0].copy()
+    A, C = _perm_constants(64)
+    sig_t, bh = sig_band_hashes_batch(docs, A, C, 16, 4)
+
+    def ref_min(h):
+        return (A[:, None] * h[None, :] + C[:, None]).min(axis=1)
+
+    for j in (0, 1, 2, 150, 299):
+        assert (sig_t[j] == ref_min(docs[j])).all()
+    sb, per_doc = sig_band_hashes(docs[0], A, C, 16, 4)
+    assert sb == ref_min(docs[0]).astype(">u8").tobytes()
+    assert (np.array(per_doc, dtype=np.uint64) == bh[0]).all()
+    assert (bh[0] == bh[1]).all()  # identical docs → identical buckets
+    for i in range(60):
+        for j in range(i + 1, 60):
+            for b in range(16):
+                slice_eq = (
+                    sig_t[i, b * 4 : (b + 1) * 4] == sig_t[j, b * 4 : (b + 1) * 4]
+                ).all()
+                assert slice_eq == (bh[i][b] == bh[j][b])
+
+
 def _cosine_expression_form(spark, sf_dir):
     """The pre-round-13 Catalyst fold formulation of cosine_topk."""
     from topk_spark.ops.topk import rank_topk

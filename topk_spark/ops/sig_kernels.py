@@ -166,28 +166,64 @@ HASHED_SHINGLES_SCHEMA = StructType(
 )
 
 
+def sig_band_hashes_batch(
+    arrs: list["np.ndarray"],
+    A: "np.ndarray",
+    C: "np.ndarray",
+    bands: int,
+    rows_per_band: int,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Permutation minima + band digests for MANY docs at once — THE single
+    implementation every MinHash path shares (batch text, batch from-hsh,
+    streaming via the per-doc wrapper below). Round-13 (guide §4.2): the
+    old per-doc form paid a Python-level numpy dispatch per doc for the
+    minima and 16 Python hashlib calls per doc for the band digests —
+    measured as the larger half of the banding kernel's runtime. This form
+    computes the minima with one `np.minimum.reduceat` per permutation over
+    the concatenated shingle hashes (identical uint64 arithmetic → identical
+    minima), and the band digest as a vectorized rolling polynomial in
+    uint64 over each band's minima (the same `_ROLL_K` family the shingle
+    hash uses). The digest VALUES differ from the old blake2b digests, but
+    bucket semantics are equality of the underlying minima slices — any
+    injective-up-to-2⁻⁶⁴ digest yields the SAME equality classes, so the
+    candidate sets (and every downstream verified result) are unchanged;
+    nothing on disk persists band hashes, so SIG_KERNEL_VERSION (which keys
+    the (id, hsh) signature caches — values untouched here) stays.
+
+    `arrs` must contain only non-empty uint64 arrays (callers drop empty
+    shingle sets, as before). Returns (sig: (n_docs, num_perm) uint64 —
+    row-major permutation minima; band_hashes: (n_docs, bands) uint64)."""
+    n = len(arrs)
+    num_perm = len(A)
+    if n == 0:
+        return (
+            np.empty((0, num_perm), dtype=np.uint64),
+            np.empty((0, bands), dtype=np.uint64),
+        )
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    hc = np.concatenate(arrs)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    sig = np.empty((num_perm, n), dtype=np.uint64)
+    for p in range(num_perm):
+        sig[p] = np.minimum.reduceat(A[p] * hc + C[p], offs)
+    sig_t = np.ascontiguousarray(sig.T)  # (n_docs, num_perm)
+    view = sig_t.reshape(n, bands, rows_per_band)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows_per_band):
+        bh = bh * _ROLL_K + view[:, :, r]
+    return sig_t, bh
+
+
 def sig_band_hashes(
     H: "np.ndarray", A: "np.ndarray", C: "np.ndarray", bands: int, rows_per_band: int
 ) -> tuple[bytes, list[int]]:
-    """Permutation minima + per-band blake2b digests over a doc's shingle
-    hashes — THE single implementation every MinHash path shares (batch
-    text, batch from-hsh, streaming): a kernel change lands here once and
-    all paths stay bit-identical by construction (and SIG_KERNEL_VERSION
-    gets bumped once). Returns (signature bytes big-endian u64s, one
-    unsigned 64-bit digest per band)."""
-    sig = (A[:, None] * H[None, :] + C[:, None]).min(axis=1)
-    sb = sig.astype(">u8").tobytes()
-    hashes = [
-        int.from_bytes(
-            blake2b(
-                sb[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8],
-                digest_size=8,
-            ).digest(),
-            "big",
-        )
-        for b in range(bands)
-    ]
-    return sb, hashes
+    """Per-doc wrapper over `sig_band_hashes_batch` (the streaming
+    per-event path). Returns (signature bytes big-endian u64s — unchanged
+    encoding, the minima are identical —, one unsigned 64-bit digest per
+    band)."""
+    sig_t, bh = sig_band_hashes_batch([H], A, C, bands, rows_per_band)
+    return sig_t[0].astype(">u8").tobytes(), [int(v) for v in bh[0]]
 
 
 def minhash_band_rows(
@@ -208,26 +244,22 @@ def minhash_band_rows(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, int] = {}
         for batch in batches:
-            out_id: list[int] = []
-            out_band: list[int] = []
-            out_hash: list[int] = []
+            ids: list[int] = []
+            arrs: list[np.ndarray] = []
             for i, text in zip(batch[id_col], batch[text_col]):
                 toks = _tokens(text)
                 if toks == [""]:
                     continue
-                H = _shingle_hash_u64(toks, shingle_n, memo)
-                _, hashes = sig_band_hashes(H, A, C, bands, rows_per_band)
-                for b, hv in enumerate(hashes):
-                    out_id.append(int(i))
-                    out_band.append(b)
-                    out_hash.append(np.uint64(hv))
+                ids.append(int(i))
+                arrs.append(_shingle_hash_u64(toks, shingle_n, memo))
+            _, bh = sig_band_hashes_batch(arrs, A, C, bands, rows_per_band)
             yield pd.DataFrame(
                 {
-                    "id": pd.Series(out_id, dtype="int64"),
-                    "band_id": pd.Series(out_band, dtype="int32"),
-                    "band_hash": _u64_to_i64(
-                        np.array(out_hash, dtype=np.uint64)
+                    "id": np.repeat(np.array(ids, dtype=np.int64), bands),
+                    "band_id": np.tile(
+                        np.arange(bands, dtype=np.int32), len(ids)
                     ),
+                    "band_hash": _u64_to_i64(bh.reshape(-1)),
                 }
             )
 
@@ -252,25 +284,22 @@ def minhash_band_rows_from_hsh(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out_id: list[int] = []
-            out_band: list[int] = []
-            out_hash: list[int] = []
+            ids: list[int] = []
+            arrs: list[np.ndarray] = []
             for i, arr in zip(batch["id"], batch["hsh"]):
                 H = np.asarray(arr, dtype=np.int64).astype(np.uint64)
                 if not len(H):
                     continue
-                _, hashes = sig_band_hashes(H, A, C, bands, rows_per_band)
-                for b, hv in enumerate(hashes):
-                    out_id.append(int(i))
-                    out_band.append(b)
-                    out_hash.append(np.uint64(hv))
+                ids.append(int(i))
+                arrs.append(H)
+            _, bh = sig_band_hashes_batch(arrs, A, C, bands, rows_per_band)
             yield pd.DataFrame(
                 {
-                    "id": pd.Series(out_id, dtype="int64"),
-                    "band_id": pd.Series(out_band, dtype="int32"),
-                    "band_hash": _u64_to_i64(
-                        np.array(out_hash, dtype=np.uint64)
+                    "id": np.repeat(np.array(ids, dtype=np.int64), bands),
+                    "band_id": np.tile(
+                        np.arange(bands, dtype=np.int32), len(ids)
                     ),
+                    "band_hash": _u64_to_i64(bh.reshape(-1)),
                 }
             )
 

@@ -65,7 +65,7 @@ from topk_spark.ops.sig_kernels import (
     _shingle_hash_u64,
     _tokens,
     _u64_to_i64,
-    sig_band_hashes,
+    sig_band_hashes_batch,
 )
 
 BAND_SIG_SCHEMA = StructType(
@@ -117,27 +117,24 @@ def band_signature_rows(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, int] = {}
         for batch in batches:
-            out_id: list[int] = []
-            out_band: list[int] = []
-            out_hash: list[int] = []
-            out_sig: list[bytes] = []
+            ids: list[int] = []
+            arrs: list[np.ndarray] = []
             for i, text in zip(batch[id_col], batch[text_col]):
                 toks = _tokens(text)
                 if toks == [""]:
                     continue
-                H = _shingle_hash_u64(toks, shingle_n, memo)
-                sb, hashes = sig_band_hashes(H, A, C, bands, rows_per_band)
-                for b, hv in enumerate(hashes):
-                    out_id.append(int(i))
-                    out_band.append(b)
-                    out_hash.append(hv)
-                    out_sig.append(sb)
+                ids.append(int(i))
+                arrs.append(_shingle_hash_u64(toks, shingle_n, memo))
+            sig_t, bh = sig_band_hashes_batch(arrs, A, C, bands, rows_per_band)
+            sigs = [sig_t[j].astype(">u8").tobytes() for j in range(len(ids))]
             yield pd.DataFrame(
                 {
-                    "id": pd.Series(out_id, dtype="int64"),
-                    "band_id": pd.Series(out_band, dtype="int32"),
-                    "band_hash": _u64_to_i64(np.array(out_hash, dtype=np.uint64)),
-                    "sig": out_sig,
+                    "id": np.repeat(np.array(ids, dtype=np.int64), bands),
+                    "band_id": np.tile(
+                        np.arange(bands, dtype=np.int32), len(ids)
+                    ),
+                    "band_hash": _u64_to_i64(bh.reshape(-1)),
+                    "sig": [s for s in sigs for _ in range(bands)],
                 }
             )
 

@@ -116,7 +116,6 @@ _PRIORITY_MODULES: tuple[str, ...] = (
 #     faces the gate again.
 _FORCE_RESAMPLE: dict[str, int] = {
     "rolling_7d_revenue": 4,
-    "minhash_lsh_neardup": 5,
     "region_nation_rollup": 6,
     "stream_embed_neardup_restart_drain": 10,
     "approx_percentile_bound": 10,
@@ -138,6 +137,19 @@ _FORCE_RESAMPLE: dict[str, int] = {
     "q21_waiting_suppliers": 13,
     "int8_quantized_topk": 13,
     "cosine_topk": 13,
+    # round-13: the shared MinHash banding kernel was batch-vectorized and
+    # its band digest swapped blake2b → rolling polynomial (equality-class
+    # preserving — candidate sets and all verified outputs unchanged, pinned
+    # by tests/test_r13_optimizations.py); every registered query whose
+    # dataflow crosses the kernel faces the gate again.
+    "minhash_lsh_neardup": 13,
+    "minhash_lsh_recall": 13,
+    "incremental_crawl_dedup": 13,
+    "stream_neardup_drain": 13,
+    "stream_neardup_restart_drain": 13,
+    # round-13: dup_ngram_spans' gram derivation moved to the same shared
+    # rolling-hash kernel (gram identity preserved; counts unchanged).
+    "dup_ngram_spans": 13,
 }
 
 # (Names pruned from the registry in later rounds are dropped from this

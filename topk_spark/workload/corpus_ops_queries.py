@@ -361,30 +361,63 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (gram, doc_id) pairs, never documents; skew is bounded because
     DISTINCT doc-gram pairs cap any gram's row count at n_docs. Emits only
     docs with at least one shared span (the dedup candidates)."""
-    from topk_spark.ops.fuzzy_dedup import tokenize, word_shingles
+    import numpy as np
 
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    # Shuffle 8-byte gram HASHES, not ~50-char gram strings: xxhash64
-    # collisions over a corpus-scale gram set are ~n²/2⁶⁴ (vanishing), and
-    # every downstream step (distinct, doc-count, join-back) only needs
-    # gram identity, never its text — this is what makes the shuffle
-    # payload constant-width at 100 TB.
-    # No .distinct() needed: word_shingles array_distincts per doc, so
+    # Shuffle 8-byte gram HASHES, not ~50-char gram strings: collisions
+    # over a corpus-scale gram set are ~n²/2⁶⁴ (vanishing), and every
+    # downstream step (distinct, doc-count, join-back) only needs gram
+    # identity, never its text — this is what makes the shuffle payload
+    # constant-width at 100 TB.
+    # Round-13 (guide §4.2): gram derivation moved from interpreted
+    # higher-order lambdas (sequence → transform(concat_ws(slice)) →
+    # array_distinct → transform(xxhash64) — every gram paid interpreted
+    # dispatch plus a string build, ~1M evals per sf0.1 scan, and the
+    # pushed-down size filter tokenized each doc twice) to the shared
+    # rolling-hash shingle kernel (ops/sig_kernels._shingle_hash_u64):
+    # memoized per-token hashes + one vectorized window combine per doc.
+    # Hash VALUES differ from xxhash64(gram string), but the query only
+    # consumes gram identity (distinct per doc, per-gram doc counts) and
+    # both hash families are injective-up-to-2⁻⁶⁴, so every emitted count
+    # is unchanged — same equality-class argument the kernel documents.
+    # No .distinct() needed: the kernel emits distinct hashes per doc, so
     # (doc_id, gram) rows are already globally unique — adding one would
     # cost a full extra Exchange before the gram shuffle.
-    grams = (
-        d.select("doc_id", toks.alias("__toks"))
-        .filter(F.size("__toks") >= _SPAN_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    word_shingles(F.col("__toks"), _SPAN_N),
-                    lambda g: F.xxhash64(g),
+    from topk_spark.ops.sig_kernels import _shingle_hash_u64, _tokens, _u64_to_i64
+
+    def gram_rows(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids: list[int] = []
+            arrs: list[np.ndarray] = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _tokens(text)
+                if len(toks) < _SPAN_N:  # same cut as size(__toks) >= n
+                    continue
+                ids.append(int(i))
+                arrs.append(_shingle_hash_u64(toks, _SPAN_N, memo))
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "gram": pd.Series([], dtype="int64"),
+                    }
                 )
-            ).alias("gram"),
-        )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        np.array(ids, dtype=np.int64),
+                        [len(a) for a in arrs],
+                    ),
+                    "gram": _u64_to_i64(np.concatenate(arrs)),
+                }
+            )
+
+    grams = d.select("doc_id", "text").mapInPandas(
+        gram_rows, "doc_id long, gram long"
     )
     # Per-gram doc count via a WINDOW over the gram partition, not a
     # groupBy + join-back: (doc_id, gram) rows are unique, so
