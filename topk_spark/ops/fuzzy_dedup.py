@@ -103,10 +103,17 @@ def lsh_banded(shingles: Column, num_perm: int, bands: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
-    return inter / union
+    """Exact Jaccard over two distinct-element arrays.
+
+    Round-14 (guide §1.2 per-task work): |A∪B| is derived as
+    |A| + |B| − |A∩B| instead of materializing `array_union` — for
+    distinct-element inputs (every caller: hashed_shingles arrays,
+    word_shingles output) the identity is exact over integers, so the
+    double division sees the same two ints and the value stays
+    BIT-identical, while the per-pair cost drops from two hash-set builds
+    (intersect + union) to one."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter).cast("double")
 
 
 def minhash_lsh_candidates(
@@ -145,10 +152,20 @@ def minhash_lsh_candidates(
     banded = minhash_band_rows(docs, id_col, text_col, shingle_n, num_perm, bands)
     id_pairs = bucket_pairs(banded, ["band_id", "band_hash"])
     hsh = hashed_shingles(docs, id_col, text_col, shingle_n)
+    # Round-14 (guide §3.1): build BOTH verify joins on the candidate-pair
+    # side. Unhinted, the planner broadcast the pairs on the first join but
+    # the FULL signature table on the second — a corpus-scale broadcast
+    # (executor/driver OOM at 100 TB, same hazard class as q21's removed
+    # lineitem broadcast). Pairs are bounded by bucket collisions, not
+    # corpus size, so they are the only side that is safe to build.
     return (
-        id_pairs.join(
-            hsh.select(F.col("id").alias("id_a"), F.col("hsh").alias("shingles_a")),
-            "id_a",
+        F.broadcast(
+            F.broadcast(id_pairs).join(
+                hsh.select(
+                    F.col("id").alias("id_a"), F.col("hsh").alias("shingles_a")
+                ),
+                "id_a",
+            )
         )
         .join(
             hsh.select(F.col("id").alias("id_b"), F.col("hsh").alias("shingles_b")),
@@ -200,10 +217,18 @@ def minhash_neardup_pairs_from_hsh(
 
     banded = minhash_band_rows_from_hsh(hsh, num_perm, bands)
     id_pairs = bucket_pairs(banded, ["band_id", "band_hash"])
+    # Pairs-side build on both verify joins — see minhash_lsh_candidates:
+    # the unhinted plan broadcast the whole signature table on the second
+    # join (corpus-scale broadcast = 100 TB OOM hazard); the candidate-pair
+    # side is the bounded one.
     return (
-        id_pairs.join(
-            hsh.select(F.col("id").alias("id_a"), F.col("hsh").alias("shingles_a")),
-            "id_a",
+        F.broadcast(
+            F.broadcast(id_pairs).join(
+                hsh.select(
+                    F.col("id").alias("id_a"), F.col("hsh").alias("shingles_a")
+                ),
+                "id_a",
+            )
         )
         .join(
             hsh.select(F.col("id").alias("id_b"), F.col("hsh").alias("shingles_b")),

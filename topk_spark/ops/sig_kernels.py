@@ -195,6 +195,13 @@ def sig_band_hashes_batch(
     row-major permutation minima; band_hashes: (n_docs, bands) uint64)."""
     n = len(arrs)
     num_perm = len(A)
+    # The (n, bands, rows_per_band) reshape below requires exact
+    # divisibility; the old byte-slice digest silently tolerated a
+    # remainder, so fail loudly for any future non-divisible caller.
+    assert num_perm == bands * rows_per_band, (
+        f"num_perm ({num_perm}) must equal bands*rows_per_band "
+        f"({bands}*{rows_per_band})"
+    )
     if n == 0:
         return (
             np.empty((0, num_perm), dtype=np.uint64),
@@ -235,9 +242,10 @@ def minhash_band_rows(
     bands: int = 16,
 ) -> DataFrame:
     """(id, band_id, band_hash) rows — B per doc — from a SINGLE pass:
-    shingle → hash → P affine-permutation minima → blake2b per R-row band.
-    Empty shingle sets (empty docs) emit nothing, matching the expression
-    path's `size(shingles) > 0` filter."""
+    shingle → hash → P affine-permutation minima → rolling-polynomial band
+    digest per R-row band (`sig_band_hashes_batch`). Empty shingle sets
+    (empty docs) emit nothing, matching the expression path's
+    `size(shingles) > 0` filter."""
     rows_per_band = num_perm // bands
     A, C = _perm_constants(num_perm)
 
@@ -278,32 +286,72 @@ def minhash_band_rows_from_hsh(
     P affine-permutation minima and band digests over the stored hashes.
     Bit-identical to `minhash_band_rows` on the same corpus (same hash
     values, same permutation constants, min over the multiset equals min
-    over the distinct set), so thresholds and recall floors transfer."""
-    rows_per_band = num_perm // bands
-    A, C = _perm_constants(num_perm)
+    over the distinct set), so thresholds and recall floors transfer.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Round-14 (guide §4.2): mapInPandas → mapInArrow. The stored list
+    column arrives as one contiguous Arrow values buffer + offsets, which
+    is EXACTLY the (concatenated hashes, segment offsets) layout the
+    reduceat kernel consumes — so the per-doc Python loop (a pandas box +
+    `np.asarray` copy per row) is replaced by two zero-copy buffer reads
+    per batch. Minima/digest arithmetic is unchanged (same uint64 ops in
+    the same order), so band equality classes — and every downstream
+    verified result — are bit-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rows_per_band = num_perm // bands
+    assert num_perm == bands * rows_per_band
+    A, C = _perm_constants(num_perm)
+    out_schema = pa.schema(
+        [
+            pa.field("id", pa.int64(), False),
+            pa.field("band_id", pa.int32(), False),
+            pa.field("band_hash", pa.int64(), False),
+        ]
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        band_ids = np.arange(bands, dtype=np.int32)
         for batch in batches:
-            ids: list[int] = []
-            arrs: list[np.ndarray] = []
-            for i, arr in zip(batch["id"], batch["hsh"]):
-                H = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-                if not len(H):
-                    continue
-                ids.append(int(i))
-                arrs.append(H)
-            _, bh = sig_band_hashes_batch(arrs, A, C, bands, rows_per_band)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(np.array(ids, dtype=np.int64), bands),
-                    "band_id": np.tile(
-                        np.arange(bands, dtype=np.int32), len(ids)
-                    ),
-                    "band_hash": _u64_to_i64(bh.reshape(-1)),
-                }
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            lst = batch.column("hsh")
+            lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+            lens = lens.astype(np.int64, copy=False)
+            vals = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+            hc = vals.view(np.uint64)
+            keep = lens > 0  # empty docs emit nothing (as before)
+            if not keep.all():
+                ids, lens = ids[keep], lens[keep]
+            n = len(ids)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([], pa.int64()),
+                        pa.array([], pa.int32()),
+                        pa.array([], pa.int64()),
+                    ],
+                    schema=out_schema,
+                )
+                continue
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            sig = np.empty((num_perm, n), dtype=np.uint64)
+            for p in range(num_perm):
+                sig[p] = np.minimum.reduceat(A[p] * hc + C[p], offs)
+            view = np.ascontiguousarray(sig.T).reshape(n, bands, rows_per_band)
+            bh = np.zeros((n, bands), dtype=np.uint64)
+            for r in range(rows_per_band):
+                bh = bh * _ROLL_K + view[:, :, r]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, bands)),
+                    pa.array(np.tile(band_ids, n)),
+                    pa.array(bh.reshape(-1).view(np.int64)),
+                ],
+                schema=out_schema,
             )
 
-    return hsh.select("id", "hsh").mapInPandas(run, MINHASH_BANDS_SCHEMA)
+    return hsh.select("id", "hsh").mapInArrow(run, MINHASH_BANDS_SCHEMA)
 
 
 def hashed_shingles(

@@ -135,21 +135,43 @@ _FORCE_RESAMPLE: dict[str, int] = {
     # q21 self-joins → min/max aggregates, int8 + cosine interpreted
     # lambda folds → vectorized Arrow passes.
     "q21_waiting_suppliers": 13,
-    "int8_quantized_topk": 13,
     "cosine_topk": 13,
     # round-13: the shared MinHash banding kernel was batch-vectorized and
     # its band digest swapped blake2b → rolling polynomial (equality-class
     # preserving — candidate sets and all verified outputs unchanged, pinned
     # by tests/test_r13_optimizations.py); every registered query whose
-    # dataflow crosses the kernel faces the gate again.
-    "minhash_lsh_neardup": 13,
-    "minhash_lsh_recall": 13,
+    # dataflow crosses the kernel faces the gate again. (minhash_lsh_neardup,
+    # minhash_lsh_recall and int8_quantized_topk were touched again in
+    # round 14 — their entries live in the round-14 block below.)
     "incremental_crawl_dedup": 13,
     "stream_neardup_drain": 13,
     "stream_neardup_restart_drain": 13,
     # round-13: dup_ngram_spans' gram derivation moved to the same shared
     # rolling-hash kernel (gram identity preserved; counts unchanged).
     "dup_ngram_spans": 13,
+    # round-14 optimization rewrites (results proven identical to the old
+    # formulations by tests/test_r14_optimizations.py AND pre-flighted
+    # against the unchanged oracles; each faces the driver gate again):
+    # - jaccard(): |A∪B| derived as |A|+|B|−|A∩B| (bit-identical for the
+    #   distinct arrays every caller passes) — touches every query whose
+    #   dataflow crosses ops.fuzzy_dedup.jaccard / ngram_jaccard_pairs;
+    # - minhash banding mapInPandas → mapInArrow (minima bit-identical) and
+    #   verify-join build sides pinned to the candidate-pair side;
+    # - pricing_summary / q9: decimal sums → exact integer-unit split sums
+    #   recombined via decimal(38,6) division;
+    # - topk_revenue_raw_24h: broadcast max(ts) anchor → bounded scalar
+    #   collect + literal cutoff;
+    # - int8_quantized_topk: zero-norm guard (values unchanged on data
+    #   without all-zero embeddings — the testdata has none).
+    "minhash_lsh_neardup": 14,
+    "minhash_lsh_recall": 14,
+    "ngram_jaccard_neardup": 14,
+    "neardup_cluster_dedup": 14,
+    "golden_record_election": 14,
+    "pricing_summary": 14,
+    "q9_profit_by_nation_year": 14,
+    "topk_revenue_raw_24h": 14,
+    "int8_quantized_topk": 14,
 }
 
 # (Names pruned from the registry in later rounds are dropped from this

@@ -92,10 +92,26 @@ def topk_revenue_raw_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata is fixed in time). TakeOrderedAndProject gives the distributed
     bounded heap (K6)."""
     es = order_stream(spark, sf_dir)
-    mx = es.agg(F.max("ts").alias("mts"))
-    f = es.crossJoin(F.broadcast(mx)).filter(
-        F.col("ts") >= F.col("mts") - F.expr("INTERVAL 24 HOURS")
-    )
+    # Round-14 (guide §6 / VERDICT #6): the stream-head anchor is collected
+    # as ONE bounded scalar (tz-free unix micros — robust under any driver
+    # session timezone) instead of broadcast-joined, so the 24 h cut becomes
+    # a LITERAL predicate. That moves the filter BELOW the JSON-parse
+    # projection (the old BroadcastNestedLoopJoin form parsed `props` for
+    # every row, then dropped 96.6 % of them) and gives the scan a pushable
+    # time predicate — at 100 TB with time-sorted/partitioned layout this is
+    # row-group/partition pruning instead of a full decode. The anchor read
+    # itself stays a one-column scan (runs inside the timed query path).
+    # Semantics identical: INTERVAL 24 HOURS is exact µs arithmetic, and
+    # ts >= timestamp_micros(max_us − 86 400 000 000) ⟺ the old
+    # ts >= mts − INTERVAL 24 HOURS.
+    mts_us = es.agg(F.unix_micros(F.max("ts"))).collect()[0][0]
+    if mts_us is None:  # empty table: the old join form emitted no rows
+        f = es.filter(F.lit(False))
+    else:
+        f = es.filter(
+            F.col("ts")
+            >= F.timestamp_micros(F.lit(mts_us - 24 * 3600 * 1_000_000))
+        )
     g = f.groupBy("event_type", "user_id").agg(
         F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         F.sum("quantity").cast("long").alias("total_quantity"),

@@ -95,8 +95,14 @@ def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _quant_rows(mat: np.ndarray) -> np.ndarray:
-        # symmetric per-vector int8: floor(x * (127 / max|x|)), row-wise
-        scale = 127.0 / np.abs(mat).max(axis=1, keepdims=True)
+        # symmetric per-vector int8: floor(x * (127 / max|x|)), row-wise.
+        # Zero-norm guard (round-14 ADVICE): an all-zero row would give
+        # scale=inf and 0*inf=NaN, whose int64 cast is platform-undefined in
+        # numpy — the old Catalyst form cast NaN→0, i.e. all-zero rows
+        # quantize to all-zero. Substituting scale=127 for those rows
+        # produces exactly that (floor(0*127)=0) with defined behavior.
+        mx = np.abs(mat).max(axis=1, keepdims=True)
+        scale = 127.0 / np.where(mx == 0.0, 1.0, mx)
         return np.floor(mat * scale).astype(np.int64)
 
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)

@@ -249,10 +249,20 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier nation and ship-year over non-PROMO parts. part/supplier/nation
     all broadcast — lineitem never shuffles until the 25×7-group agg, which is
     ~all map-side partial."""
+    from topk_spark.ops.money import sum_units_exact
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
+    # Round-14 (guide §5 / ops.money): same exact decimal quantization as
+    # _disc_price, but the product and the accumulation run in int64
+    # (10^-4 dollar units, overflow-safe split sums) with one decimal(38,6)
+    # recombination per group — bit-identical output (pinned by test), no
+    # per-row BigDecimal.
+    profit_u = (F.col("l_extendedprice").cast(_P) * 100).cast("long") * (
+        F.lit(100) - (F.col("l_discount").cast(_D) * 100).cast("long")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -260,10 +270,12 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("int").alias("o_year"),
-            _disc_price().alias("profit"),
+            profit_u.alias("profit_u"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("profit").cast("double").alias("sum_profit"))
+        .agg(
+            sum_units_exact(F.col("profit_u"), 4).cast("double").alias("sum_profit")
+        )
     )
 
 

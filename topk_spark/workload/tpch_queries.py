@@ -51,28 +51,54 @@ GROUP BY l_returnflag, l_linestatus
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: scan-heavy group-by with 4 exact sums
     and derived averages. One shuffle over a 6-value grouping key; partial
-    aggregation does ~all the work map-side."""
+    aggregation does ~all the work map-side.
+
+    Round-14 (guide §5 / ops.money): the decimal sums promoted past
+    precision 18 — a non-compact BigDecimal add per row (measured 1.55 s
+    noop vs 1.13 s now). Values are quantized with the SAME exact decimal
+    casts, then multiplied and summed in int64 (overflow-safe split
+    accumulation) and recombined once per group via decimal(38,6) division
+    — output bit-identical, pinned in tests/test_r14_optimizations.py."""
+    from topk_spark.ops.money import sum_units_exact
+
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = li.agg(
         (F.max("l_shipdate") - F.expr("INTERVAL 90 DAYS")).alias("cutoff")
     )
-    qty = F.col("l_quantity").cast(_P)
-    price = F.col("l_extendedprice").cast(_P)
-    disc_price = price * (F.lit(1) - F.col("l_discount").cast(_D))
-    charge = disc_price * (F.lit(1) + F.col("l_tax").cast(_D))
-    return (
+    # Exact integer units from the same decimal quantization as before:
+    # cents for qty/price; 10^-4 (price x discount) and 10^-6 dollar units
+    # for the products. Projected as real columns so each expression is
+    # evaluated once per row (not once per split sub-sum).
+    qty_c = (F.col("l_quantity").cast(_P) * 100).cast("long")
+    price_c = (F.col("l_extendedprice").cast(_P) * 100).cast("long")
+    disc_h = (F.col("l_discount").cast(_D) * 100).cast("long")
+    tax_h = (F.col("l_tax").cast(_D) * 100).cast("long")
+    dp_u = price_c * (F.lit(100) - disc_h)
+    ch_u = dp_u * (F.lit(100) + tax_h)
+    units = (
         li.crossJoin(F.broadcast(cutoff))
         .filter(F.col("l_shipdate") <= F.col("cutoff"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count("*").cast("double")).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count("*").cast("double")).alias("avg_price"),
-            F.count("*").alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_c.alias("qty_c"),
+            price_c.alias("price_c"),
+            dp_u.alias("dp_u"),
+            ch_u.alias("ch_u"),
         )
+    )
+    # qty_c <= 5e3/row: a single long sum is exact to ~1.8e15 rows; the
+    # money units get the split accumulator (see ops.money bounds).
+    sum_qty = (F.sum("qty_c").cast("decimal(38,6)") / 100).cast("double")
+    sum_price = sum_units_exact(F.col("price_c"), 2).cast("double")
+    return units.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        sum_price.alias("sum_base_price"),
+        sum_units_exact(F.col("dp_u"), 4).cast("double").alias("sum_disc_price"),
+        sum_units_exact(F.col("ch_u"), 6).cast("double").alias("sum_charge"),
+        (sum_qty / F.count("*").cast("double")).alias("avg_qty"),
+        (sum_price / F.count("*").cast("double")).alias("avg_price"),
+        F.count("*").alias("count_order"),
     )
 
 
