@@ -2239,6 +2239,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     regressions = _regressions_vs_last_round(timings, float(sf))
+    # Methodology self-documentation (round-14 VERDICT #7): any change to
+    # HOW a number in this record is measured must be declared here for the
+    # round that introduces it, so trend lines across rounds self-document.
+    # r13 introduced two (disclosed in OPTIMIZATION_r13.md): the ingest
+    # sections' two-trial min policy (so r12→r13 ingest ev/s is not
+    # apples-to-apples) and the added quantity_dense ladder case. Round 14
+    # changes nothing in any timed region: this list is empty.
+    methodology_changed_this_round: list[str] = []
+    methodology = {
+        "changed_this_round": methodology_changed_this_round,
+        "history": {
+            "r13": ["ingest_two_trial_min", "ladder_quantity_dense_case"],
+        },
+    }
     # Confirmation pass (the direction of round-4 ADVICE: require the ratio
     # on two separate measurements): each flagged query is re-timed
     # (min-of-2) at the end of the run, in a different JVM window from the
@@ -2341,6 +2355,15 @@ def main() -> None:
         "regressions": regressions,
         "regressions_noise_cleared": noise_cleared,
         "regressions_window_contended": window_contended,
+        # Round-14 VERDICT #7 (additions-only): the retry-gate's clean
+        # re-timings keyed by query, so a round-over-round comparator can
+        # consume the harness's own noise discipline instead of first reads.
+        "queries_retry": {
+            e["query"]: e["retry_s"]
+            for e in (regressions + noise_cleared + window_contended)
+            if "retry_s" in e
+        },
+        "methodology": methodology,
         "canary_s": {
             "first": round(canary_first, 4),
             "retry": round(canary_retry, 4) if canary_retry else None,
@@ -2437,7 +2460,36 @@ def _compact_summary(full: dict, detail_name: str) -> str:
         "window_contended": len(full.get("regressions_window_contended", [])),
         "detail": detail_name,
     }
+    # Round-14 VERDICT #7/#8 (additions-only — every pre-existing key above
+    # is untouched): clean retry values per flagged query; per-query scaling
+    # exponents over the sf ladder (t ~ n^alpha, sf0.01 → main step); a loud
+    # methodology marker whenever a round changes how any number here is
+    # measured (empty list ⇒ apples-to-apples with the previous round).
+    retry = full.get("queries_retry", {})
+    if retry:
+        compact["queries_retry"] = retry
+    meth = full.get("methodology", {}).get("changed_this_round", [])
+    if meth:
+        compact["methodology_changed"] = meth
+    # per-query alphas as a LIST aligned with the `queries` map's key order
+    # (names would repeat ~350 bytes; the detail file has the keyed form)
+    pq = full.get("scaling", {}).get("per_query", {})
+    alphas = [
+        pq[n]["alpha"]
+        for n in compact["queries"]
+        if isinstance(pq.get(n), dict)
+    ]
+    if alphas and any(a is not None for a in alphas):
+        compact["scaling_alpha"] = alphas
     line = json.dumps(compact)
+    if len(line) > 1500:
+        # shed order: the newest additions go first — the detail file
+        # always carries them
+        compact.pop("scaling_alpha", None)
+        line = json.dumps(compact)
+    if len(line) > 1500:
+        compact.pop("queries_retry", None)
+        line = json.dumps(compact)
     if len(line) > 1500:
         compact["queries"] = {"see": detail_name}
         line = json.dumps(compact)

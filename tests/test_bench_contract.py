@@ -96,7 +96,16 @@ def _full_record(n_regressions: int = 0) -> dict:
             "slices": {"final_state_rows": 5, "peak_state_rows": 10900},
             "direct_over_slices_final": 60.0,
         },
-        "scaling": {"flagged": []},
+        "scaling": {
+            "flagged": [],
+            "per_query": {
+                n: {"sf0.001": 0.21, "sf0.01": 0.52, "main": 1.2345,
+                    "alpha": 0.374}
+                for n in _QUERY_NAMES
+            },
+        },
+        "queries_retry": {"topk_revenue_raw_24h": 0.4097},
+        "methodology": {"changed_this_round": [], "history": {}},
         "regressions": [
             {
                 "query": "q21_waiting_suppliers",
@@ -132,6 +141,40 @@ def test_compact_line_parses_and_fits_tail_capture():
     ):
         assert k in parsed, f"missing {k}"
     assert parsed["queries"] == {n: 1.2345 for n in _QUERY_NAMES}
+
+
+def test_compact_line_round14_additions():
+    """VERDICT r14 #7/#8 (additions-only): queries_retry and per-query
+    scaling alphas ride the compact line when present; methodology_changed
+    appears only when a round actually changed a measurement; no
+    pre-existing key is renamed or dropped."""
+    line = _compact_summary(_full_record(), "bench_r14_local.json")
+    assert len(line) <= 1500, f"compact line is {len(line)} bytes"
+    parsed = json.loads(line)
+    assert parsed["queries_retry"] == {"topk_revenue_raw_24h": 0.4097}
+    # alphas ride as a list aligned with the queries map's key order
+    assert parsed["scaling_alpha"] == [0.374] * len(_QUERY_NAMES)
+    assert list(parsed["queries"]) == _QUERY_NAMES
+    assert "methodology_changed" not in parsed  # empty ⇒ omitted
+    rec = _full_record()
+    rec["methodology"]["changed_this_round"] = ["ingest_two_trial_min"]
+    parsed = json.loads(_compact_summary(rec, "bench_r14_local.json"))
+    assert parsed["methodology_changed"] == ["ingest_two_trial_min"]
+
+
+def test_compact_line_sheds_new_keys_before_queries():
+    """Overflow shedding drops the round-14 additions FIRST (the detail
+    record always carries them); the queries block is only shed after."""
+    rec = _full_record(n_regressions=6)
+    line = _compact_summary(rec, "bench_r14_local.json")
+    assert len(line) <= 1500
+    parsed = json.loads(line)
+    # with 6 regression entries the alphas no longer fit, but queries must
+    # survive as long as shedding the additions suffices
+    if "scaling_alpha" not in parsed:
+        assert parsed["queries"] == {n: 1.2345 for n in _QUERY_NAMES} or (
+            parsed["queries"] == {"see": "bench_r14_local.json"}
+        )
 
 
 def test_compact_line_sheds_queries_rather_than_overflowing():

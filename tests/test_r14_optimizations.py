@@ -156,6 +156,72 @@ def test_q9_split_units_bit_identical(spark, sf_dir):
     assert _bits_eq(new, old) and len(new) > 0
 
 
+def _bloom_decimal_form(spark, sf_dir):
+    from topk_spark.ops.bloom import bloom_build, bloom_prefilter
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey")
+    li_pruned = bloom_prefilter(li, "l_orderkey", bloom)
+    return (
+        li_pruned.join(o, li_pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.trunc("o_orderdate", "month").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def test_bloom_prefilter_join_split_units_bit_identical(spark, sf_dir):
+    from topk_spark.workload.joins_queries import bloom_prefilter_join
+
+    new = _rows(bloom_prefilter_join(spark, sf_dir))
+    old = _rows(_bloom_decimal_form(spark, sf_dir))
+    assert _bits_eq(new, old) and len(new) > 0
+
+
+def _top_customers_decimal_form(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from topk_spark.ops.topk import topn
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_P)).cast("double").alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    joined = per_cust.join(
+        F.broadcast(c), per_cust.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    ranked = topn(
+        joined.select("c_custkey", "c_name", "n_name", "total_spend", "n_orders"),
+        [F.desc("total_spend"), F.asc("c_custkey")],
+        20,
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).orderBy("rank")
+
+
+def test_top_customers_split_units_bit_identical(spark, sf_dir):
+    from topk_spark.workload.tpch_queries import top_customers
+
+    new = _rows(top_customers(spark, sf_dir))
+    old = _rows(_top_customers_decimal_form(spark, sf_dir))
+    assert _bits_eq(new, old) and len(new) > 0
+
+
 def test_sum_units_exact_negative_and_bounds(spark):
     """Split accumulation is exact for negative units (arithmetic shift =
     floor division; AND = non-negative remainder) and for values far past

@@ -170,6 +170,8 @@ _FORCE_RESAMPLE: dict[str, int] = {
     "golden_record_election": 14,
     "pricing_summary": 14,
     "q9_profit_by_nation_year": 14,
+    "bloom_prefilter_join": 14,
+    "top_customers": 14,
     "topk_revenue_raw_24h": 14,
     "int8_quantized_topk": 14,
 }

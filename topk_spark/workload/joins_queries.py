@@ -292,6 +292,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's runtime bloom-filter rewrite, with the bitset size FIXED no
     matter how many build keys (a broadcast semi-join's key set is not)."""
     from topk_spark.ops.bloom import bloom_build, bloom_prefilter
+    from topk_spark.ops.money import sum_units_exact
 
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
@@ -299,17 +300,23 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bloom = bloom_build(o.select("o_orderkey"), "o_orderkey")
     li_pruned = bloom_prefilter(li, "l_orderkey", bloom)
+    # Round-14 (guide §5 / ops.money): the revenue sum promoted past
+    # decimal precision 18 (BigDecimal per surviving row); same exact
+    # quantization, product and accumulation in int64 split sums instead —
+    # bit-identical output (pinned in tests/test_r14_optimizations.py).
+    rev_u = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "long"
+    ) * (F.lit(100) - (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long"))
     return (
         li_pruned.join(o, li_pruned["l_orderkey"] == o["o_orderkey"])
-        .groupBy(F.trunc("o_orderdate", "month").alias("order_month"))
+        .select(
+            F.trunc("o_orderdate", "month").alias("order_month"),
+            rev_u.alias("rev_u"),
+        )
+        .groupBy("order_month")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (1 - F.col("l_discount").cast("decimal(4,2)"))
-            )
-            .cast("double")
-            .alias("revenue"),
+            sum_units_exact(F.col("rev_u"), 4).cast("double").alias("revenue"),
         )
     )
 

@@ -127,11 +127,17 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: aggregate orders by custkey FIRST (shrinks the fact ~10×),
     then join customer/nation as broadcasts — the join carries one row per
     customer, never one per order."""
+    from topk_spark.ops.money import sum_units_exact
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(_P)).cast("double").alias("total_spend"),
+    # Round-14 (guide §5 / ops.money): cents in int64 split sums instead of
+    # a decimal(22,2) BigDecimal accumulator — bit-identical (pinned).
+    per_cust = o.select(
+        "o_custkey", (F.col("o_totalprice").cast(_P) * 100).cast("long").alias("tp_c")
+    ).groupBy("o_custkey").agg(
+        sum_units_exact(F.col("tp_c"), 2).cast("double").alias("total_spend"),
         F.count("*").alias("n_orders"),
     )
     joined = per_cust.join(
