@@ -54,9 +54,10 @@ def test_fullcheck_exists_and_is_all_green():
 
 
 def test_fullcheck_covers_current_registry():
-    """Every currently-registered query is in the newest sweep — allowing a
-    small tail registered after the sweep ran (mid-round additions), but
-    failing loudly if the artifact goes wholesale stale. Every covered name
+    """The newest sweep's name set must be a SUPERSET of the live registry
+    (round-14 VERDICT #4 tightening: the old ≥97 % tolerance let the r12
+    artifact stay green across two rounds of registry growth, which is
+    exactly the staleness this test exists to catch). Every covered name
     that is still registered must be green (checked above); names pruned
     from the registry since the sweep are fine."""
     art = _newest_artifact()
@@ -69,8 +70,8 @@ def test_fullcheck_covers_current_registry():
 
     registered = set(load_all())
     missing = sorted(registered - covered)
-    frac = 1 - len(missing) / max(len(registered), 1)
-    assert frac >= 0.97, (
-        f"FULLCHECK artifact covers only {frac:.1%} of the registry — "
-        f"re-run tests/run_fullcheck.py; missing (first 10): {missing[:10]}"
+    assert not missing, (
+        f"FULLCHECK artifact is stale — {len(missing)} registered queries "
+        f"are not in the sweep; re-run tests/run_fullcheck.py. "
+        f"Missing (first 10): {missing[:10]}"
     )
